@@ -1,0 +1,63 @@
+"""Simulate the driver's verify: default SparkSession + __spark_entry__ contract."""
+import sys, math, datetime as dt, numbers
+from decimal import Decimal
+sys.path.insert(0, "/root/repo")
+import duckdb
+import numpy as np
+from pyspark.sql import SparkSession
+
+spark = SparkSession.builder.master("local[8]").appName("driver-sim").getOrCreate()
+
+import __spark_entry__ as e
+
+df = e.entry(spark)
+rows = df.collect()
+print(f"ENTRY OK: {len(rows)} rows, schema={df.columns}")
+print(rows[:3])
+
+SF = "/root/testdata/sf0.01"
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+def norm(v):
+    if v is None: return (0,"")
+    if isinstance(v,(bool,np.bool_)): return (1,float(v))
+    if isinstance(v,(numbers.Real,Decimal)):
+        f=float(v)
+        return (0,"") if math.isnan(f) else (1,round(f,6))
+    if isinstance(v,dt.datetime): return (2,v.isoformat(sep=" "))
+    if isinstance(v,dt.date): return (2,v.isoformat())
+    if isinstance(v,(list,tuple,np.ndarray)): return (3,tuple(norm(x) for x in v))
+    return (4,str(v))
+
+qs, os_ = e.queries(), e.oracle_sql()
+fails = []
+for name in sorted(qs):
+    try:
+        sdf = qs[name](spark, SF)
+        scols = sorted(sdf.columns)
+        srows = sorted(tuple(norm(r[c]) for c in scols) for r in sdf.collect())
+        if name not in os_:
+            print(f"{name}: rows-only, {len(srows)} rows")
+            continue
+        odf = con.execute(os_[name]).fetchdf()
+        ocols = sorted(odf.columns.tolist())
+        orecs = odf.where(odf.notna(), None).to_dict("records")
+        orows = sorted(tuple(norm(r[c]) for c in ocols) for r in orecs)
+        ok_cols = scols == ocols
+        ok_cnt = len(srows) == len(orows)
+        ok_vals = ok_cnt and all(
+            all((x[0]==y[0]) and (math.isclose(x[1],y[1],rel_tol=1e-9,abs_tol=1e-6) if x[0]==1 else x==y) for x,y in zip(a,b))
+            for a,b in zip(srows,orows))
+        status = "MATCH" if (ok_cols and ok_cnt and ok_vals) else "MISMATCH"
+        print(f"{name}: {status} (cols={ok_cols} cnt={ok_cnt} {len(srows)}v{len(orows)} vals={ok_vals})")
+        if status != "MATCH":
+            fails.append(name)
+            if ok_cnt:
+                for a,b in zip(srows,orows):
+                    if a!=b: print("  spark:",a,"\n  duck: ",b); break
+    except Exception as ex:
+        print(f"{name}: ERROR {type(ex).__name__}: {str(ex)[:200]}")
+        fails.append(name)
+print("FAILS:", fails if fails else "none")
