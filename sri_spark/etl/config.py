@@ -1,0 +1,37 @@
+"""Pipeline configuration.
+
+Two semantic modes (SURVEY §7.1):
+
+- ``parity`` — reproduce the reference's observable behavior exactly,
+  including its quirks (SURVEY §1.3 Q1–Q5): run-date stamping of every fact
+  row, pandas float/NaN stringification ('10701.0', 'nan', 'NAN'),
+  clean-after-dedup dims, and m:m lookup fan-out.
+- ``fixed`` — same star schema with the quirks repaired: real M/d/yyyy date
+  parsing, canonical integer canton codes, clean-before-dedup, lookup dims
+  deduplicated on their join keys (1:1 lookups, no fan-out).
+
+``run_date`` replaces the reference's ``datetime.now().date()`` (reference
+dags/sri_vehiculos_etl_dag.py:462-463) so parity outputs are deterministic.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class EtlConfig:
+    mode: str = "fixed"  # "parity" | "fixed"
+    run_date: dt.date = dt.date(2025, 7, 2)  # the reference's recorded run day
+    # guard against Q4-style fan-out explosions in parity mode: abort if the
+    # fact grows beyond this factor of the source row count (SURVEY §7.4)
+    max_fanout_factor: float = 100.0
+
+    def __post_init__(self) -> None:
+        if self.mode not in ("parity", "fixed"):
+            raise ValueError(f"mode must be 'parity' or 'fixed', got {self.mode!r}")
+
+    @property
+    def parity(self) -> bool:
+        return self.mode == "parity"

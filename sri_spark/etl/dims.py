@@ -1,0 +1,178 @@
+"""Dimension builders for the SRI star schema.
+
+Each builder is one lazy DataFrame expression. Parity mode reproduces the
+reference's observable pandas behavior including quirks (SURVEY §1.3); fixed
+mode repairs them. Reference spans cited per function.
+
+Determinism contract for surrogate keys: parity keys follow first-occurrence
+file order (what pandas `drop_duplicates`/`unique` produce); fixed keys
+follow the natural-key sort. Both are total orders, so keys are stable across
+runs and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sri_spark.etl.config import EtlConfig
+from sri_spark.etl.schema import (
+    CANTON_MAP,
+    COL_CANTON,
+    COL_COLOR2,
+    TRANSACCION_COLS,
+    TRANSACCION_RENAME,
+    VEHICULO_CLEAN_COLS,
+    VEHICULO_COLS,
+    VEHICULO_RENAME,
+)
+from sri_spark.etl.source import SRC_ID, pandas_str
+from sri_spark.functions.cleaning import clean_text
+from sri_spark.functions.dates import date_parts, nombre_dia_es, nombre_mes_es
+from sri_spark.operators.keys import add_surrogate_key
+
+
+def build_dim_tiempo(spark: SparkSession) -> DataFrame:
+    """Generated daily calendar 2020-01-01..2025-12-31, 2,192 rows
+    (reference dags/sri_vehiculos_etl_dag.py:50-121). Narrow generate —
+    no shuffle; surrogate key ordered by date (same order pandas used)."""
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.to_date(F.lit("2020-01-01")),
+                F.to_date(F.lit("2025-12-31")),
+                F.expr("interval 1 day"),
+            )
+        ).alias("FechaCompleta")
+    )
+    parts = date_parts(F.col("FechaCompleta"))
+    dim = days.select(
+        "FechaCompleta",
+        *[c.alias(n) for n, c in parts.items()],
+        nombre_mes_es(F.col("FechaCompleta")).alias("NombreMes"),
+        nombre_dia_es(F.col("FechaCompleta")).alias("NombreDiaSemana"),
+    )
+    dim = add_surrogate_key(dim, "ID_Tiempo", [F.col("FechaCompleta")])
+    return dim.select(
+        "ID_Tiempo", "FechaCompleta", "Anio", "Trimestre", "Mes", "Dia",
+        "NombreMes", "NombreDiaSemana",
+    )
+
+
+def _parity_clean(col: F.Column) -> F.Column:
+    """pandas `astype(str).str.upper().str.strip()` — note NaN -> 'NAN'
+    (astype(str) stringifies NaN before upper; reference :164-166, :248-250)."""
+    return F.upper(F.trim(pandas_str(col)))
+
+
+def build_dim_vehiculo(src: DataFrame, cfg: EtlConfig) -> DataFrame:
+    """Distinct 12-column vehicle dim (reference :123-210).
+
+    parity: dedup raw columns first (clean AFTER dedup — Q5), key by first
+    occurrence, text nulls become 'NAN'.
+    fixed: standardize first, then dedup, key by natural sort, nulls stay null.
+
+    Physically: the dedup is one hash-aggregate shuffle on the 12 columns with
+    map-side partial aggregation; the key assignment sorts only the deduped
+    output (331k rows at production scale — SURVEY §7.4).
+    """
+    cols = VEHICULO_COLS
+    if cfg.parity:
+        dedup = src.groupBy(*cols).agg(F.min(SRC_ID).alias("__ord"))
+        dedup = add_surrogate_key(dedup, "ID_Vehiculo", [F.col("__ord")])
+        cleaned = dedup.select(
+            "ID_Vehiculo",
+            *[
+                (_parity_clean(F.col(c)) if c in VEHICULO_CLEAN_COLS else F.col(c)).alias(c)
+                for c in cols
+            ],
+        )
+        # COLOR 2 is not in the cleaned set; real nulls -> 'N/A' (:169-170)
+        filled = cleaned.withColumn(
+            COL_COLOR2, F.coalesce(F.col(f"`{COL_COLOR2}`"), F.lit("N/A"))
+        )
+    else:
+        std = src.select(
+            *[
+                (clean_text(F.col(f"`{c}`")) if c in VEHICULO_CLEAN_COLS else F.col(f"`{c}`")).alias(c)
+                for c in cols
+            ]
+        )
+        std = std.withColumn(COL_COLOR2, F.coalesce(F.col(f"`{COL_COLOR2}`"), F.lit("N/A")))
+        dedup = std.dropDuplicates()
+        filled = add_surrogate_key(
+            dedup, "ID_Vehiculo", [F.col(f"`{c}`") for c in cols]
+        )
+    renamed = filled.withColumnsRenamed(VEHICULO_RENAME)
+    return renamed.select("ID_Vehiculo", *VEHICULO_RENAME.values())
+
+
+def build_dim_transaccion(src: DataFrame, cfg: EtlConfig) -> DataFrame:
+    """Distinct 4-column transaction dim (reference :212-281). All four
+    columns are standardized (including numeric CATEGORÍA -> string)."""
+    cols = TRANSACCION_COLS
+    if cfg.parity:
+        dedup = src.groupBy(*cols).agg(F.min(SRC_ID).alias("__ord"))
+        dedup = add_surrogate_key(dedup, "ID_Transaccion", [F.col("__ord")])
+        cleaned = dedup.select(
+            "ID_Transaccion",
+            *[_parity_clean(F.col(f"`{c}`")).alias(c) for c in cols],
+        )
+    else:
+        std = src.select(
+            *[clean_text(F.col(f"`{c}`").cast("string")).alias(c) for c in cols]
+        )
+        dedup = std.dropDuplicates()
+        cleaned = add_surrogate_key(
+            dedup, "ID_Transaccion", [F.col(f"`{c}`") for c in cols]
+        )
+    renamed = cleaned.withColumnsRenamed(TRANSACCION_RENAME)
+    return renamed.select("ID_Transaccion", *TRANSACCION_RENAME.values())
+
+
+def canton_lookup_df(spark: SparkSession) -> DataFrame:
+    """The 17-entry canton→(canton, provincia, region) lookup as a broadcast
+    DataFrame (reference :303-321) — E10 becomes a broadcast join, not a
+    Python loop."""
+    rows = [(k, v[0], v[1], v[2]) for k, v in CANTON_MAP.items()]
+    return spark.createDataFrame(
+        rows, "clave string, canton string, provincia string, region string"
+    )
+
+
+def build_dim_ubicacion(src: DataFrame, cfg: EtlConfig) -> DataFrame:
+    """Canton geography dim (reference :283-389).
+
+    parity: codes stringified the pandas way ('10701.0' — Q3), so none match
+    the integer-keyed map and every canton degrades to the CANTON_x /
+    NO_IDENTIFICADA branch, exactly like the production run; keys follow
+    first-occurrence order (pandas `unique()`).
+    fixed: canonical integer-string codes that actually hit the map.
+    """
+    spark = src.sparkSession
+    canton = F.col(f"`{COL_CANTON}`")
+    distinct = (
+        src.filter(canton.isNotNull())
+        .groupBy(canton.alias("__codigo"))
+        .agg(F.min(SRC_ID).alias("__ord"))
+    )
+    if cfg.parity:
+        keyed = distinct.withColumn("CodigoCanton", F.trim(pandas_str(F.col("__codigo"))))
+        keyed = add_surrogate_key(keyed, "ID_Ubicacion", [F.col("__ord")])
+    else:
+        keyed = distinct.withColumn(
+            "CodigoCanton", F.col("__codigo").cast("long").cast("string")
+        )
+        keyed = add_surrogate_key(keyed, "ID_Ubicacion", [F.col("CodigoCanton")])
+    lookup = F.broadcast(canton_lookup_df(spark))
+    joined = keyed.join(lookup, keyed.CodigoCanton == lookup.clave, "left")
+    return joined.select(
+        "ID_Ubicacion",
+        "CodigoCanton",
+        F.coalesce(
+            F.col("canton"), F.concat(F.lit("CANTON_"), F.col("CodigoCanton"))
+        ).alias("NombreCanton"),
+        F.coalesce(F.col("provincia"), F.lit("NO_IDENTIFICADA")).alias("Provincia"),
+        F.coalesce(F.col("region"), F.lit("NO_IDENTIFICADA")).alias("Region"),
+        F.lit("ECUADOR").alias("Pais"),
+    )

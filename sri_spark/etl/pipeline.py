@@ -1,0 +1,85 @@
+"""One-application star pipeline (SURVEY §3.1 'Spark shape').
+
+The reference's six tasks (4 dim ETLs -> barrier -> fact -> validation)
+collapse into one lazy plan: the CSV is scanned once per consumer with column
+pruning, dims never round-trip through an external warehouse, and the fact's
+four lookups broadcast the freshly-built dims.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sri_spark.etl.config import EtlConfig
+from sri_spark.etl.dims import (
+    build_dim_tiempo,
+    build_dim_transaccion,
+    build_dim_ubicacion,
+    build_dim_vehiculo,
+)
+from sri_spark.etl.fact import build_fact, check_fanout
+from sri_spark.etl.source import read_sri_csv, with_src_id
+
+
+def run_pipeline(
+    spark: SparkSession,
+    source: str | DataFrame,
+    cfg: EtlConfig | None = None,
+) -> dict[str, DataFrame]:
+    """Build the five star tables. `source` is a CSV path or a pre-loaded
+    DataFrame with the SRI schema (tests pass DataFrames)."""
+    cfg = cfg or EtlConfig()
+    src = read_sri_csv(spark, source) if isinstance(source, str) else with_src_id(source)
+    # the source feeds 5 consumers — cache the (narrow) scan once
+    src = src.persist()
+
+    dims = {
+        "dim_tiempo": build_dim_tiempo(spark),
+        "dim_vehiculo": build_dim_vehiculo(src, cfg),
+        "dim_transaccion": build_dim_transaccion(src, cfg),
+        "dim_ubicacion": build_dim_ubicacion(src, cfg),
+    }
+    if cfg.parity:
+        check_fanout(dims["dim_vehiculo"], dims["dim_transaccion"], cfg)
+    fact = build_fact(
+        src,
+        dims["dim_tiempo"],
+        dims["dim_vehiculo"],
+        dims["dim_transaccion"],
+        dims["dim_ubicacion"],
+        cfg,
+    )
+    return {**dims, "fact_registro_vehiculos": fact}
+
+
+def write_star(
+    tables: dict[str, DataFrame],
+    out_dir: str,
+    *,
+    partition_fact_by_year: bool = True,
+) -> None:
+    """Persist the star as parquet — truncate-load semantics
+    (mode='overwrite', the reference's WRITE_TRUNCATE).
+
+    `partition_fact_by_year` activates the physical design the reference
+    declared but never used (config/variables.yaml:18-19, SURVEY §1.3 Q6):
+    the fact is partitioned by Anio (via its tiempo FK) and sorted within
+    partitions by Marca-equivalent clustering keys downstream engines can
+    exploit for partition pruning.
+    """
+    for name, df in tables.items():
+        path = os.path.join(out_dir, name)
+        if name == "fact_registro_vehiculos" and partition_fact_by_year:
+            anio = tables["dim_tiempo"].select("ID_Tiempo", "Anio")
+            (
+                df.join(F.broadcast(anio), "ID_Tiempo", "left")
+                .na.fill({"Anio": 0})
+                .write.mode("overwrite")
+                .partitionBy("Anio")
+                .parquet(path)
+            )
+        else:
+            df.write.mode("overwrite").parquet(path)

@@ -1,0 +1,42 @@
+"""SRI CSV source reader.
+
+One declared-schema read shared by the whole pipeline (the reference
+re-downloads and re-parses the CSV in four separate tasks — reference
+dags/sri_vehiculos_etl_dag.py:136-141, :225-229, :296-300, :408-412; in Spark
+the lazy plan plus column pruning makes one definition serve every consumer).
+
+``__src_id`` is a file-order row id: Spark's CSV splits preserve byte order,
+and `monotonically_increasing_id()` is ascending over (partition index, row
+index), so sorting by it reproduces pandas' positional row order — the order
+the reference's surrogate keys depend on (SURVEY §2.4 K1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sri_spark.etl.schema import SRI_SCHEMA
+
+SRC_ID = "__src_id"
+
+
+def read_sri_csv(spark: SparkSession, path: str) -> DataFrame:
+    df = (
+        spark.read.option("header", True)
+        .option("encoding", "UTF-8")
+        .schema(SRI_SCHEMA)
+        .csv(path)
+    )
+    return with_src_id(df)
+
+
+def with_src_id(df: DataFrame) -> DataFrame:
+    return df.withColumn(SRC_ID, F.monotonically_increasing_id())
+
+
+def pandas_str(col: Column, null_repr: str = "nan") -> Column:
+    """Replicate pandas `astype(str)` semantics: NaN -> 'nan' (or 'NAN' after
+    upper), floats keep their '.0' suffix ('10701.0', Q3). Spark's
+    double->string cast renders 10701.0 identically to `str(10701.0)`."""
+    return F.when(col.isNull(), F.lit(null_repr)).otherwise(col.cast("string"))
