@@ -32,8 +32,10 @@ HEADLINE = [
     "dim_build_distinct",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
     "text_quality_score",
     "similarity_cosine_topk",
+    "similarity_lsh_near_pairs",
     "events_window_agg",
     "events_sessionize",
 ]

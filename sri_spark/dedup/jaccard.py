@@ -1,0 +1,49 @@
+"""n-gram Jaccard near-duplicate pairs — the exact (quadratic-in-collisions)
+baseline that MinHash-LSH approximates.
+
+Plan shape: shingles (narrow) → self-equi-join on shingle (shuffle on the
+shingle key) → pair-count aggregate → broadcast-join per-doc shingle sizes →
+Jaccard filter. The self-join cost is bounded by shingle collision counts,
+not |docs|²; hot shingles (boilerplate) are the skew risk at scale — AQE
+skew-join handles moderate cases, MinHash-LSH is the real scale path."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sri_spark.dedup.shingles import shingles_df
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for all pairs with Jaccard >= threshold over
+    word n-gram shingle sets; doc_a < doc_b."""
+    sh = shingles_df(df, text_col, id_col, n)
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -1,0 +1,94 @@
+"""MinHash + LSH banding near-duplicate detection (mandate item).
+
+Pipeline: shingle → md5-based shingle hash (cross-engine deterministic,
+functions/hashing.py) → K permutation min-hashes → B bands of R rows → band
+bucket join → exact-Jaccard verification of candidates.
+
+Scale shape: signatures are one hash-aggregate over (doc, shingle-hash);
+banding is narrow; the candidate join shuffles on (band, bucket) — tiny keys
+— and only candidate pairs pay the exact-verification join. This is the
+standard sub-quadratic dedup for 100 TB corpora.
+
+Coefficients are fixed literals (not RNG at import) so results are stable
+across sessions and reproducible in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sri_spark.dedup.jaccard import ngram_jaccard_pairs
+from sri_spark.dedup.shingles import shingles_df
+from sri_spark.functions.hashing import md5_int
+
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+# (a, b) pairs for h_k(x) = (a*x + b) mod P — fixed odd/co-prime literals
+MINHASH_COEFFS: list[tuple[int, int]] = [
+    (1610612741, 12345), (805306457, 67891), (402653189, 24683),
+    (201326611, 13579), (100663319, 97531), (50331653, 11111),
+    (25165843, 22222), (12582917, 33333), (6291469, 44444),
+    (3145739, 55555), (1572869, 66666), (786433, 77777),
+    (393241, 88888), (196613, 99999), (98317, 10101), (49157, 20202),
+]
+LSH_BANDS = 4
+LSH_ROWS = 4  # LSH_BANDS * LSH_ROWS == len(MINHASH_COEFFS)
+
+
+def minhash_signatures(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """One row per doc: m0..m15 minhash components."""
+    sh = shingles_df(df, text_col, id_col, n)
+    hashed = sh.select(id_col, (md5_int(F.col("shingle")) % MINHASH_P).alias("h"))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"m{k}")
+        for k, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
+def _band_buckets(sig: DataFrame, id_col: str) -> DataFrame:
+    """(id, band, bucket): bucket = md5 hash of the band's R signature
+    components."""
+    parts = []
+    for band in range(LSH_BANDS):
+        cols = [F.col(f"m{band * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+        parts.append(
+            sig.select(
+                F.col(id_col),
+                F.lit(band).alias("band"),
+                md5_int(F.concat_ws("-", *cols)).alias("bucket"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard): pairs sharing >=1 LSH band bucket whose exact
+    shingle Jaccard clears the threshold. Deterministic: a missed pair is one
+    the fixed hash family banded apart (the documented LSH recall tradeoff)."""
+    sig = minhash_signatures(df, text_col=text_col, id_col=id_col, n=n)
+    buckets = _band_buckets(sig, id_col)
+    left = buckets.select(F.col(id_col).alias("doc_a"), "band", "bucket")
+    right = buckets.select(F.col(id_col).alias("doc_b"), "band", "bucket")
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(
+        df, text_col=text_col, id_col=id_col, n=n, threshold=threshold
+    )
+    return cand.join(exact, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")

@@ -1,0 +1,166 @@
+"""Deduplication catalog queries over `documents`, with DuckDB oracles built
+from the same constants (hash family, bands, thresholds) as the Spark
+implementations in sri_spark.dedup."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sri_spark.dedup.exact import exact_dedup_groups, normalize_text
+from sri_spark.dedup.jaccard import ngram_jaccard_pairs
+from sri_spark.dedup.minhash import (
+    LSH_BANDS,
+    LSH_ROWS,
+    MINHASH_COEFFS,
+    MINHASH_P,
+    minhash_lsh_pairs,
+)
+from sri_spark.dedup.simhash import SIMHASH_BITS, simhash_df
+from sri_spark.functions.hashing import md5_int_sql
+from sri_spark.plans.registry import register
+from sri_spark.sources.testdata import load_table
+
+JACCARD_THRESHOLD = 0.5
+
+# shared DuckDB CTEs: tokens -> 3-gram shingles (mirrors dedup.shingles)
+_SHINGLE_CTES = """
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x != '') AS t
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+  FROM toks WHERE len(t) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle FROM idx
+)
+"""
+
+_JACCARD_CTES = f"""
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY 1),
+jac AS (
+  SELECT doc_a, doc_b,
+         round(n_inter / (sa.ns + sb.ns - n_inter), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON inter.doc_a = sa.doc_id
+  JOIN sizes sb ON inter.doc_b = sb.doc_id
+)
+"""
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact hash-groupBy dedup: shuffle on the 32-char hash, never the text."""
+    return exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_exact_normalized",
+    """
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
+           min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace/case-normalized exact dedup."""
+    return exact_dedup_groups(load_table(spark, sf_dir, "documents"), normalized=True)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SHINGLE_CTES}, {_JACCARD_CTES}
+    SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs >= 0.5 (quadratic-in-collisions
+    baseline for the LSH path)."""
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=JACCARD_THRESHOLD
+    )
+
+
+def _minhash_oracle() -> str:
+    mins = ", ".join(
+        f"min(({a} * h + {b}) % {MINHASH_P}) AS m{k}"
+        for k, (a, b) in enumerate(MINHASH_COEFFS)
+    )
+    band_selects = []
+    for band in range(LSH_BANDS):
+        cols = ", ".join(f"m{band * LSH_ROWS + r}" for r in range(LSH_ROWS))
+        bucket = md5_int_sql(f"concat_ws('-', {cols})")
+        band_selects.append(f"SELECT doc_id, {band} AS band, {bucket} AS bucket FROM sig")
+    bands = " UNION ALL ".join(band_selects)
+    return f"""
+    WITH {_SHINGLE_CTES}, {_JACCARD_CTES},
+    hashes AS (SELECT doc_id, {md5_int_sql('shingle')} % {MINHASH_P} AS h FROM sh),
+    sig AS (SELECT doc_id, {mins} FROM hashes GROUP BY doc_id),
+    bands AS ({bands}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b, j.jaccard
+    FROM cand c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+    WHERE j.jaccard >= {JACCARD_THRESHOLD}
+    """
+
+
+@register("dedup_minhash_lsh", _minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + 4x4-band LSH candidates, exact-Jaccard verified — the
+    sub-quadratic scale path. Fixed md5-based hash family makes the banding
+    (and therefore recall) bit-reproducible in the oracle."""
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=JACCARD_THRESHOLD
+    )
+
+
+def _simhash_oracle() -> str:
+    ws = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN cnt ELSE -cnt END) AS w{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"CASE WHEN w{i} > 0 THEN {1 << i}::BIGINT ELSE 0 END"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x != '') AS t
+      FROM documents
+    ),
+    tc AS (
+      SELECT doc_id, tok, count(*) AS cnt
+      FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+      GROUP BY 1, 2
+    ),
+    hh AS (SELECT doc_id, {md5_int_sql('tok', 8)} AS h, cnt FROM tc),
+    w AS (SELECT doc_id, {ws} FROM hh GROUP BY doc_id)
+    SELECT doc_id, ({bits}) AS simhash FROM w
+    """
+
+
+@register("dedup_simhash", _simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (count-weighted token votes)."""
+    return simhash_df(load_table(spark, sf_dir, "documents"))

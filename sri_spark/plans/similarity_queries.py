@@ -1,0 +1,124 @@
+"""Similarity-search catalog queries over `embeddings`, with DuckDB oracles
+sharing the exact projection literals and rounding rules."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sri_spark.plans.registry import register
+from sri_spark.similarity.cosine import _as_double, _dot, _norm, cosine_topk
+from sri_spark.similarity.lsh import (
+    N_PLANES,
+    RP_PLANES,
+    rp_bucket_col,
+    rp_lsh_near_pairs,
+)
+from sri_spark.sources.testdata import load_table
+
+# calibrated to the synthetic fixture's cosine distribution (random 64-dim
+# vectors top out near 0.5 pairwise) so the query exercises non-empty output;
+# real near-dup pipelines would use 0.9+
+NEAR_THRESHOLD = 0.3
+
+_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}), x -> x[1]::DOUBLE * x[2]::DOUBLE))"
+)
+_NORM = "sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"round({_DOT.format(a=a, b=b)} / "
+        f"({_NORM.format(a=a)} * {_NORM.format(a=b)}), 6)"
+    )
+
+
+@register(
+    "similarity_cosine_topk",
+    f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, {_cos_sql('e.embedding', 'q.qe')} AS cosine
+    FROM embeddings e, q
+    WHERE e.vec_id != 0
+    ORDER BY cosine DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 neighbours of vec_id=0 (broadcast query
+    vector, TakeOrderedAndProject ranking)."""
+    return cosine_topk(load_table(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+def _bucket_sql(vec: str) -> str:
+    terms = []
+    for j in range(N_PLANES):
+        plane = "[" + ", ".join(repr(v) for v in RP_PLANES[j]) + "]::DOUBLE[]"
+        proj = f"round({_DOT.format(a=vec, b=plane)}, 6)"
+        terms.append(f"CASE WHEN {proj} > 0 THEN {1 << j}::BIGINT ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _ann_pairs_oracle() -> str:
+    return f"""
+    WITH be AS (
+      SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {_cos_sql('a.embedding', 'b.embedding')} AS cosine
+    FROM be a JOIN be b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {NEAR_THRESHOLD}
+    """
+
+
+@register("similarity_lsh_near_pairs", _ann_pairs_oracle())
+def similarity_lsh_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs via random-hyperplane LSH buckets +
+    exact cosine >= 0.9 — the embedding-cosine near-dup operator."""
+    return rp_lsh_near_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=NEAR_THRESHOLD
+    )
+
+
+def _ann_topk_oracle() -> str:
+    return f"""
+    WITH be AS (
+      SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings
+    ),
+    q AS (SELECT embedding AS qe, bucket AS qb FROM be WHERE vec_id = 0)
+    SELECT e.vec_id, {_cos_sql('e.embedding', 'q.qe')} AS cosine
+    FROM be e, q
+    WHERE e.bucket = q.qb AND e.vec_id != 0
+    ORDER BY cosine DESC, e.vec_id
+    LIMIT 10
+    """
+
+
+@register("similarity_ann_lsh_topk", _ann_topk_oracle())
+def similarity_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k: probe only the query's LSH bucket (≈ |N|/2^H candidates),
+    exact cosine re-rank inside it. May return < k rows for sparse buckets —
+    the standard ANN recall tradeoff, deterministic here."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    be = emb.select(
+        "vec_id",
+        _as_double(F.col("embedding")).alias("__e"),
+        rp_bucket_col(F.col("embedding")).alias("__bucket"),
+    )
+    q = be.filter(F.col("vec_id") == 0).select(
+        F.col("__e").alias("__q"), F.col("__bucket").alias("__qb")
+    )
+    return (
+        be.join(F.broadcast(q), be["__bucket"] == F.col("__qb"))
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.round(
+                _dot(F.col("__e"), F.col("__q")) / (_norm(F.col("__e")) * _norm(F.col("__q"))),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )

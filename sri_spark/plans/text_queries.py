@@ -1,0 +1,140 @@
+"""Text-analysis catalog queries over the `documents` fixture, with DuckDB
+oracles generated from the same lexicons/constants as the Spark expressions
+(single source of truth — sri_spark.text.analysis)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sri_spark.functions.hashing import md5_int_sql
+from sri_spark.plans.registry import register
+from sri_spark.sources.testdata import load_table
+from sri_spark.text.analysis import (
+    BPE_PATTERN,
+    CJK_PATTERN,
+    FINGERPRINT_BASE,
+    FINGERPRINT_MOD,
+    STOPWORDS,
+    TOKEN_HASH_MOD,
+    bpe_tokens_col,
+    doc_fingerprint,
+    language_id,
+    quality_features,
+    quality_score,
+)
+
+_TOKS_SQL = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x != '')"
+
+
+def _in_list(words: list[str]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def _hits_sql(lang: str) -> str:
+    return f"len(list_filter({_TOKS_SQL}, x -> x IN ({_in_list(STOPWORDS[lang])})))"
+
+
+_QUALITY_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id,
+         length(text)::BIGINT AS n_chars,
+         len({_TOKS_SQL})::BIGINT AS n_tokens,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::BIGINT AS n_punct,
+         len(regexp_extract_all(text, '[0-9]'))::BIGINT AS n_digits,
+         {_hits_sql('en')}::BIGINT AS en_hits
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens,
+       round(CASE WHEN n_tokens > 0 THEN n_chars::DOUBLE / n_tokens ELSE 0.0 END, 4)
+         AS avg_token_len,
+       round(n_punct / greatest(n_chars, 1), 6) AS punct_ratio,
+       round(n_digits / greatest(n_chars, 1), 6) AS digit_ratio,
+       round(en_hits / greatest(n_tokens, 1), 6) AS stopword_ratio,
+       round(0.5 * least(n_tokens / 100.0, 1.0)
+           + 0.3 * (1 - round(n_punct / greatest(n_chars, 1), 6))
+           + 0.2 * (1 - round(n_digits / greatest(n_chars, 1), 6)), 6) AS quality
+FROM f
+"""
+
+
+@register("text_quality_score", _QUALITY_ORACLE)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features + composite score. Pure codegen
+    expressions — one narrow pass over the documents scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        *[c.alias(n) for n, c in feats.items()],
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+_LANG_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{CJK_PATTERN}'))::BIGINT AS cjk,
+         greatest(length(text)::BIGINT, 1) AS n_chars,
+         {_hits_sql('en')} AS en, {_hits_sql('es')} AS es,
+         {_hits_sql('fr')} AS fr, {_hits_sql('de')} AS de
+  FROM documents
+)
+SELECT doc_id,
+       CASE
+         WHEN cjk::DOUBLE / n_chars > 0.10 THEN 'zh'
+         WHEN en >= es AND en >= fr AND en >= de AND en > 0 THEN 'en'
+         WHEN es >= fr AND es >= de AND es > 0 THEN 'es'
+         WHEN fr >= de AND fr > 0 THEN 'fr'
+         WHEN de > 0 THEN 'de'
+         ELSE 'unknown'
+       END AS pred_lang
+FROM f
+"""
+
+
+@register("text_language_id", _LANG_ORACLE)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-lexicon + CJK-ratio language identification."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", language_id(F.col("text")).alias("pred_lang"))
+
+
+@register(
+    "text_token_count_bpe",
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{BPE_PATTERN}'))::BIGINT AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer counts (letter runs / digit runs / punct)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.size(bpe_tokens_col(F.col("text"))).cast("long").alias("n_bpe_tokens")
+    )
+
+
+_FP_ORACLE = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform(
+             list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'),
+                         x -> x != ''),
+             t -> {md5_int_sql('t')} % {TOKEN_HASH_MOD})),
+         (a, b) -> (a * {FINGERPRINT_BASE} + b) % {FINGERPRINT_MOD}
+       ) AS fingerprint
+FROM documents
+"""
+
+
+@register("text_fingerprint", _FP_ORACLE)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint (md5-based, so the
+    DuckDB oracle reproduces it bit-for-bit)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", doc_fingerprint(F.coalesce(F.col("text"), F.lit(""))).alias("fingerprint")
+    )

@@ -1,0 +1,86 @@
+"""Random-hyperplane (sign) LSH for approximate nearest neighbours — the
+scale path over brute force (mandate item).
+
+H fixed pseudo-random hyperplanes (deterministic LCG-derived literals, no RNG
+at import) map each embedding to an H-bit bucket; candidates share a bucket,
+then exact cosine re-ranks. Bucket computation is narrow; the candidate join
+shuffles on the (tiny) bucket key. Expected cost drops from |N| per query to
+|N| / 2^H with the classic LSH recall tradeoff.
+
+Sign decisions are taken on the 6-decimal-rounded projection so the DuckDB
+oracle (same literals, same rounding) buckets identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sri_spark.similarity.cosine import _as_double, _dot, _norm
+
+N_PLANES = 8
+DIM = 64
+
+
+def _lcg_unit(i: int) -> float:
+    """Deterministic pseudo-random value in [-0.5, 0.5): one LCG step."""
+    x = (1103515245 * i + 12345) % 2147483648
+    return x / 2147483648.0 - 0.5
+
+
+# N_PLANES x DIM fixed projection matrix (literals — reproducible everywhere)
+RP_PLANES: list[list[float]] = [
+    [round(_lcg_unit(j * DIM + d), 6) for d in range(DIM)] for j in range(N_PLANES)
+]
+
+
+def _plane_col(j: int) -> Column:
+    return F.array(*[F.lit(v) for v in RP_PLANES[j]])
+
+
+def rp_bucket_col(vec: Column) -> Column:
+    """H-bit sign bucket of an embedding column."""
+    e = _as_double(vec)
+    bucket = F.lit(0).cast("long")
+    for j in range(N_PLANES):
+        proj = F.round(_dot(e, _plane_col(j)), 6)
+        bucket = bucket + F.when(proj > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bucket
+
+
+def rp_lsh_near_pairs(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """(vec_a, vec_b, cosine) for same-bucket pairs with cosine >= threshold;
+    vec_a < vec_b. The all-pairs comparison collapses to within-bucket."""
+    emb = df.select(
+        F.col(id_col),
+        _as_double(F.col(vec_col)).alias("__e"),
+        rp_bucket_col(F.col(vec_col)).alias("__bucket"),
+    )
+    a = emb.select(
+        F.col(id_col).alias("vec_a"), F.col("__e").alias("__ea"), "__bucket"
+    )
+    b = emb.select(
+        F.col(id_col).alias("vec_b"), F.col("__e").alias("__eb"), "__bucket"
+    )
+    return (
+        a.join(b, "__bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                _dot(F.col("__ea"), F.col("__eb"))
+                / (_norm(F.col("__ea")) * _norm(F.col("__eb"))),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,7 @@
+from sri_spark.streaming.jobs import (
+    read_events_stream,
+    run_windowed_stream,
+    windowed_event_counts,
+)
+
+__all__ = ["read_events_stream", "windowed_event_counts", "run_windowed_stream"]

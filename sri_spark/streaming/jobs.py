@@ -1,0 +1,103 @@
+"""Structured Streaming over the `events` fixture (mandate item — the
+reference is schedule-driven full-refresh batch with no incremental state,
+SURVEY §2.9; this is the additive streaming path).
+
+Design: the transformation (`windowed_event_counts`) is a plain
+DataFrame->DataFrame function applied identically to batch and streaming
+inputs — Structured Streaming's core idea. The streaming wrapper adds the
+incremental machinery: file source, event-time watermark (late-data policy:
+rows later than the watermark are dropped and their windows finalized), and
+an availableNow trigger for deterministic catch-up runs.
+
+State sizing at scale: the only state is one row per (1h window × event
+type); the watermark bounds it to ~watermark/window_size × |types| entries
+per key range, so state stays O(small) regardless of input volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# the fixture stores ts as timestamp[ns]; a declared-schema stream reads it as
+# long (nanos) under nanosAsLong and converts — same contract as the batch
+# loader (sources.testdata)
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream over a directory of events parquet files."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+def windowed_event_counts(
+    events: DataFrame, *, watermark: str | None = "1 hour"
+) -> DataFrame:
+    """Tumbling 1-hour counts/sums per event type. Works unchanged on batch
+    (watermark=None) and streaming inputs — one definition, two runtimes."""
+    if watermark is not None and events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_windowed_stream(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    *,
+    query_name: str = "windowed_events",
+) -> DataFrame:
+    """Run the windowed aggregation as a stream until all available input is
+    processed (Trigger.AvailableNow), then return the result table.
+
+    Complete output mode keeps every window in the in-memory sink so the
+    result is comparable with the batch run; a production job would use
+    append mode + a durable sink, emitting each window once its watermark
+    passes.
+    """
+    stream = read_events_stream(spark, events_dir)
+    agg = windowed_event_counts(stream)
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(query_name)

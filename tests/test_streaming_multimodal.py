@@ -1,0 +1,57 @@
+"""Structured Streaming (availableNow) equals the batch twin; multimodal
+binary plumbing round-trips through Arrow batches."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from sri_spark.multimodal import attach_fake_payloads, decode_stats, frame_sample
+from sri_spark.sources.testdata import load_table
+from sri_spark.streaming import run_windowed_stream, windowed_event_counts
+
+
+def test_stream_matches_batch(spark, sf_dir, tmp_path):
+    events_dir = tmp_path / "events_stream"
+    events_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", events_dir / "part-000.parquet")
+
+    streamed = run_windowed_stream(
+        spark, str(events_dir), str(tmp_path / "ckpt")
+    ).collect()
+
+    batch = windowed_event_counts(
+        load_table(spark, sf_dir, "events"), watermark=None
+    ).collect()
+
+    key = lambda r: (r["window_start"], r["event_type"])
+    s = {key(r): (r["n_events"], r["total_value"]) for r in streamed}
+    b = {key(r): (r["n_events"], r["total_value"]) for r in batch}
+    assert s == b and len(s) > 0
+
+
+def test_multimodal_decode_and_frames(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    assets = attach_fake_payloads(docs)
+    stats = decode_stats(assets)
+    rows = stats.collect()
+    assert len(rows) == 50
+    assert set(stats.columns) == {
+        "asset_id", "kind", "n_bytes", "sha256", "byte_mean", "byte_std"
+    }
+    # deterministic: sha256 of utf-8 text payload
+    import hashlib
+
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in rows[:5]:
+        assert r["sha256"] == hashlib.sha256(texts[r["asset_id"]].encode()).hexdigest()
+        assert r["n_bytes"] == len(texts[r["asset_id"]].encode())
+
+    frames = frame_sample(assets, stride=64)
+    fcount = frames.groupBy("asset_id").agg(F.count("*").alias("n")).collect()
+    assert len(fcount) == 50
+    for r in fcount:
+        nb = next(x["n_bytes"] for x in rows if x["asset_id"] == r["asset_id"])
+        expected = max(1, (nb + 63) // 64) if nb > 0 else 1
+        assert r["n"] == expected
