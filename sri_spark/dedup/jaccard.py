@@ -25,7 +25,18 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for all pairs with Jaccard >= threshold over
     word n-gram shingle sets; doc_a < doc_b."""
-    sh = shingles_df(df, text_col, id_col, n)
+    # the shingle set feeds both join sides and the size aggregate — persist
+    # so tokenize+distinct runs once
+    sh = shingles_df(df, text_col, id_col, n).persist()
+    return jaccard_pairs_from_shingles(sh, id_col=id_col, threshold=threshold)
+
+
+def jaccard_pairs_from_shingles(
+    sh: DataFrame, *, id_col: str = "doc_id", threshold: float = 0.5
+) -> DataFrame:
+    """Jaccard pairs from a precomputed distinct (id, shingle) set — callers
+    that reuse the shingle set elsewhere (MinHash verification) pass the same
+    DataFrame, persisted once, instead of re-tokenizing per consumer."""
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
     inter = (

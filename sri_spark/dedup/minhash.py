@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sri_spark.dedup.jaccard import ngram_jaccard_pairs
+from sri_spark.dedup.jaccard import jaccard_pairs_from_shingles
 from sri_spark.dedup.shingles import shingles_df
 from sri_spark.functions.hashing import md5_int
 
@@ -40,6 +40,10 @@ def minhash_signatures(
 ) -> DataFrame:
     """One row per doc: m0..m15 minhash components."""
     sh = shingles_df(df, text_col, id_col, n)
+    return minhash_signatures_from_shingles(sh, id_col=id_col)
+
+
+def minhash_signatures_from_shingles(sh: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
     hashed = sh.select(id_col, (md5_int(F.col("shingle")) % MINHASH_P).alias("h"))
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"m{k}")
@@ -50,21 +54,18 @@ def minhash_signatures(
 
 def _band_buckets(sig: DataFrame, id_col: str) -> DataFrame:
     """(id, band, bucket): bucket = md5 hash of the band's R signature
-    components."""
-    parts = []
+    components. Single-pass stack() unpivot — a 4-way union would plant four
+    copies of the signature aggregate in the plan (and eight in the
+    candidate self-join)."""
+    stack_args: list[F.Column] = []
     for band in range(LSH_BANDS):
         cols = [F.col(f"m{band * LSH_ROWS + r}") for r in range(LSH_ROWS)]
-        parts.append(
-            sig.select(
-                F.col(id_col),
-                F.lit(band).alias("band"),
-                md5_int(F.concat_ws("-", *cols)).alias("bucket"),
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        stack_args.append(F.lit(band))
+        stack_args.append(md5_int(F.concat_ws("-", *cols)))
+    return sig.select(
+        F.col(id_col),
+        F.stack(F.lit(LSH_BANDS), *stack_args).alias("band", "bucket"),
+    )
 
 
 def minhash_lsh_pairs(
@@ -77,8 +78,20 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard): pairs sharing >=1 LSH band bucket whose exact
     shingle Jaccard clears the threshold. Deterministic: a missed pair is one
-    the fixed hash family banded apart (the documented LSH recall tradeoff)."""
-    sig = minhash_signatures(df, text_col=text_col, id_col=id_col, n=n)
+    the fixed hash family banded apart (the documented LSH recall tradeoff).
+
+    Exact verification is restricted to candidate pairs (broadcast the
+    candidate set into the shingle table) — the full all-pairs shingle
+    self-join never runs, which is the entire point of LSH: cost is
+    O(shingles of candidate docs), not O(shingle-collision pairs).
+
+    The distinct shingle set feeds four consumers (signatures, both sides of
+    the intersection, set sizes); it is persisted so the tokenize+distinct
+    shuffle runs once. At 100 TB use a disk-backed storage level or a
+    two-pass job that materializes shingles to parquet."""
+    sh = shingles_df(df, text_col, id_col, n).persist()
+    # tiny (one row per doc) but referenced twice by the candidate self-join
+    sig = minhash_signatures_from_shingles(sh, id_col=id_col).persist()
     buckets = _band_buckets(sig, id_col)
     left = buckets.select(F.col(id_col).alias("doc_a"), "band", "bucket")
     right = buckets.select(F.col(id_col).alias("doc_b"), "band", "bucket")
@@ -88,7 +101,25 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    exact = ngram_jaccard_pairs(
-        df, text_col=text_col, id_col=id_col, n=n, threshold=threshold
+    sh_a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        F.broadcast(cand)
+        .join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
     )
-    return cand.join(exact, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("ns"))
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("ns").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("ns").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
