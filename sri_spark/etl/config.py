@@ -27,6 +27,12 @@ class EtlConfig:
     # guard against Q4-style fan-out explosions in parity mode: abort if the
     # fact grows beyond this factor of the source row count (SURVEY §7.4)
     max_fanout_factor: float = 100.0
+    # fixed mode only: assign ID_Registro with the sort-free two-phase ranking
+    # (operators.keys.add_surrogate_key_scalable). Costs one extra shuffle +
+    # a per-partition-count job, so it only pays off once the fact outgrows a
+    # single executor's sort buffer (~10M+ rows); identical key values either
+    # way (same total order)
+    scalable_keys: bool = False
 
     def __post_init__(self) -> None:
         if self.mode not in ("parity", "fixed"):

@@ -140,6 +140,26 @@ def canton_lookup_df(spark: SparkSession) -> DataFrame:
     )
 
 
+def _map_lit(pairs: dict[str, str]) -> F.Column:
+    args: list[F.Column] = []
+    for k, v in pairs.items():
+        args.append(F.lit(k))
+        args.append(F.lit(v))
+    return F.create_map(*args)
+
+
+def _canton_maps() -> tuple[F.Column, F.Column, F.Column]:
+    """Literal-map form of the lookup: constant-folded by Catalyst, so the
+    canton enrichment is a pure projection — no createDataFrame round-trip,
+    no broadcast job (both are fixed multi-second overheads per run). Built
+    lazily: Column literals need an active SparkContext."""
+    return (
+        _map_lit({k: v[0] for k, v in CANTON_MAP.items()}),
+        _map_lit({k: v[1] for k, v in CANTON_MAP.items()}),
+        _map_lit({k: v[2] for k, v in CANTON_MAP.items()}),
+    )
+
+
 def build_dim_ubicacion(src: DataFrame, cfg: EtlConfig) -> DataFrame:
     """Canton geography dim (reference :283-389).
 
@@ -149,7 +169,6 @@ def build_dim_ubicacion(src: DataFrame, cfg: EtlConfig) -> DataFrame:
     first-occurrence order (pandas `unique()`).
     fixed: canonical integer-string codes that actually hit the map.
     """
-    spark = src.sparkSession
     canton = F.col(f"`{COL_CANTON}`")
     distinct = (
         src.filter(canton.isNotNull())
@@ -164,15 +183,15 @@ def build_dim_ubicacion(src: DataFrame, cfg: EtlConfig) -> DataFrame:
             "CodigoCanton", F.col("__codigo").cast("long").cast("string")
         )
         keyed = add_surrogate_key(keyed, "ID_Ubicacion", [F.col("CodigoCanton")])
-    lookup = F.broadcast(canton_lookup_df(spark))
-    joined = keyed.join(lookup, keyed.CodigoCanton == lookup.clave, "left")
-    return joined.select(
+    code = F.col("CodigoCanton")
+    name_map, prov_map, region_map = _canton_maps()
+    return keyed.select(
         "ID_Ubicacion",
         "CodigoCanton",
         F.coalesce(
-            F.col("canton"), F.concat(F.lit("CANTON_"), F.col("CodigoCanton"))
+            name_map[code], F.concat(F.lit("CANTON_"), code)
         ).alias("NombreCanton"),
-        F.coalesce(F.col("provincia"), F.lit("NO_IDENTIFICADA")).alias("Provincia"),
-        F.coalesce(F.col("region"), F.lit("NO_IDENTIFICADA")).alias("Region"),
+        F.coalesce(prov_map[code], F.lit("NO_IDENTIFICADA")).alias("Provincia"),
+        F.coalesce(region_map[code], F.lit("NO_IDENTIFICADA")).alias("Region"),
         F.lit("ECUADOR").alias("Pais"),
     )

@@ -43,7 +43,7 @@ from sri_spark.etl.schema import (
 )
 from sri_spark.etl.source import SRC_ID, pandas_str
 from sri_spark.functions.cleaning import clean_text, coerce_date
-from sri_spark.operators.keys import add_surrogate_key
+from sri_spark.operators.keys import add_surrogate_key, add_surrogate_key_scalable
 
 
 def check_fanout(dim_vehiculo: DataFrame, dim_transaccion: DataFrame, cfg: EtlConfig) -> float:
@@ -132,11 +132,16 @@ def build_fact(
     ).drop("CodigoCanton")
 
     # ---- keys + measures (reference :534-549) -----------------------------
-    fact = add_surrogate_key(
-        fact,
-        "ID_Registro",
-        [F.col(SRC_ID), F.col("ID_Vehiculo"), F.col("ID_Transaccion")],
-    )
+    key_order = [F.col(SRC_ID), F.col("ID_Vehiculo"), F.col("ID_Transaccion")]
+    if cfg.scalable_keys and not cfg.parity:
+        # same deterministic total order, assigned via range-partitioned
+        # local row_numbers + offsets — no single-partition sort; the right
+        # default once the fact outgrows one executor's sort buffer
+        fact = add_surrogate_key_scalable(fact, "ID_Registro", key_order)
+    else:
+        # exact pandas post-merge positional order — global row_number
+        # (parity bit-compat, and cheapest below ~10M rows)
+        fact = add_surrogate_key(fact, "ID_Registro", key_order)
     fact = fact.withColumn("CantidadRegistros", F.lit(1).cast("long")).withColumn(
         "MontoAvaluo",
         F.coalesce(F.col(f"`{COL_AVALUO}`").try_cast("double"), F.lit(0.0)),

@@ -44,6 +44,10 @@ def run_pipeline(
     }
     if cfg.parity:
         check_fanout(dims["dim_vehiculo"], dims["dim_transaccion"], cfg)
+    # dims feed both their sink and the fact's broadcast lookups; the fact
+    # feeds the sink, the quality gate and every metric — persist all five so
+    # downstream actions don't re-run the CSV scan + joins per consumer
+    dims = {k: v.persist() for k, v in dims.items()}
     fact = build_fact(
         src,
         dims["dim_tiempo"],
@@ -51,7 +55,7 @@ def run_pipeline(
         dims["dim_transaccion"],
         dims["dim_ubicacion"],
         cfg,
-    )
+    ).persist()
     return {**dims, "fact_registro_vehiculos": fact}
 
 

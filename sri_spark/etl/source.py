@@ -28,7 +28,12 @@ def read_sri_csv(spark: SparkSession, path: str) -> DataFrame:
         .schema(SRI_SCHEMA)
         .csv(path)
     )
-    return with_src_id(df)
+    # a production-sized SRI file (~75 MB) is one input split under the
+    # default 128 MB maxPartitionBytes: stamp the file-order id on the single
+    # ordered pass, then fan out so every downstream operator parallelizes
+    from sri_spark.session import default_parallelism
+
+    return with_src_id(df).repartition(default_parallelism())
 
 
 def with_src_id(df: DataFrame) -> DataFrame:

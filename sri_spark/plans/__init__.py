@@ -8,7 +8,7 @@ wrapper over these.
 from sri_spark.plans.registry import ORACLES, QUERIES, all_oracles, all_queries, register
 
 # importing modules populates the registry
-from sri_spark.plans import relational  # noqa: E402,F401
+from sri_spark.plans import relational, sql_surface  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "register", "all_queries", "all_oracles"]
 

@@ -1,0 +1,33 @@
+"""Unit tests for operator internals not covered by the oracle gate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sri_spark.operators.keys import add_surrogate_key, add_surrogate_key_scalable
+from sri_spark.sources.testdata import load_table
+
+
+def test_scalable_surrogate_key_dense_and_ordered(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part")
+    keyed = add_surrogate_key_scalable(part, "sk", [F.col("p_partkey")])
+    rows = keyed.select("sk", "p_partkey").collect()
+    n = part.count()
+    sks = sorted(r["sk"] for r in rows)
+    assert sks == list(range(1, n + 1))  # dense 1..N
+    by_sk = sorted(rows, key=lambda r: r["sk"])
+    keys = [r["p_partkey"] for r in by_sk]
+    assert keys == sorted(keys)  # order follows the declared ordering key
+
+
+def test_scalable_matches_global_row_number(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part")
+    a = {
+        r["p_partkey"]: r["sk"]
+        for r in add_surrogate_key(part, "sk", [F.col("p_partkey")]).collect()
+    }
+    b = {
+        r["p_partkey"]: r["sk"]
+        for r in add_surrogate_key_scalable(part, "sk", [F.col("p_partkey")]).collect()
+    }
+    assert a == b
