@@ -64,9 +64,16 @@ def write_star(
     out_dir: str,
     *,
     partition_fact_by_year: bool = True,
+    fmt: str = "parquet",
 ) -> None:
-    """Persist the star as parquet — truncate-load semantics
-    (mode='overwrite', the reference's WRITE_TRUNCATE).
+    """Persist the star — truncate-load semantics (mode='overwrite', the
+    reference's WRITE_TRUNCATE).
+
+    `fmt='parquet'` (default) writes a local/lake star. `fmt='bigquery'`
+    targets the reference's warehouse through the spark-bigquery-connector
+    (same `df.write` interface; `out_dir` is then `project.dataset`) — it
+    requires the connector jar and GCP credentials, so it is exercised only
+    in cloud deployments, not in this environment's tests.
 
     `partition_fact_by_year` activates the physical design the reference
     declared but never used (config/variables.yaml:18-19, SURVEY §1.3 Q6):
@@ -75,15 +82,17 @@ def write_star(
     exploit for partition pruning.
     """
     for name, df in tables.items():
-        path = os.path.join(out_dir, name)
         if name == "fact_registro_vehiculos" and partition_fact_by_year:
             anio = tables["dim_tiempo"].select("ID_Tiempo", "Anio")
-            (
-                df.join(F.broadcast(anio), "ID_Tiempo", "left")
-                .na.fill({"Anio": 0})
-                .write.mode("overwrite")
-                .partitionBy("Anio")
-                .parquet(path)
+            df = (
+                df.join(F.broadcast(anio), "ID_Tiempo", "left").na.fill({"Anio": 0})
+            )
+            writer = df.write.mode("overwrite").partitionBy("Anio")
+        else:
+            writer = df.write.mode("overwrite")
+        if fmt == "bigquery":
+            writer.format("bigquery").option("writeMethod", "direct").save(
+                f"{out_dir}.{name}"
             )
         else:
-            df.write.mode("overwrite").parquet(path)
+            writer.parquet(os.path.join(out_dir, name))

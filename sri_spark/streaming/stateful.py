@@ -1,0 +1,80 @@
+"""Custom stateful streaming operator via applyInPandasWithState
+(mandate item: custom stateful operators beyond built-in windowed aggs).
+
+`user_running_totals` keeps one (count, total) state cell per user and emits
+the updated running totals every micro-batch — the minimal template for
+arbitrary per-key streaming state (feature aggregation, CDC merge,
+session carry-over). State is per-key and explicit, so it scales with
+|users|, not input volume; pair with a state-store TTL (GroupStateTimeout)
+in production to bound it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+STATE_SCHEMA = StructType(
+    [StructField("n_events", LongType()), StructField("total_value", DoubleType())]
+)
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+
+def _update_totals(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, round(total, 6)))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+    )
+
+
+def user_running_totals(events: DataFrame) -> DataFrame:
+    """Per-user running (count, sum) maintained in explicit group state."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_totals,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stateful_stream(
+    spark, events_dir: str, checkpoint_dir: str, *, query_name: str = "user_totals"
+) -> DataFrame:
+    from sri_spark.streaming.jobs import read_events_stream
+
+    stream = read_events_stream(spark, events_dir)
+    q = (
+        user_running_totals(stream)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

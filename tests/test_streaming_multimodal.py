@@ -55,3 +55,31 @@ def test_multimodal_decode_and_frames(spark, sf_dir):
         nb = next(x["n_bytes"] for x in rows if x["asset_id"] == r["asset_id"])
         expected = max(1, (nb + 63) // 64) if nb > 0 else 1
         assert r["n"] == expected
+
+
+def test_stateful_running_totals(spark, sf_dir, tmp_path):
+    import shutil
+
+    events_dir = tmp_path / "events_state"
+    events_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", events_dir / "part-000.parquet")
+
+    from sri_spark.streaming.stateful import run_stateful_stream
+
+    out = run_stateful_stream(spark, str(events_dir), str(tmp_path / "ckpt_state"))
+    # last emitted row per user = final totals (update mode)
+    got = {}
+    for r in out.collect():
+        got[r["user_id"]] = (r["n_events"], r["total_value"])
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("t"))
+        .collect()
+    )
+    expected = {r["user_id"]: (r["n"], r["t"]) for r in batch}
+    assert set(got) == set(expected)
+    for uid, (n, t) in expected.items():
+        assert got[uid][0] == n
+        assert abs(got[uid][1] - t) < 0.05  # float sum accumulation tolerance
