@@ -14,7 +14,7 @@ __all__ = ["QUERIES", "ORACLES", "register", "all_queries", "all_oracles"]
 
 
 def _load_extensions() -> None:
-    for mod in ("dedup_queries", "text_queries", "similarity_queries", "events_queries"):
+    for mod in ("dedup_queries", "text_queries", "text_extra_queries", "similarity_queries", "events_queries"):
         try:
             __import__(f"sri_spark.plans.{mod}")
         except ImportError:

@@ -1,0 +1,131 @@
+"""Additional text/embedding analytics: TF-IDF, element-wise embedding
+centroids, fingerprint dup groups. Each is a classic training-data-pipeline
+rollup expressed as pure relational algebra (explode/group/window) so it
+scales as ordinary shuffles."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sri_spark.plans.registry import register
+from sri_spark.sources.testdata import load_table
+from sri_spark.text.analysis import tokens_col
+
+TOP_TERMS = 3
+
+_TFIDF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x != '') AS t
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+  GROUP BY 1, 2
+),
+df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok,
+         round(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf
+  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, tok, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rk
+  FROM scored
+)
+SELECT doc_id, tok AS term, tfidf, rk
+FROM ranked WHERE rk <= {TOP_TERMS}
+"""
+
+
+@register("text_tfidf_top_terms", _TFIDF_ORACLE)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document. Shape: explode -> two hash
+    aggregates (term-freq, doc-freq) -> broadcast df + scalar N -> per-doc
+    window top-k (partitioned by doc, no global sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(F.broadcast(df), "tok").select(
+        "doc_id",
+        "tok",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
+            "tfidf"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_TERMS)
+        .select("doc_id", F.col("tok").alias("term"), "tfidf", "rk")
+    )
+
+
+@register(
+    "embeddings_label_centroids",
+    """
+    SELECT label, dim - 1 AS dim,
+           round(avg(v::DOUBLE), 6) AS centroid_v,
+           count(DISTINCT vec_id) AS n_vectors
+    FROM (
+      SELECT vec_id, label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings
+    )
+    GROUP BY label, dim - 1
+    """,
+)
+def embeddings_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise centroid per label: posexplode -> (label, dim) hash
+    aggregate. The vector dimension becomes an ordinary group key, so
+    centroid computation is one shuffle regardless of dimensionality."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "v")
+    )
+    return exploded.groupBy("label", F.col("dim").cast("long").alias("dim")).agg(
+        F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_v"),
+        F.countDistinct("vec_id").alias("n_vectors"),
+    )
+
+
+@register(
+    "dedup_fingerprint_groups",
+    """
+    WITH fp AS (
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(0::BIGINT,
+                 list_transform(
+                   list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'),
+                               x -> x != ''),
+                   t -> (('0x' || substr(md5(t), 1, 15))::BIGINT) % 1000003)),
+               (a, b) -> (a * 131 + b) % 1000000007
+             ) AS fingerprint
+      FROM documents
+    )
+    SELECT fingerprint, min(doc_id) AS keep_id, count(*) AS n_docs
+    FROM fp GROUP BY fingerprint HAVING count(*) > 1
+    """,
+)
+def dedup_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate groups blocked on the rolling-hash fingerprint — the cheap
+    token-sequence-equality pre-filter for exact dedup at scale."""
+    from sri_spark.text.analysis import doc_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        doc_fingerprint(F.coalesce(F.col("text"), F.lit(""))).alias("fingerprint"),
+    )
+    return (
+        fp.groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
