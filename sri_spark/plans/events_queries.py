@@ -94,6 +94,43 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_sliding_window",
+    """
+    WITH expanded AS (
+      SELECT e.*, time_bucket(INTERVAL 30 MINUTE, ts) - (i * INTERVAL 30 MINUTE)
+               AS win_start
+      FROM events e, (SELECT unnest([0, 1]) AS i)
+    )
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM expanded
+    WHERE ts >= win_start AND ts < win_start + INTERVAL 1 HOUR
+    GROUP BY 1, 2
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour windows every 30 minutes: each event lands in two
+    overlapping windows. F.window(slide) generates window membership
+    JVM-side; the oracle reconstructs it with an offset unnest."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
     "events_json_metrics",
     """
     SELECT event_type,

@@ -31,3 +31,18 @@ def test_scalable_matches_global_row_number(spark, sf_dir):
         for r in add_surrogate_key_scalable(part, "sk", [F.col("p_partkey")]).collect()
     }
     assert a == b
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from sri_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    small = orders.withColumnRenamed("o_orderkey", "l_orderkey")
+
+    plain = li.join(small, "l_orderkey").collect()
+    salted = salted_join(li, small, ["l_orderkey"], n_salts=4).collect()
+
+    key = lambda r: (r["l_orderkey"], r["l_quantity"], r["o_totalprice"])
+    assert sorted(map(key, plain)) == sorted(map(key, salted))
+    assert len(salted) == len(plain)
