@@ -36,9 +36,21 @@ def jaccard_pairs_from_shingles(
 ) -> DataFrame:
     """Jaccard pairs from a precomputed distinct (id, shingle) set — callers
     that reuse the shingle set elsewhere (MinHash verification) pass the same
-    DataFrame, persisted once, instead of re-tokenizing per consumer."""
-    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    DataFrame, persisted once, instead of re-tokenizing per consumer.
+
+    Singleton shingles (in exactly one doc) cannot contribute to any
+    intersection, so the self-join runs only over shared shingles — on
+    natural-text corpora that drops most of the join input while leaving the
+    result bit-identical (sizes still count every shingle)."""
+    shared = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") >= 2)
+        .select("shingle")
+    )
+    sh_shared = sh.join(shared, "shingle")
+    a = sh_shared.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh_shared.select(F.col(id_col).alias("doc_b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))

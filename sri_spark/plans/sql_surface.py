@@ -78,6 +78,28 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_rollup",
+    """
+    SELECT year(o_orderdate) AS Anio, o_orderpriority AS Prioridad,
+           count(*) AS n_registros, round(sum(o_totalprice), 2) AS monto
+    FROM orders
+    GROUP BY ROLLUP (year(o_orderdate), o_orderpriority)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP (subtotals + grand total) — grouping-sets surface
+    the reference never used; one pass, Catalyst expands the grouping sets."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup(
+        F.year("o_orderdate").cast("long").alias("Anio"),
+        F.col("o_orderpriority").alias("Prioridad"),
+    ).agg(
+        F.count("*").alias("n_registros"),
+        F.round(F.sum("o_totalprice"), 2).alias("monto"),
+    )
+
+
 @register("agg_approx_distinct")  # rows-only: sketch values are engine-specific
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the scale path for A2 when
