@@ -74,6 +74,37 @@ def windowed_event_counts(
     )
 
 
+def dedupe_events_stream(events: DataFrame, *, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup on event_id with watermark-bounded state:
+    duplicates arriving within the watermark horizon are dropped by the
+    state store; rows older than the watermark are late data and never
+    re-emitted. State size is bounded by (arrival rate x watermark), not by
+    stream history — the streaming twin of dedup.exact."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_dedupe_stream(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    *,
+    query_name: str = "deduped_events",
+) -> DataFrame:
+    stream = dedupe_events_stream(read_events_stream(spark, events_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
 def run_windowed_stream(
     spark: SparkSession,
     events_dir: str,

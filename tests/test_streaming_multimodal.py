@@ -83,3 +83,21 @@ def test_stateful_running_totals(spark, sf_dir, tmp_path):
     for uid, (n, t) in expected.items():
         assert got[uid][0] == n
         assert abs(got[uid][1] - t) < 0.05  # float sum accumulation tolerance
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path):
+    import shutil
+
+    events_dir = tmp_path / "events_dup"
+    events_dir.mkdir()
+    # the same file twice = every event duplicated across micro-batches
+    shutil.copy(f"{sf_dir}/events.parquet", events_dir / "part-000.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", events_dir / "part-001.parquet")
+
+    from sri_spark.streaming.jobs import run_dedupe_stream
+
+    out = run_dedupe_stream(spark, str(events_dir), str(tmp_path / "ckpt_dedup"))
+    ids = [r["event_id"] for r in out.select("event_id").collect()]
+    n_distinct_src = load_table(spark, sf_dir, "events").select("event_id").distinct().count()
+    assert len(ids) == len(set(ids)), "stream emitted duplicate event_ids"
+    assert len(set(ids)) == n_distinct_src
