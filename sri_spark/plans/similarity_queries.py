@@ -81,6 +81,18 @@ def similarity_lsh_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("similarity_ivf_topk")  # rows-only: KMeans cells are engine-specific
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k: seeded-KMeans cells, probe the best 4 of 8 by centroid
+    cosine, exact re-rank inside them (similarity.ivf; recall vs brute force
+    covered by tests/test_similarity_ivf.py)."""
+    from sri_spark.similarity.ivf import ivf_topk
+
+    return ivf_topk(
+        load_table(spark, sf_dir, "embeddings"), query_id=0, k=10, n_lists=8, n_probe=4
+    )
+
+
 def _ann_topk_oracle() -> str:
     return f"""
     WITH be AS (
