@@ -18,7 +18,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sri_spark.dedup.jaccard import jaccard_pairs_from_shingles
 from sri_spark.dedup.shingles import shingles_df
 from sri_spark.functions.hashing import md5_int
 

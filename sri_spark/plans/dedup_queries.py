@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sri_spark.dedup.exact import exact_dedup_groups, normalize_text
+from sri_spark.dedup.exact import exact_dedup_groups
 from sri_spark.dedup.jaccard import ngram_jaccard_pairs
 from sri_spark.dedup.minhash import (
     LSH_BANDS,

@@ -8,7 +8,7 @@ are dims; the SRI star ETL itself is exercised separately in sri_spark.etl.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sri_spark.functions.cleaning import coerce_date, coerce_double
