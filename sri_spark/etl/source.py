@@ -22,12 +22,24 @@ SRC_ID = "__src_id"
 
 
 def read_sri_csv(spark: SparkSession, path: str) -> DataFrame:
-    df = (
-        spark.read.option("header", True)
-        .option("encoding", "UTF-8")
-        .schema(SRI_SCHEMA)
-        .csv(path)
-    )
+    """Read the CSV and apply the schema contract BY NAME.
+
+    A declared `.schema(...)` on a CSV read binds by position, silently
+    misreading files whose columns are reordered; pandas (the reference)
+    binds by header name. So: read raw strings with header names, then cast
+    each contract column by name — missing columns surface as typed nulls
+    (the reference's graceful-degradation semantics, SURVEY §2.2 P6),
+    extra columns are dropped, order never matters.
+    """
+    raw = spark.read.option("header", True).option("encoding", "UTF-8").csv(path)
+    present = set(raw.columns)
+    cols = []
+    for field in SRI_SCHEMA.fields:
+        if field.name in present:
+            cols.append(F.col(f"`{field.name}`").try_cast(field.dataType).alias(field.name))
+        else:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+    df = raw.select(*cols)
     # a production-sized SRI file (~75 MB) is one input split under the
     # default 128 MB maxPartitionBytes: stamp the file-order id on the single
     # ordered pass, then fan out so every downstream operator parallelizes
