@@ -27,6 +27,11 @@ class EtlConfig:
     # guard against Q4-style fan-out explosions in parity mode: abort if the
     # fact grows beyond this factor of the source row count (SURVEY §7.4)
     max_fanout_factor: float = 100.0
+    # force broadcast of the dimension sides of the fact lookups. Right for
+    # dims up to a few hundred MB (production dim_vehiculo: 331k rows); set
+    # False when a dim outgrows executor memory — joins fall back to
+    # Catalyst/AQE strategy selection (sort-merge with skew splitting)
+    broadcast_lookups: bool = True
     # fixed mode only: assign ID_Registro with the sort-free two-phase ranking
     # (operators.keys.add_surrogate_key_scalable). Costs one extra shuffle +
     # a per-partition-count job, so it only pays off once the fact outgrows a

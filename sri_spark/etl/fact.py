@@ -79,6 +79,8 @@ def build_fact(
     cfg: EtlConfig,
 ) -> DataFrame:
     fact = src
+    # broadcast hint applied per cfg (see EtlConfig.broadcast_lookups)
+    hint = F.broadcast if cfg.broadcast_lookups else (lambda df: df)
 
     # ---- date derivation (Q1/Q2) -----------------------------------------
     if cfg.parity:
@@ -90,7 +92,7 @@ def build_fact(
 
     # ---- tiempo lookup (1:1, broadcast; reference :469-474) ---------------
     fact = fact.join(
-        F.broadcast(dim_tiempo.select("ID_Tiempo", "FechaCompleta")),
+        hint(dim_tiempo.select("ID_Tiempo", "FechaCompleta")),
         fact["__fecha"] == dim_tiempo["FechaCompleta"],
         "left",
     ).drop("FechaCompleta")
@@ -100,7 +102,7 @@ def build_fact(
     if not cfg.parity:
         veh = veh.groupBy("CodigoVehiculo").agg(F.min("ID_Vehiculo").alias("ID_Vehiculo"))
     fact = fact.join(
-        F.broadcast(veh),
+        hint(veh),
         fact[f"`{COL_CODIGO}`"] == veh["CodigoVehiculo"],
         "left",
     ).drop("CodigoVehiculo")
@@ -116,7 +118,7 @@ def build_fact(
     if not cfg.parity:
         left_tt, left_ts = clean_text(left_tt), clean_text(left_ts)
     fact = fact.join(
-        F.broadcast(tra),
+        hint(tra),
         (left_tt == tra["TipoTransaccion"]) & (left_ts == tra["TipoServicio"]),
         "left",
     ).drop("TipoTransaccion", "TipoServicio")
@@ -128,7 +130,7 @@ def build_fact(
         canton_key = F.col(f"`{COL_CANTON}`").cast("long").cast("string")
     ubi = dim_ubicacion.select("ID_Ubicacion", "CodigoCanton")
     fact = fact.join(
-        F.broadcast(ubi), canton_key == ubi["CodigoCanton"], "left"
+        hint(ubi), canton_key == ubi["CodigoCanton"], "left"
     ).drop("CodigoCanton")
 
     # ---- keys + measures (reference :534-549) -----------------------------
