@@ -84,6 +84,10 @@ def minhash_lsh_pairs(
     self-join never runs, which is the entire point of LSH: cost is
     O(shingles of candidate docs), not O(shingle-collision pairs).
 
+    Precondition at scale: run exact dedup first — identical documents all
+    share every band, so a corpus with k copies of one document creates
+    k^2/2 candidates by construction.
+
     The distinct shingle set feeds four consumers (signatures, both sides of
     the intersection, set sizes); it is persisted so the tokenize+distinct
     shuffle runs once. At 100 TB use a disk-backed storage level or a

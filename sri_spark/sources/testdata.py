@@ -33,6 +33,10 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # timestamp-bearing queries format wall-clock strings compared against a
+    # timezone-naive DuckDB oracle — pin the session to UTC so results don't
+    # depend on the caller's environment (runtime-settable, driver-safe)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # runtime-settable; required because the fixture stores timestamp[ns]
         # (works even when the caller owns the SparkSession, e.g. the driver)
