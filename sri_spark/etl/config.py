@@ -36,6 +36,11 @@ class EtlConfig:
     # False when a dim outgrows executor memory — joins fall back to
     # Catalyst/AQE strategy selection (sort-merge with skew splitting)
     broadcast_lookups: bool = True
+    # reference semantics fill unmatched lookup FKs with 1 before loading,
+    # which makes null-FK validation vacuous (the reference's own check never
+    # fires). False keeps misses as nulls so quality_report's
+    # max_null_percentage threshold actually gates
+    fill_missing_fk: bool = True
     # fixed mode only: assign ID_Registro with the sort-free two-phase ranking
     # (operators.keys.add_surrogate_key_scalable). Costs one extra shuffle +
     # a per-partition-count job, so it only pays off once the fact outgrows a

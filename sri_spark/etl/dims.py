@@ -26,7 +26,7 @@ from sri_spark.etl.schema import (
     VEHICULO_COLS,
     VEHICULO_RENAME,
 )
-from sri_spark.etl.source import SRC_ID, pandas_str
+from sri_spark.etl.source import SRC_ID, pandas_str, pandas_str_double
 from sri_spark.functions.cleaning import clean_text
 from sri_spark.functions.dates import date_parts, nombre_dia_es, nombre_mes_es
 from sri_spark.operators.keys import add_surrogate_key
@@ -130,16 +130,6 @@ def build_dim_transaccion(src: DataFrame, cfg: EtlConfig) -> DataFrame:
     return renamed.select("ID_Transaccion", *TRANSACCION_RENAME.values())
 
 
-def canton_lookup_df(spark: SparkSession) -> DataFrame:
-    """The 17-entry canton→(canton, provincia, region) lookup as a broadcast
-    DataFrame (reference :303-321) — E10 becomes a broadcast join, not a
-    Python loop."""
-    rows = [(k, v[0], v[1], v[2]) for k, v in CANTON_MAP.items()]
-    return spark.createDataFrame(
-        rows, "clave string, canton string, provincia string, region string"
-    )
-
-
 def _map_lit(pairs: dict[str, str]) -> F.Column:
     args: list[F.Column] = []
     for k, v in pairs.items():
@@ -176,7 +166,7 @@ def build_dim_ubicacion(src: DataFrame, cfg: EtlConfig) -> DataFrame:
         .agg(F.min(SRC_ID).alias("__ord"))
     )
     if cfg.parity:
-        keyed = distinct.withColumn("CodigoCanton", F.trim(pandas_str(F.col("__codigo"))))
+        keyed = distinct.withColumn("CodigoCanton", F.trim(pandas_str_double(F.col("__codigo"))))
         keyed = add_surrogate_key(keyed, "ID_Ubicacion", [F.col("__ord")])
     else:
         keyed = distinct.withColumn(

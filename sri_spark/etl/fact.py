@@ -41,7 +41,7 @@ from sri_spark.etl.schema import (
     COL_TIPO_TRANSACCION,
     FACT_COLS,
 )
-from sri_spark.etl.source import SRC_ID, pandas_str
+from sri_spark.etl.source import SRC_ID, pandas_str_double
 from sri_spark.functions.cleaning import clean_text, coerce_date
 from sri_spark.operators.keys import add_surrogate_key, add_surrogate_key_scalable
 
@@ -125,7 +125,7 @@ def build_fact(
 
     # ---- ubicacion lookup (Q3; reference :514-526) ------------------------
     if cfg.parity:
-        canton_key = pandas_str(F.col(f"`{COL_CANTON}`"))
+        canton_key = pandas_str_double(F.col(f"`{COL_CANTON}`"))
     else:
         canton_key = F.col(f"`{COL_CANTON}`").cast("long").cast("string")
     ubi = dim_ubicacion.select("ID_Ubicacion", "CodigoCanton")
@@ -151,7 +151,15 @@ def build_fact(
 
     # ---- final projection + null-fill (reference :552-571) ----------------
     out = fact.select(*FACT_COLS)
-    out = out.na.fill(
-        {k: 1 for k in ("ID_Tiempo", "ID_Vehiculo", "ID_Transaccion", "ID_Ubicacion")}
-    )
-    return out.na.fill(0)
+    if cfg.fill_missing_fk:
+        # reference semantics: unmatched lookups become FK=1 BEFORE the
+        # warehouse load — which is why the reference's own null-FK
+        # validation can never fire (it queries the filled table). Set
+        # fill_missing_fk=False to keep misses as nulls and make the
+        # quality gate's max_null_percentage check observable.
+        out = out.na.fill(
+            {k: 1 for k in ("ID_Tiempo", "ID_Vehiculo", "ID_Transaccion", "ID_Ubicacion")}
+        )
+        return out.na.fill(0)
+    # fills disabled: zero-fill measures only, keep FK misses observable
+    return out.na.fill({"CantidadRegistros": 0, "MontoAvaluo": 0.0})

@@ -42,12 +42,14 @@ def run_pipeline(
         "dim_transaccion": build_dim_transaccion(src, cfg),
         "dim_ubicacion": build_dim_ubicacion(src, cfg),
     }
-    if cfg.parity:
-        check_fanout(dims["dim_vehiculo"], dims["dim_transaccion"], cfg)
     # dims feed both their sink and the fact's broadcast lookups; the fact
     # feeds the sink, the quality gate and every metric — persist all five so
     # downstream actions don't re-run the CSV scan + joins per consumer
+    # (persist BEFORE check_fanout so its actions warm the cache instead of
+    # computing the dims a throwaway time)
     dims = {k: v.persist() for k, v in dims.items()}
+    if cfg.parity:
+        check_fanout(dims["dim_vehiculo"], dims["dim_transaccion"], cfg)
     fact = build_fact(
         src,
         dims["dim_tiempo"],

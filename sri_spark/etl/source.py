@@ -53,7 +53,24 @@ def with_src_id(df: DataFrame) -> DataFrame:
 
 
 def pandas_str(col: Column, null_repr: str = "nan") -> Column:
-    """Replicate pandas `astype(str)` semantics: NaN -> 'nan' (or 'NAN' after
-    upper), floats keep their '.0' suffix ('10701.0', Q3). Spark's
-    double->string cast renders 10701.0 identically to `str(10701.0)`."""
+    """Replicate pandas `astype(str)` semantics for string/integer columns:
+    NaN -> 'nan' (-> 'NAN' after upper), everything else via plain cast."""
     return F.when(col.isNull(), F.lit(null_repr)).otherwise(col.cast("string"))
+
+
+def pandas_str_double(col: Column, null_repr: str = "nan") -> Column:
+    """pandas `astype(str)` for float64 columns (Q3 '10701.0' keys).
+
+    Spark's double->string cast matches str(float) only in [1e-3, 1e7) —
+    outside it Spark prints scientific notation ('1.2E7') where Python gives
+    '12000000.0'. Integral doubles (the canton/year/cc domain) are therefore
+    formatted through decimal, which never uses scientific notation."""
+    integral = (col == F.floor(col)) & (F.abs(col) < F.lit(1e15))
+    return (
+        F.when(col.isNull(), F.lit(null_repr))
+        .when(
+            integral,
+            F.concat(col.cast("decimal(20,0)").cast("string"), F.lit(".0")),
+        )
+        .otherwise(col.cast("string"))
+    )

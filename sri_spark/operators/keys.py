@@ -43,7 +43,10 @@ def add_surrogate_key_scalable(
     (gives a deterministic global order without a single-partition shuffle).
     Phase 2: partition-local row_number + per-partition row-count offsets.
 
-    The only driver-side data is one row count per partition.
+    The only driver-side data is one row count per partition. The
+    intermediate stays persisted for the lifetime of the returned plan (the
+    final DataFrame reads it); callers looping over many inputs in one
+    session should checkpoint/materialize the result and clear the cache.
     """
     if order_by:
         df = df.repartitionByRange(*order_by).sortWithinPartitions(*order_by)
@@ -60,16 +63,18 @@ def add_surrogate_key_scalable(
         r["__pid"]: r["cnt"]
         for r in with_local.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
     }
-    offsets, acc = {}, 0
+    offsets, acc = [], 0
     for pid in sorted(counts):
-        offsets[pid] = acc
+        offsets.append((pid, acc))
         acc += counts[pid]
-    offset_expr = F.lit(0).cast("long")
-    for pid, off in offsets.items():
-        offset_expr = F.when(F.col("__pid") == pid, F.lit(off).cast("long")).otherwise(
-            offset_expr
-        )
+    # broadcast-join the per-partition offsets: O(1) expression depth (a
+    # when/otherwise chain here would grow with the partition count and blow
+    # codegen limits at exactly the scale this function targets)
+    offsets_df = with_local.sparkSession.createDataFrame(
+        offsets, "__pid int, __offset long"
+    )
     return (
-        with_local.withColumn(key_name, (F.col("__local_rn") + offset_expr))
-        .drop("__pid", "__local_rn")
+        with_local.join(F.broadcast(offsets_df), "__pid")
+        .withColumn(key_name, F.col("__local_rn") + F.col("__offset"))
+        .drop("__pid", "__local_rn", "__offset")
     )

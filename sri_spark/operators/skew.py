@@ -34,8 +34,15 @@ def salted_join(
 
     `salt_source` is any expression varying within a key group (default: a
     hash of all big-side columns); the result equals the unsalted join
-    row-for-row.
+    row-for-row. Only join types that never emit unmatched small-side rows
+    are allowed — a right/full outer would emit each unmatched small-side
+    row once per salt replica.
     """
+    if how not in ("inner", "left", "left_outer", "cross"):
+        raise ValueError(
+            f"salted_join supports inner/left joins, got how={how!r}; "
+            "outer joins would duplicate unmatched small-side rows per salt"
+        )
     if salt_source is None:
         salt_source = F.hash(*[F.col(c) for c in big.columns])
     salted_big = big.withColumn(SALT_COL, F.pmod(salt_source, F.lit(n_salts)))

@@ -13,12 +13,12 @@ from sri_spark.plans import relational, sql_surface  # noqa: E402,F401
 __all__ = ["QUERIES", "ORACLES", "register", "all_queries", "all_oracles"]
 
 
-def _load_extensions() -> None:
-    for mod in ("dedup_queries", "text_queries", "text_extra_queries", "similarity_queries", "events_queries"):
-        try:
-            __import__(f"sri_spark.plans.{mod}")
-        except ImportError:
-            pass
-
-
-_load_extensions()
+# extension families are mandatory — import errors must surface, not
+# silently shrink the registry
+from sri_spark.plans import (  # noqa: E402,F401
+    dedup_queries,
+    events_queries,
+    similarity_queries,
+    text_extra_queries,
+    text_queries,
+)

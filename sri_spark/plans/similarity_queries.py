@@ -75,7 +75,8 @@ def _ann_pairs_oracle() -> str:
 @register("similarity_lsh_near_pairs", _ann_pairs_oracle())
 def similarity_lsh_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs via random-hyperplane LSH buckets +
-    exact cosine >= 0.9 — the embedding-cosine near-dup operator."""
+    exact cosine >= NEAR_THRESHOLD — the embedding-cosine near-dup
+    operator."""
     return rp_lsh_near_pairs(
         load_table(spark, sf_dir, "embeddings"), threshold=NEAR_THRESHOLD
     )

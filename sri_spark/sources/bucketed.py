@@ -12,7 +12,7 @@ paths don't carry bucket metadata.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 
 
 def write_bucketed(
@@ -29,7 +29,3 @@ def write_bucketed(
         writer = writer.sortBy(*sort_by)
     writer.saveAsTable(table)
 
-
-def bucketed_join_ready(spark: SparkSession, left: str, right: str) -> DataFrame:
-    """Read two same-bucketed tables for a co-located join."""
-    return spark.table(left), spark.table(right)

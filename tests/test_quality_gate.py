@@ -44,3 +44,34 @@ def test_duplicate_ids_reject(spark):
     t = _star(spark, rows)
     with pytest.raises(AssertionError, match="duplicate"):
         quality_report(t, QualityThresholds(min_records_threshold=1), enforce=True)
+
+
+def test_null_fk_gate_observable_without_fill(spark, tmp_path):
+    """With fill_missing_fk=False, out-of-calendar dates leave ID_Tiempo null
+    and the max_null_percentage threshold actually fires (the reference's
+    fill-then-validate order made this check vacuous)."""
+    import csv as csvmod
+
+    from sri_spark.etl import EtlConfig, run_pipeline
+    from tests.sri_fixture import HEADER, generate_sri_rows
+
+    rows = generate_sri_rows(200, seed=3)
+    date_idx = HEADER.index("FECHA PROCESO (DD/MM/AA)")
+    for r in rows:
+        r[date_idx] = "6/15/2030"  # parses fine; outside the 2020-2025 calendar
+    path = tmp_path / "futuro.csv"
+    with open(path, "w", newline="", encoding="utf-8") as f:
+        w = csvmod.writer(f)
+        w.writerow(HEADER)
+        w.writerows(rows)
+
+    t = run_pipeline(
+        spark, str(path), EtlConfig(mode="fixed", fill_missing_fk=False)
+    )
+    with pytest.raises(AssertionError, match="max_null_percentage"):
+        quality_report(t, QualityThresholds(min_records_threshold=1), enforce=True)
+
+    # default reference semantics: same data passes (fills mask the misses)
+    t2 = run_pipeline(spark, str(path), EtlConfig(mode="fixed"))
+    rep = quality_report(t2, QualityThresholds(min_records_threshold=1), enforce=True)
+    assert rep["fact_registro_vehiculos"]["registros_sin_tiempo"] == 0
