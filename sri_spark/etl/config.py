@@ -41,7 +41,7 @@ class EtlConfig:
     # fires). False keeps misses as nulls so quality_report's
     # max_null_percentage threshold actually gates
     fill_missing_fk: bool = True
-    # fixed mode only: assign ID_Registro with the sort-free two-phase ranking
+    # assign ID_Registro with the sort-free two-phase ranking
     # (operators.keys.add_surrogate_key_scalable). Costs one extra shuffle +
     # a per-partition-count job, so it only pays off once the fact outgrows a
     # single executor's sort buffer (~10M+ rows); identical key values either

@@ -135,14 +135,16 @@ def build_fact(
 
     # ---- keys + measures (reference :534-549) -----------------------------
     key_order = [F.col(SRC_ID), F.col("ID_Vehiculo"), F.col("ID_Transaccion")]
-    if cfg.scalable_keys and not cfg.parity:
+    if cfg.scalable_keys:
         # same deterministic total order, assigned via range-partitioned
-        # local row_numbers + offsets — no single-partition sort; the right
-        # default once the fact outgrows one executor's sort buffer
+        # local row_numbers + offsets — no single-partition sort; identical
+        # key VALUES to the row_number path (dense rank over the same total
+        # order), so it is valid in parity mode too once the fan-out makes
+        # the global sort the bottleneck
         fact = add_surrogate_key_scalable(fact, "ID_Registro", key_order)
     else:
         # exact pandas post-merge positional order — global row_number
-        # (parity bit-compat, and cheapest below ~10M rows)
+        # (cheapest below ~10M rows)
         fact = add_surrogate_key(fact, "ID_Registro", key_order)
     fact = fact.withColumn("CantidadRegistros", F.lit(1).cast("long")).withColumn(
         "MontoAvaluo",

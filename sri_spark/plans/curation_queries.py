@@ -1,0 +1,56 @@
+"""End-to-end corpus curation: the composed training-data selection a
+large-scale pipeline actually runs — language filter + quality floor +
+exact-dedup survivorship in one declarative plan (filters fuse into the
+scan pass; the only shuffle is the dedup hash-groupBy)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sri_spark.plans.registry import register
+from sri_spark.plans.text_queries import _LANG_ORACLE, _QUALITY_ORACLE
+from sri_spark.sources.testdata import load_table
+from sri_spark.text.analysis import language_id, quality_score
+
+QUALITY_FLOOR = 0.7
+
+_CURATION_ORACLE = f"""
+WITH lang AS ({_LANG_ORACLE}),
+q AS ({_QUALITY_ORACLE}),
+survivors AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+  FROM documents
+)
+SELECT d.doc_id, l.pred_lang, q.quality
+FROM documents d
+JOIN lang l ON d.doc_id = l.doc_id
+JOIN q ON d.doc_id = q.doc_id
+JOIN survivors s ON d.doc_id = s.doc_id
+WHERE l.pred_lang = 'en' AND q.quality >= {QUALITY_FLOOR} AND s.rk = 1
+"""
+
+
+@register("corpus_select_training", _CURATION_ORACLE)
+def corpus_select_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus selection: English, quality >= 0.7, first copy of
+    each exact-duplicate group. Language/quality are pure projections; the
+    survivorship rank is one window over the content hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        language_id(F.col("text")).alias("pred_lang"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(
+            (F.col("pred_lang") == "en")
+            & (F.col("quality") >= QUALITY_FLOOR)
+            & (F.col("rk") == 1)
+        )
+        .select("doc_id", "pred_lang", "quality")
+    )
