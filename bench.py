@@ -38,6 +38,11 @@ HEADLINE = [
     "similarity_lsh_near_pairs",
     "events_window_agg",
     "events_sessionize",
+    "events_pivot_by_type",
+    "text_tfidf_top_terms",
+    "embeddings_label_centroids",
+    "agg_percentiles",
+    "corpus_select_training",
 ]
 
 
