@@ -19,6 +19,7 @@ from sri_spark.plans import (  # noqa: E402,F401
     curation_queries,
     dedup_queries,
     events_queries,
+    join_advanced,
     similarity_queries,
     surface_extra,
     text_extra_queries,

@@ -49,9 +49,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql.types import LongType
 
         if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-            )
+            # integer division, not `/ 1000` — float division of an epoch-ns
+            # long loses precision past 2^53 and lands ~12% of values 1 µs
+            # off DuckDB's exact ns→µs truncation
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
