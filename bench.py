@@ -43,6 +43,8 @@ HEADLINE = [
     "embeddings_label_centroids",
     "agg_percentiles",
     "corpus_select_training",
+    "join_asof_attribution",
+    "join_range_price_bands",
 ]
 
 

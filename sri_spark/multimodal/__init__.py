@@ -3,6 +3,13 @@ from sri_spark.multimodal.binary import (
     attach_fake_payloads,
     decode_stats,
     frame_sample,
+    resize,
 )
 
-__all__ = ["ASSET_SCHEMA", "attach_fake_payloads", "decode_stats", "frame_sample"]
+__all__ = [
+    "ASSET_SCHEMA",
+    "attach_fake_payloads",
+    "decode_stats",
+    "frame_sample",
+    "resize",
+]

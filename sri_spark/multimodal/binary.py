@@ -115,6 +115,49 @@ def decode_stats(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(_decode_batch, schema=DECODE_SCHEMA)
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("content", BinaryType()),
+        StructField("n_bytes", LongType()),
+        StructField("scale", DoubleType()),
+    ]
+)
+
+
+def _resize_batch_fn(factor: int):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            # deterministic fake for the resample kernel: keep every
+            # `factor`-th byte (a real implementation calls PIL.Image.resize
+            # / librosa.resample here and rewrites width/height/sample_rate)
+            resized = pdf["content"].map(lambda b: bytes(b[::factor]))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "kind": pdf["kind"],
+                    "content": resized,
+                    "n_bytes": resized.map(len).astype("int64"),
+                    "scale": 1.0 / factor,
+                }
+            )
+
+    return fn
+
+
+def resize(assets: DataFrame, factor: int = 4) -> DataFrame:
+    """Resize/resample pass: binary-in → binary-out 1:1 transform — the
+    third mapInPandas contract shape (decode_stats is 1→1 feature rows,
+    frame_sample is 1→N fan-out, this keeps the payload column binary so
+    passes chain: resize → decode_stats → downstream)."""
+    if factor < 1:
+        raise ValueError(f"factor must be >= 1, got {factor}")
+    return assets.select("asset_id", "kind", "content").mapInPandas(
+        _resize_batch_fn(factor), schema=RESIZE_SCHEMA
+    )
+
+
 def _frame_batch_fn(stride: int):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

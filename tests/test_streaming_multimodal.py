@@ -101,3 +101,30 @@ def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path):
     n_distinct_src = load_table(spark, sf_dir, "events").select("event_id").distinct().count()
     assert len(ids) == len(set(ids)), "stream emitted duplicate event_ids"
     assert len(set(ids)) == n_distinct_src
+
+
+def test_multimodal_resize_chains_into_decode(spark, sf_dir):
+    from sri_spark.multimodal import resize
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    assets = attach_fake_payloads(docs)
+    small = resize(assets, factor=4)
+    rows = {r["asset_id"]: r for r in small.collect()}
+    originals = {r["doc_id"]: r["text"].encode() for r in docs.collect()}
+    assert len(rows) == 20
+    for aid, orig in originals.items():
+        r = rows[aid]
+        assert bytes(r["content"]) == orig[::4]  # deterministic fake kernel
+        assert r["n_bytes"] == len(orig[::4])
+        assert r["scale"] == 0.25
+    # binary-out contract: the resized table feeds decode_stats unchanged
+    stats = decode_stats(small)
+    assert stats.count() == 20
+    assert set(stats.columns) == {
+        "asset_id", "kind", "n_bytes", "sha256", "byte_mean", "byte_std"
+    }
+
+    import pytest
+
+    with pytest.raises(ValueError, match="factor"):
+        resize(assets, factor=0)
