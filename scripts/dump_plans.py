@@ -10,7 +10,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from sri_spark.plans import all_queries
 from sri_spark.session import get_spark
 
-QUERIES = ["flagship_star_rollup", "dedup_minhash_lsh", "topk_orders", "events_sessionize"]
+QUERIES = [
+    "flagship_star_rollup",
+    "dedup_minhash_lsh",
+    "topk_orders",
+    "events_sessionize",
+    "join_asof_attribution",
+    "join_range_price_bands",
+]
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 HEADER = """# PLANS — physical-plan audit (sf0.1, local[32], AQE on)
