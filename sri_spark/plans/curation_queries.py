@@ -54,3 +54,48 @@ def corpus_select_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "pred_lang", "quality")
     )
+
+
+SAMPLE_RATES = {"en": 80, "es": 40, "zh": 40}  # percent; other langs 20
+SAMPLE_DEFAULT = 20
+_SAMPLE_SALT = "sample:"
+
+_RATE_CASE = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in SAMPLE_RATES.items())
+    + f" ELSE {SAMPLE_DEFAULT} END"
+)
+
+_SAMPLE_ORACLE = f"""
+SELECT doc_id, lang,
+       (('0x' || substr(md5('{_SAMPLE_SALT}' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
+         % 100 AS bucket
+FROM documents
+WHERE (('0x' || substr(md5('{_SAMPLE_SALT}' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
+         % 100 < {_RATE_CASE}
+"""
+
+
+@register("corpus_sample_stratified", _SAMPLE_ORACLE)
+def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stratified sampling by deterministic key hash (not
+    rand()): bucket = md5(salt || doc_id) % 100, keep buckets below the
+    language's rate. Rerun-stable, partition-layout-independent, and
+    resumable — the sampling contract a 100 TB curation pipeline needs;
+    a rand()-based sample changes membership on every retry/re-shuffle.
+    Pure projection + filter: fuses into the scan, zero shuffles."""
+    from sri_spark.functions.hashing import md5_int
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        md5_int(F.concat(F.lit(_SAMPLE_SALT), F.col("doc_id").cast("string"))) % 100
+    )
+    rate = F.coalesce(
+        F.create_map(
+            *[F.lit(x) for kv in SAMPLE_RATES.items() for x in kv]
+        )[F.col("lang")],
+        F.lit(SAMPLE_DEFAULT),
+    )
+    return docs.select(
+        "doc_id", "lang", bucket.alias("bucket")
+    ).filter(F.col("bucket") < rate)

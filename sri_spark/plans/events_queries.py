@@ -233,3 +233,34 @@ def events_json_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(k), 4).alias("avg_k"),
         F.round(F.max(k), 4).alias("max_k"),
     )
+
+
+@register(
+    "events_interval_join",
+    """
+    SELECT c.event_id AS click_id,
+           v.event_id AS view_id,
+           c.user_id,
+           CAST(epoch_us(c.ts::TIMESTAMP) - epoch_us(v.ts::TIMESTAMP) AS BIGINT)
+             AS lag_us
+    FROM events c
+    JOIN events v
+      ON c.user_id = v.user_id
+     AND c.event_type = 'click' AND v.event_type = 'view'
+     AND v.ts <= c.ts
+     AND v.ts >= c.ts - INTERVAL 1 HOUR
+    """,
+)
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every (click, view-from-the-preceding-hour) pair per user — the batch
+    twin of streaming.jobs.click_view_interval_join (identical operator
+    definition; the streaming run adds watermarks and state expiry, equality
+    covered by tests/test_streaming_multimodal.py)."""
+    from sri_spark.streaming.jobs import (
+        click_view_interval_join,
+        prepare_click_view_streams,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks, views = prepare_click_view_streams(ev)
+    return click_view_interval_join(clicks, views)

@@ -49,7 +49,9 @@ def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(events_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    # integer division (not `/ 1000`): float division of epoch-ns longs loses
+    # precision past 2^53 — same contract as the batch loader
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def windowed_event_counts(
@@ -83,6 +85,74 @@ def dedupe_events_stream(events: DataFrame, *, watermark: str = "1 hour") -> Dat
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def click_view_interval_join(
+    clicks: DataFrame, views: DataFrame, *, watermark: str = "2 hours"
+) -> DataFrame:
+    """Pair every click with the same user's views from the preceding hour —
+    a time-interval join. One definition, two runtimes: on batch inputs it is
+    a sort-merge join with a range residual; on streaming inputs the
+    watermarks plus the two-sided time bound let Spark expire join state, so
+    each side buffers only ~watermark worth of rows per key (the unbounded
+    state a condition-free stream-stream join would otherwise need).
+
+    Inputs must carry (click_id, click_ts, user_id) / (view_id, view_ts,
+    v_user_id) — see prepare_click_view_streams.
+    """
+    if clicks.isStreaming:
+        clicks = clicks.withWatermark("click_ts", watermark)
+        views = views.withWatermark("view_ts", watermark)
+    cond = (
+        (clicks["user_id"] == views["v_user_id"])
+        & (views["view_ts"] <= clicks["click_ts"])
+        & (views["view_ts"] >= clicks["click_ts"] - F.expr("INTERVAL 1 HOUR"))
+    )
+    return clicks.join(views, cond, "inner").select(
+        "click_id",
+        "view_id",
+        "user_id",
+        (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("lag_us"),
+    )
+
+
+def prepare_click_view_streams(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split an events frame (batch or stream) into the join's two sides."""
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        "user_id",
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+        F.col("user_id").alias("v_user_id"),
+    )
+    return clicks, views
+
+
+def run_interval_join_stream(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    *,
+    query_name: str = "click_view_pairs",
+) -> DataFrame:
+    """Stream-stream self-join over the events directory (availableNow),
+    append mode — each pair is emitted exactly once when the watermark
+    passes its bound."""
+    clicks, views = prepare_click_view_streams(read_events_stream(spark, events_dir))
+    joined = click_view_interval_join(clicks, views)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
 
 
 def run_dedupe_stream(

@@ -128,3 +128,20 @@ def test_multimodal_resize_chains_into_decode(spark, sf_dir):
 
     with pytest.raises(ValueError, match="factor"):
         resize(assets, factor=0)
+
+
+def test_interval_join_stream_equals_batch(spark, sf_dir, tmp_path):
+    from sri_spark.plans.events_queries import events_interval_join
+    from sri_spark.streaming.jobs import run_interval_join_stream
+
+    events_dir = tmp_path / "events_ivj"
+    events_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", events_dir / "part-000.parquet")
+
+    batch = events_interval_join(spark, sf_dir).collect()
+    streamed = run_interval_join_stream(
+        spark, str(events_dir), str(tmp_path / "ckpt_ivj")
+    ).collect()
+    key = lambda r: (r["click_id"], r["view_id"], r["user_id"], r["lag_us"])
+    assert sorted(map(key, streamed)) == sorted(map(key, batch))
+    assert len(batch) > 0
