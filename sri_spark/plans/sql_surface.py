@@ -109,3 +109,58 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("o_custkey", 0.01).alias("clientes_aprox"),
         F.countDistinct("o_custkey").alias("clientes_exactos"),
     )
+
+
+@register(
+    "agg_cube",
+    """
+    SELECT year(o_orderdate) AS Anio, o_orderstatus AS Estado,
+           count(*) AS n_registros, round(sum(o_totalprice), 2) AS monto
+    FROM orders
+    GROUP BY CUBE (year(o_orderdate), o_orderstatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (year, status): all four grouping-set combinations in one
+    pass — completes the grouping-sets family beside ROLLUP (Catalyst
+    expands the sets into a single Expand + hash aggregate)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube(
+        F.year("o_orderdate").cast("long").alias("Anio"),
+        F.col("o_orderstatus").alias("Estado"),
+    ).agg(
+        F.count("*").alias("n_registros"),
+        F.round(F.sum("o_totalprice"), 2).alias("monto"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    """
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS fecha,
+           CAST(date_diff('day',
+                lag(o_orderdate) OVER w, o_orderdate) AS BIGINT) AS dias_desde_anterior,
+           round(lead(o_totalprice) OVER w - o_totalprice, 2) AS delta_siguiente
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead navigation per customer: days since the previous order and
+    price delta to the next — per-key windows, so the sort stays partition-
+    local (no global-sort bottleneck)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("fecha"),
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(w))
+        .cast("long")
+        .alias("dias_desde_anterior"),
+        F.round(F.lead("o_totalprice").over(w) - F.col("o_totalprice"), 2)
+        .alias("delta_siguiente"),
+    )
