@@ -164,3 +164,63 @@ def _simhash_oracle() -> str:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document (count-weighted token votes)."""
     return simhash_df(load_table(spark, sf_dir, "documents"))
+
+
+def _clusters_oracle() -> str:
+    # the minhash-pair CTE chain, then an undirected transitive closure:
+    # min reachable doc id per node = cluster id (DuckDB recursive CTE;
+    # UNION's distinct makes the recursion terminate)
+    mins = ", ".join(
+        f"min(({a} * h + {b}) % {MINHASH_P}) AS m{k}"
+        for k, (a, b) in enumerate(MINHASH_COEFFS)
+    )
+    band_selects = []
+    for band in range(LSH_BANDS):
+        cols = ", ".join(f"m{band * LSH_ROWS + r}" for r in range(LSH_ROWS))
+        bucket = md5_int_sql(f"concat_ws('-', {cols})")
+        band_selects.append(f"SELECT doc_id, {band} AS band, {bucket} AS bucket FROM sig")
+    bands = " UNION ALL ".join(band_selects)
+    return f"""
+    WITH RECURSIVE {_SHINGLE_CTES}, {_JACCARD_CTES},
+    hashes AS (SELECT doc_id, {md5_int_sql('shingle')} % {MINHASH_P} AS h FROM sh),
+    sig AS (SELECT doc_id, {mins} FROM hashes GROUP BY doc_id),
+    bands AS ({bands}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+      WHERE j.jaccard >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(s, t) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a
+    )
+    SELECT s AS doc_id, min(t) AS cluster_id FROM reach GROUP BY s
+    """
+
+
+@register("dedup_duplicate_clusters", _clusters_oracle())
+def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: MinHash-LSH pairs (jaccard >= 0.5) closed
+    under transitivity via iterative min-label propagation
+    (dedup/components.py) — (doc_id, cluster_id = min doc in component),
+    the keep-one-per-cluster form curation consumes. The oracle computes the
+    same closure with a recursive CTE."""
+    from sri_spark.dedup.components import connected_components
+
+    pairs = minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=JACCARD_THRESHOLD
+    )
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )

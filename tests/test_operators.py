@@ -46,3 +46,17 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     key = lambda r: (r["l_orderkey"], r["l_quantity"], r["o_totalprice"])
     assert sorted(map(key, plain)) == sorted(map(key, salted))
     assert len(salted) == len(plain)
+
+
+def test_connected_components_chains_and_cliques(spark):
+    from sri_spark.dedup.components import connected_components
+
+    # chain 1-2-3-4 (diameter > 1), clique {10,11,12}, pair {20,21}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (21, 20)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["node"]: r["component"] for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
