@@ -57,16 +57,20 @@ def main() -> None:
     queries = all_queries()
     names = [n for n in HEADLINE if n in queries]
 
+    from sri_spark.operators.caching import unpersist_all
+
     # warm-up pass (JIT, codegen caches, file-footer reads) — untimed, so the
     # timed pass measures steady-state engine work
     for name in names:
         queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        unpersist_all()
 
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
         queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+        unpersist_all()  # release per-query scoped caches (dedup shingles etc.)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None

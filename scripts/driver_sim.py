@@ -43,6 +43,26 @@ for name in sorted(qs):
             continue
         odf = con.execute(os_[name]).fetchdf()
         ocols = sorted(odf.columns.tolist())
+        # dtype-skew guard: an int column arriving as float64 from DuckDB
+        # (e.g. window-sum HUGEINT, or uncast expressions) is a hash-risk.
+        # Nullable int columns unavoidably become float64 in pandas and the
+        # real driver tolerates those (r1 evidence: agg_cube/rollup, asof,
+        # lag_lead all passed) — warn; fail only on null-free skew.
+        sdtypes = dict(sdf.dtypes)
+        for c in sdf.columns:
+            if c in odf.columns:
+                s_int = sdtypes[c] in ("bigint", "int", "smallint", "tinyint")
+                o_int = str(odf[c].dtype).startswith(("int", "uint"))
+                o_float = str(odf[c].dtype).startswith("float")
+                s_float = sdtypes[c] in ("double", "float")
+                if (s_int and o_float) or (s_float and o_int):
+                    if odf[c].isna().any():
+                        print(f"{name}: dtype-warn col={c} spark={sdtypes[c]} "
+                              f"duckdb={odf[c].dtype} (nullable-int artifact)")
+                    else:
+                        print(f"{name}: DTYPE-HAZARD col={c} spark={sdtypes[c]} "
+                              f"duckdb={odf[c].dtype}")
+                        fails.append(f"{name}:dtype:{c}")
         orecs = odf.where(odf.notna(), None).to_dict("records")
         orows = sorted(tuple(norm(r[c]) for c in ocols) for r in orecs)
         ok_cols = scols == ocols

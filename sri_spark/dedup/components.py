@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sri_spark.operators.caching import track
+
 
 def connected_components(
     edges: DataFrame,
@@ -72,4 +74,121 @@ def connected_components(
             break
 
     sym.unpersist()
+    # the final labels round stays persisted (the returned plan reads it);
+    # register it so harnesses can release it between queries
+    track(labels)
     return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+def connected_components_star(
+    edges: DataFrame,
+    *,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) via alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — converges in O(log^2 n) rounds even on adversarial
+    high-diameter graphs (a length-L chain needs ~log L rounds, where plain
+    min-label propagation needs L).
+
+    Each round is two grouped min-aggregations + joins on node id — the same
+    shuffle shape as `connected_components`, just restructuring edges
+    instead of labels:
+
+    - large-star: every node links its LARGER neighbours to the minimum of
+      its closed neighbourhood (keeps the graph connected, strictly reduces
+      large-id fan-in);
+    - small-star: links its smaller-or-equal neighbours (and itself) to that
+      minimum, collapsing chains toward component minima.
+
+    Fixpoint = all edges (v, root); detected by an aggregate signature
+    (count + xor-style hash sum), not an edge-set collect. Raises
+    RuntimeError after `max_iter` rounds without convergence — explicit
+    failure beats silently-wrong clusters."""
+    # canonical directed edge set (both directions), no self-loops
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .union(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v")).filter(
+                F.col("u") != F.col("v")
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = e.select(F.col("u").alias("node")).distinct().persist()
+    nodes.count()
+
+    def _sym(df: DataFrame) -> DataFrame:
+        return (
+            df.union(df.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _closed_min(df: DataFrame) -> DataFrame:
+        # m(u) = min over {u} ∪ neighbours(u)
+        return df.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+
+    def _signature(df: DataFrame):
+        # xor-fold of per-edge hashes: order-insensitive, overflow-free
+        # (a sum would hit ANSI long overflow)
+        row = df.select(F.xxhash64("u", "v").alias("h")).agg(
+            F.count("*").alias("n"), F.expr("bit_xor(h)").alias("h")
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    # each round references the edge set several times and _sym doubles the
+    # subtree — without lineage truncation the logical plan grows
+    # exponentially with rounds. localCheckpoint (eager) materializes the
+    # round AND cuts the lineage; at cluster scale prefer reliable
+    # checkpoint(dir) so executor loss can't drop a round.
+    converged = False
+    sig = _signature(e)
+    for _ in range(max_iter):
+        # large-star: (v, m(u)) for v > u
+        lmins = _closed_min(e)
+        large = _sym(
+            e.filter(F.col("v") > F.col("u"))
+            .join(lmins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        ).localCheckpoint()
+        # small-star over the large-star output: (v, m(u)) for v <= u, plus
+        # (u, m(u)) — links the small side and the centre to the minimum
+        smins = _closed_min(large)
+        small_nbrs = (
+            large.filter(F.col("v") <= F.col("u"))
+            .join(smins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        small_self = smins.select(F.col("u"), F.col("m").alias("v"))
+        new_e = _sym(small_nbrs.union(small_self)).localCheckpoint()
+        new_sig = _signature(new_e)
+        e = new_e
+        if new_sig == sig:
+            converged = True
+            break
+        sig = new_sig
+    if not converged:
+        nodes.unpersist()
+        raise RuntimeError(
+            f"connected_components_star: no fixpoint after {max_iter} rounds"
+        )
+
+    # at the fixpoint every edge points node -> component root; roots map to
+    # themselves (min over attached component ids handles the final stars)
+    comp = (
+        nodes.join(e, nodes["node"] == e["u"], "left")
+        .groupBy("node")
+        .agg(F.least(F.min("v"), F.first("node")).alias("component"))
+    )
+    # nodes is plain-persisted (lineage intact) so deferred release is safe;
+    # e is a localCheckpoint — its blocks free on GC, never unpersist it
+    # (a checkpointed frame has no lineage to recompute from)
+    track(nodes)
+    return comp

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sri_spark.dedup.shingles import shingles_df
+from sri_spark.operators.caching import scoped_persist
 
 
 def ngram_jaccard_pairs(
@@ -26,8 +27,9 @@ def ngram_jaccard_pairs(
     """(doc_a, doc_b, jaccard) for all pairs with Jaccard >= threshold over
     word n-gram shingle sets; doc_a < doc_b."""
     # the shingle set feeds both join sides and the size aggregate — persist
-    # so tokenize+distinct runs once
-    sh = shingles_df(df, text_col, id_col, n).persist()
+    # so tokenize+distinct runs once (scoped: harnesses release it between
+    # queries via operators.caching.unpersist_all)
+    sh = scoped_persist(shingles_df(df, text_col, id_col, n))
     return jaccard_pairs_from_shingles(sh, id_col=id_col, threshold=threshold)
 
 
@@ -60,9 +62,13 @@ def jaccard_pairs_from_shingles(
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("na"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("nb"))
+    # no broadcast hints: the size tables are one row per document, which is
+    # only "small" at test scale — at a billion-doc corpus a forced
+    # BroadcastExchange OOMs the driver. AQE picks broadcast when the side
+    # really is small; otherwise this is a plain shuffled hash join.
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn(
             "jaccard",
             F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from sri_spark.dedup.shingles import shingles_df
 from sri_spark.functions.hashing import md5_int
+from sri_spark.operators.caching import scoped_persist
 
 MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
 # (a, b) pairs for h_k(x) = (a*x + b) mod P — fixed odd/co-prime literals
@@ -92,9 +93,9 @@ def minhash_lsh_pairs(
     the intersection, set sizes); it is persisted so the tokenize+distinct
     shuffle runs once. At 100 TB use a disk-backed storage level or a
     two-pass job that materializes shingles to parquet."""
-    sh = shingles_df(df, text_col, id_col, n).persist()
-    # tiny (one row per doc) but referenced twice by the candidate self-join
-    sig = minhash_signatures_from_shingles(sh, id_col=id_col).persist()
+    sh = scoped_persist(shingles_df(df, text_col, id_col, n))
+    # one row per doc but referenced twice by the candidate self-join
+    sig = scoped_persist(minhash_signatures_from_shingles(sh, id_col=id_col))
     buckets = _band_buckets(sig, id_col)
     left = buckets.select(F.col(id_col).alias("doc_a"), "band", "bucket")
     right = buckets.select(F.col(id_col).alias("doc_b"), "band", "bucket")
@@ -106,9 +107,11 @@ def minhash_lsh_pairs(
     )
     sh_a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     sh_b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    # no forced broadcasts: candidate pairs and per-doc size tables grow with
+    # the corpus, so a hard BroadcastExchange hint OOMs at the scale this
+    # module targets. AQE broadcasts them when they really are small.
     inter = (
-        F.broadcast(cand)
-        .join(sh_a, "doc_a")
+        cand.join(sh_a, "doc_a")
         .join(sh_b, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_inter"))
@@ -117,8 +120,8 @@ def minhash_lsh_pairs(
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("ns").alias("na"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("ns").alias("nb"))
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn(
             "jaccard",
             F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6),

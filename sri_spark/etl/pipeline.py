@@ -8,8 +8,6 @@ four lookups broadcast the freshly-built dims.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -71,11 +69,11 @@ def write_star(
     """Persist the star — truncate-load semantics (mode='overwrite', the
     reference's WRITE_TRUNCATE).
 
-    `fmt='parquet'` (default) writes a local/lake star. `fmt='bigquery'`
-    targets the reference's warehouse through the spark-bigquery-connector
-    (same `df.write` interface; `out_dir` is then `project.dataset`) — it
-    requires the connector jar and GCP credentials, so it is exercised only
-    in cloud deployments, not in this environment's tests.
+    `fmt` selects a registered sink (sources/sinks.py): 'parquet' (default)
+    writes a local/lake star; 'bigquery' targets the reference's warehouse
+    through the spark-bigquery-connector (`out_dir` is then
+    `project.dataset`; needs the connector jar + GCP credentials, so tests
+    exercise it through a registered connector-shaped fake instead).
 
     `partition_fact_by_year` activates the physical design the reference
     declared but never used (config/variables.yaml:18-19, SURVEY §1.3 Q6):
@@ -83,6 +81,9 @@ def write_star(
     partitions by Marca-equivalent clustering keys downstream engines can
     exploit for partition pruning.
     """
+    from sri_spark.sources.sinks import get_sink
+
+    sink = get_sink(fmt)
     for name, df in tables.items():
         if name == "fact_registro_vehiculos" and partition_fact_by_year:
             anio = tables["dim_tiempo"].select("ID_Tiempo", "Anio")
@@ -92,9 +93,4 @@ def write_star(
             writer = df.write.mode("overwrite").partitionBy("Anio")
         else:
             writer = df.write.mode("overwrite")
-        if fmt == "bigquery":
-            writer.format("bigquery").option("writeMethod", "direct").save(
-                f"{out_dir}.{name}"
-            )
-        else:
-            writer.parquet(os.path.join(out_dir, name))
+        sink(writer, out_dir, name)

@@ -4,6 +4,8 @@ from sri_spark.multimodal.binary import (
     decode_stats,
     frame_sample,
     resize,
+    resolve_image_decoder,
+    set_image_decoder,
 )
 
 __all__ = [
@@ -12,4 +14,6 @@ __all__ = [
     "decode_stats",
     "frame_sample",
     "resize",
+    "resolve_image_decoder",
+    "set_image_decoder",
 ]

@@ -6,18 +6,22 @@ correct Spark shape for per-asset Python work: batches stream through the
 Python worker without materializing a partition, and the exchanged schema is
 declared up front.
 
-The actual codec step is STUBBED: image/audio libraries are not available in
-this environment, so `decode_stats` computes a deterministic byte-level fake
-(size, sha256, byte histogram moments) where a real implementation would call
-PIL/ffmpeg, and `decode_image_real` raises NotImplementedError with the
-integration point. The Spark-side contracts — schema, partitioning, UDF
-signature, batch shape — are real and tested.
+The codec step is pluggable (`codec='auto'|'real'|'fake'`): `real` runs an
+image decoder — PIL when importable, or any decoder registered via
+`set_image_decoder` — filling the decoded_* columns; `fake` computes only
+the deterministic byte-level statistics (size, sha256, byte moments);
+`auto` (default) uses the real decoder when one is available and falls back
+to the fake otherwise, so the same pipeline runs here (no image libs) and
+in production unchanged. The Spark-side contracts — schema, partitioning,
+UDF signature, batch shape — are identical in both modes and tested both
+ways (tests/test_multimodal_codec.py).
 """
 
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Iterator
+import io
+from collections.abc import Callable, Iterator
 
 import pandas as pd
 
@@ -52,6 +56,12 @@ DECODE_SCHEMA = StructType(
         StructField("sha256", StringType()),
         StructField("byte_mean", DoubleType()),
         StructField("byte_std", DoubleType()),
+        # decoded media fields — filled by the real codec, null in fake mode
+        # (one schema for both modes keeps downstream plans mode-independent)
+        StructField("decoded_width", IntegerType()),
+        StructField("decoded_height", IntegerType()),
+        StructField("pixel_mean", DoubleType()),
+        StructField("pixel_std", DoubleType()),
     ]
 )
 
@@ -78,41 +88,110 @@ def attach_fake_payloads(docs: DataFrame, kind: str = "image") -> DataFrame:
     )
 
 
-def decode_image_real(content: bytes) -> dict:  # pragma: no cover
-    raise NotImplementedError(
-        "real decode requires an image/audio library (e.g. PIL, torchaudio, "
-        "ffmpeg) not present in this environment; plug it into _decode_batch "
-        "in place of the byte-statistics fake"
-    )
+# an image decoder takes raw bytes and returns
+# {"width": int, "height": int, "pixel_mean": float, "pixel_std": float}
+ImageDecoder = Callable[[bytes], dict]
+
+_REGISTERED_DECODER: ImageDecoder | None = None
 
 
-def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        out = {
-            "asset_id": pdf["asset_id"],
-            "kind": pdf["kind"],
-            "n_bytes": pdf["content"].map(len).astype("int64"),
-            "sha256": pdf["content"].map(lambda b: hashlib.sha256(b).hexdigest()),
+def set_image_decoder(fn: ImageDecoder | None) -> None:
+    """Register (or clear, with None) the real image decoder. Takes
+    precedence over the PIL auto-detection; must be picklable — it ships to
+    executors inside the mapInPandas closure."""
+    global _REGISTERED_DECODER
+    _REGISTERED_DECODER = fn
+
+
+def _pil_decoder() -> ImageDecoder | None:
+    """PIL-backed decoder when the library is importable, else None."""
+    try:  # import-guard: image libs are optional
+        import numpy as np
+        from PIL import Image
+    except ImportError:
+        return None
+
+    def dec(content: bytes) -> dict:
+        img = Image.open(io.BytesIO(content))
+        arr = np.asarray(img.convert("L"), dtype="float64")
+        return {
+            "width": img.width,
+            "height": img.height,
+            "pixel_mean": float(arr.mean()),
+            "pixel_std": float(arr.std()),
         }
-        # deterministic fake for the codec stage (see module docstring)
-        means, stds = [], []
-        for b in pdf["content"]:
-            if len(b) == 0:
-                means.append(0.0)
-                stds.append(0.0)
-                continue
-            s = pd.Series(list(b), dtype="float64")
-            means.append(float(s.mean()))
-            stds.append(float(s.std(ddof=0)))
-        out["byte_mean"] = means
-        out["byte_std"] = stds
-        yield pd.DataFrame(out)
+
+    return dec
 
 
-def decode_stats(assets: DataFrame) -> DataFrame:
+def resolve_image_decoder(codec: str = "auto") -> ImageDecoder | None:
+    """Dispatch the codec feature flag: 'fake' -> None, 'real' -> a decoder
+    or NotImplementedError, 'auto' -> a decoder if available else None."""
+    if codec == "fake":
+        return None
+    if codec not in ("auto", "real"):
+        raise ValueError(f"codec must be auto|real|fake, got {codec!r}")
+    dec = _REGISTERED_DECODER or _pil_decoder()
+    if dec is None and codec == "real":
+        raise NotImplementedError(
+            "codec='real' requires an image library (e.g. PIL) or a decoder "
+            "registered via set_image_decoder(); none available — use "
+            "codec='auto' to fall back to byte statistics"
+        )
+    return dec
+
+
+def _decode_batch_fn(decoder: ImageDecoder | None):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "asset_id": pdf["asset_id"],
+                "kind": pdf["kind"],
+                "n_bytes": pdf["content"].map(len).astype("int64"),
+                "sha256": pdf["content"].map(lambda b: hashlib.sha256(b).hexdigest()),
+            }
+            # deterministic byte statistics — computed in both modes
+            means, stds = [], []
+            for b in pdf["content"]:
+                if len(b) == 0:
+                    means.append(0.0)
+                    stds.append(0.0)
+                    continue
+                s = pd.Series(list(b), dtype="float64")
+                means.append(float(s.mean()))
+                stds.append(float(s.std(ddof=0)))
+            out["byte_mean"] = means
+            out["byte_std"] = stds
+            decoded: dict[str, list] = {
+                "decoded_width": [],
+                "decoded_height": [],
+                "pixel_mean": [],
+                "pixel_std": [],
+            }
+            for b in pdf["content"]:
+                d: dict = {}
+                if decoder is not None:
+                    try:
+                        d = decoder(bytes(b))
+                    except Exception:
+                        d = {}  # undecodable asset -> null decoded fields
+                decoded["decoded_width"].append(d.get("width"))
+                decoded["decoded_height"].append(d.get("height"))
+                decoded["pixel_mean"].append(d.get("pixel_mean"))
+                decoded["pixel_std"].append(d.get("pixel_std"))
+            out.update(decoded)
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def decode_stats(assets: DataFrame, *, codec: str = "auto") -> DataFrame:
     """Per-asset decode/feature-extraction pass: Arrow-batched mapInPandas,
-    one output row per asset."""
-    return assets.mapInPandas(_decode_batch, schema=DECODE_SCHEMA)
+    one output row per asset. `codec` picks the decoder (module docstring);
+    the output schema is identical in every mode."""
+    return assets.mapInPandas(
+        _decode_batch_fn(resolve_image_decoder(codec)), schema=DECODE_SCHEMA
+    )
 
 
 RESIZE_SCHEMA = StructType(

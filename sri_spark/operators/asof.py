@@ -12,10 +12,13 @@ candidate pairs. Right rows sort before left rows at equal timestamps, so
 the match is inclusive (``right_ts <= left_ts``), exactly DuckDB's
 ``ASOF JOIN ... ON l.ts >= r.ts``.
 
-Determinism contract: (keys, right_ts) must be unique on the right side
-(true for event streams keyed by entity+time); with ties the surviving
-right row is the last by ``right_ts`` order within the window, which
-matches DuckDB only when ties are absent.
+Determinism contract: the window order ends with the right-payload struct
+itself, a total order — duplicate (keys, right_ts) right rows resolve to
+the struct-wise greatest payload, identically across runs, retries and
+partitionings (right_cols must be orderable types: no maps). DuckDB's
+ASOF JOIN picks an arbitrary row among such ties, so cross-engine
+hash-equality additionally requires (keys, right_ts) unique on the right
+(true for the events fixture).
 """
 
 from __future__ import annotations
@@ -72,10 +75,14 @@ def asof_join(
 
     # right rows (side=0) sort before left rows (side=1) at equal ts →
     # inclusive as-of; the rows-unbounded-preceding frame makes last() the
-    # running "most recent right payload seen"
+    # running "most recent right payload seen". The payload struct is the
+    # final sort key: with duplicate (key, right_ts) right rows the winner is
+    # the struct-wise greatest payload — a total order, so the result is
+    # identical across retries/partitionings (right_cols must therefore be
+    # orderable types: no maps).
     w = (
         Window.partitionBy(*on)
-        .orderBy("__asof_ts", _SIDE)
+        .orderBy("__asof_ts", _SIDE, _PAYLOAD)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = (

@@ -55,9 +55,13 @@ def add_surrogate_key_scalable(
     w_local = Window.partitionBy(spid).orderBy(F.monotonically_increasing_id())
     # persist so the count-per-partition action and the final plan see the same
     # partitioning (monotonically_increasing_id is only stable per-materialization)
-    with_local = df.withColumn("__pid", spid).withColumn(
-        "__local_rn", F.row_number().over(w_local).cast("long")
-    ).persist()
+    from sri_spark.operators.caching import scoped_persist
+
+    with_local = scoped_persist(
+        df.withColumn("__pid", spid).withColumn(
+            "__local_rn", F.row_number().over(w_local).cast("long")
+        )
+    )
     # one row per partition — tiny collect, not data
     counts = {
         r["__pid"]: r["cnt"]

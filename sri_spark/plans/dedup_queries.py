@@ -209,6 +209,23 @@ def _clusters_oracle() -> str:
     """
 
 
+@register("dedup_clusters_star", _clusters_oracle())
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same duplicate-cluster contract as `dedup_duplicate_clusters`, computed
+    with the large-star/small-star algorithm (dedup/components.py,
+    connected_components_star) — O(log^2 n) rounds on adversarial
+    high-diameter graphs where plain min-label propagation needs O(diameter).
+    Both implementations must agree with the recursive-CTE oracle."""
+    from sri_spark.dedup.components import connected_components_star
+
+    pairs = minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=JACCARD_THRESHOLD
+    )
+    return connected_components_star(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
 @register("dedup_duplicate_clusters", _clusters_oracle())
 def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERS: MinHash-LSH pairs (jaccard >= 0.5) closed

@@ -52,16 +52,16 @@ def events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
                   THEN 1 ELSE 0 END AS new_session
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
     ),
     sessions AS (
       SELECT user_id, ts, event_id, value,
              sum(new_session) OVER
-               (PARTITION BY user_id ORDER BY ts, event_id
+               (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
                 ROWS UNBOUNDED PRECEDING) AS session_seq
       FROM flagged
     )
-    SELECT user_id, session_seq,
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
            strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
            count(*) AS n_events,
            round(sum(value), 2) AS total_value

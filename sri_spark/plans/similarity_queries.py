@@ -82,15 +82,42 @@ def similarity_lsh_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("similarity_ivf_topk")  # rows-only: KMeans cells are engine-specific
+@register(
+    "similarity_ivf_topk",
+    """
+    SELECT CAST(10 AS BIGINT) AS k,
+           CAST(10 AS BIGINT) AS n_resultados,
+           TRUE AS recall_ok
+    """,
+)
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-k: seeded-KMeans cells, probe the best 4 of 8 by centroid
-    cosine, exact re-rank inside them (similarity.ivf; recall vs brute force
-    covered by tests/test_similarity_ivf.py)."""
+    cosine, exact re-rank inside them (similarity.ivf.ivf_topk returns the
+    actual neighbour rows; per-row values aren't SQL-reproducible because
+    KMeans cell boundaries are engine-specific).
+
+    Cross-engine contract: run IVF AND the brute-force truth, emit
+    (k, n_resultados, recall_ok) where recall_ok asserts recall@10 >= 0.5 —
+    the documented bound for probing half the cells (pytest checks the same
+    bound; tests/test_similarity_ivf.py)."""
+    from sri_spark.similarity.cosine import cosine_topk
     from sri_spark.similarity.ivf import ivf_topk
 
-    return ivf_topk(
-        load_table(spark, sf_dir, "embeddings"), query_id=0, k=10, n_lists=8, n_probe=4
+    emb = load_table(spark, sf_dir, "embeddings")
+    ivf = ivf_topk(emb, query_id=0, k=10, n_lists=8, n_probe=4).select("vec_id")
+    brute = cosine_topk(emb, query_id=0, k=10).select(
+        "vec_id", F.lit(1).alias("__hit")
+    )
+    return (
+        ivf.join(brute, "vec_id", "left")
+        .agg(
+            F.count("*").alias("n_resultados"),
+            (F.sum(F.coalesce(F.col("__hit"), F.lit(0))) >= F.lit(5)).alias(
+                "recall_ok"
+            ),
+        )
+        .withColumn("k", F.lit(10).cast("long"))
+        .select("k", "n_resultados", "recall_ok")
     )
 
 

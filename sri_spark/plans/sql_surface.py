@@ -100,14 +100,30 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct")  # rows-only: sketch values are engine-specific
+@register(
+    "agg_approx_distinct",
+    """
+    SELECT count(DISTINCT o_custkey) AS clientes_exactos,
+           TRUE AS estimacion_dentro_tolerancia
+    FROM orders
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the scale path for A2 when
-    exact distinct counts would shuffle 100 TB of keys; rsd=1%."""
+    exact distinct counts would shuffle 100 TB of keys; rsd=1%.
+
+    Cross-engine contract: HLL sketch values are engine-specific, so the
+    oracle-checked output is the exact count plus a boolean asserting the
+    estimate landed within 5×rsd of it — the estimator's own accuracy
+    guarantee, verifiable by any engine."""
     orders = load_table(spark, sf_dir, "orders")
+    exact = F.countDistinct("o_custkey")
+    approx = F.approx_count_distinct("o_custkey", 0.01)
     return orders.agg(
-        F.approx_count_distinct("o_custkey", 0.01).alias("clientes_aprox"),
-        F.countDistinct("o_custkey").alias("clientes_exactos"),
+        exact.alias("clientes_exactos"),
+        (F.abs(approx - exact) <= exact * F.lit(0.05)).alias(
+            "estimacion_dentro_tolerancia"
+        ),
     )
 
 

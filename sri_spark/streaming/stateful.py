@@ -44,7 +44,10 @@ def _update_totals(
     for pdf in pdfs:
         n += len(pdf)
         total += float(pdf["value"].sum())
-    state.update((n, round(total, 6)))
+    # state keeps the RAW accumulated float — rounding state every
+    # micro-batch would re-round cumulatively and drift from the true sum
+    # over a long stream; round only at emission
+    state.update((n, total))
     yield pd.DataFrame(
         {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
     )

@@ -60,3 +60,49 @@ def test_connected_components_chains_and_cliques(spark):
         r["node"]: r["component"] for r in connected_components(edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_star_components_match_min_label(spark):
+    from sri_spark.dedup.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (21, 20)],
+        "doc_a long, doc_b long",
+    )
+    star = {
+        r["node"]: r["component"]
+        for r in connected_components_star(edges).collect()
+    }
+    assert star == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_star_components_long_chain_within_log_rounds(spark):
+    """Adversarial diameter: a 64-node chain. Min-label propagation needs
+    ~64 rounds (more than its default bound); large-star/small-star must
+    converge within its 25-round bound — the reason the variant exists."""
+    from sri_spark.dedup.components import connected_components_star
+
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_star(edges, max_iter=25).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_star_components_nonconvergence_raises(spark):
+    import pytest
+
+    from sri_spark.dedup.components import connected_components_star
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(31)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components_star(edges, max_iter=1)

@@ -38,7 +38,8 @@ def test_multimodal_decode_and_frames(spark, sf_dir):
     rows = stats.collect()
     assert len(rows) == 50
     assert set(stats.columns) == {
-        "asset_id", "kind", "n_bytes", "sha256", "byte_mean", "byte_std"
+        "asset_id", "kind", "n_bytes", "sha256", "byte_mean", "byte_std",
+        "decoded_width", "decoded_height", "pixel_mean", "pixel_std",
     }
     # deterministic: sha256 of utf-8 text payload
     import hashlib
@@ -121,7 +122,8 @@ def test_multimodal_resize_chains_into_decode(spark, sf_dir):
     stats = decode_stats(small)
     assert stats.count() == 20
     assert set(stats.columns) == {
-        "asset_id", "kind", "n_bytes", "sha256", "byte_mean", "byte_std"
+        "asset_id", "kind", "n_bytes", "sha256", "byte_mean", "byte_std",
+        "decoded_width", "decoded_height", "pixel_mean", "pixel_std",
     }
 
     import pytest
