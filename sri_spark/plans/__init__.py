@@ -24,4 +24,5 @@ from sri_spark.plans import (  # noqa: E402,F401
     surface_extra,
     text_extra_queries,
     text_queries,
+    training_queries,
 )

@@ -236,6 +236,38 @@ def events_json_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_enrich_static",
+    """
+    SELECT COALESCE(c.c_mktsegment, 'SIN_SEGMENTO') AS segmento,
+           count(*) AS n_events,
+           count(DISTINCT e.user_id) AS usuarios,
+           round(sum(e.value), 2) AS total_value
+    FROM events e
+    LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def events_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-static dimension join
+    (streaming.jobs.enrich_events_with_dim, equality covered by
+    tests/test_streaming_multimodal.py): enrich events with the customer
+    segment (broadcast dim), then roll up per segment."""
+    from sri_spark.streaming.jobs import enrich_events_with_dim
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        enrich_events_with_dim(ev, cust)
+        .groupBy("segmento")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("usuarios"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@register(
     "events_interval_join",
     """
     SELECT c.event_id AS click_id,

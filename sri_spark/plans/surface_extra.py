@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sri_spark.plans.registry import register
-from sri_spark.sources.testdata import load_table
+from sri_spark.sources.testdata import load_table, register_views
 
 
 @register(
@@ -90,4 +90,147 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("p_name", "[aeiou]", ".").alias("sin_vocales"),
         F.lpad(F.col("p_size").cast("string"), 4, "0").alias("talla"),
         F.reverse(F.col("p_brand")).alias("marca_invertida"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    """
+    SELECT year(o_orderdate) AS Anio, o_orderstatus AS Estado,
+           CAST(GROUPING(year(o_orderdate)) * 2 + GROUPING(o_orderstatus)
+                AS BIGINT) AS gid,
+           count(*) AS n_registros
+    FROM orders
+    GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderstatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping_id disambiguation — the general
+    grouping-sets form ROLLUP/CUBE specialize; one Expand + one hash
+    aggregate, no multi-pass union."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS Anio, o_orderstatus AS Estado,
+               CAST(grouping(year(o_orderdate)) * 2 + grouping(o_orderstatus)
+                    AS BIGINT) AS gid,
+               count(*) AS n_registros
+        FROM orders
+        GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderstatus), ())
+        """
+    )
+
+
+@register(
+    "join_full_outer",
+    """
+    WITH por_cliente AS (
+      SELECT o_custkey, count(*) AS n_pedidos FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_custkey, c.c_mktsegment AS Segmento,
+           CAST(COALESCE(p.n_pedidos, 0) AS BIGINT) AS n_pedidos
+    FROM customer c
+    FULL OUTER JOIN por_cliente p ON c.c_custkey = p.o_custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (customers vs per-customer order counts) — completes
+    the join-type family; customers without orders surface with 0. Both
+    sides shuffle on the key; the aggregate side is pre-reduced so the join
+    input is one row per customer."""
+    cust = load_table(spark, sf_dir, "customer")
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_pedidos"))
+    )
+    return cust.join(
+        per_cust, cust.c_custkey == per_cust.o_custkey, "full_outer"
+    ).select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("Segmento"),
+        F.coalesce(F.col("n_pedidos"), F.lit(0)).alias("n_pedidos"),
+    )
+
+
+@register(
+    "unpivot_measures",
+    """
+    SELECT o_orderkey, 'precio_total' AS medida, round(o_totalprice, 2) AS valor
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'anio' AS medida, CAST(year(o_orderdate) AS DOUBLE)
+    FROM orders
+    """,
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide -> long) via stack(): one generate pass, no self-union
+    (a UNION ALL would scan the table once per measure; stack reads it
+    once). The inverse of events_pivot_by_type."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.expr(
+            "stack(2, 'precio_total', round(o_totalprice, 2), "
+            "'anio', CAST(year(o_orderdate) AS DOUBLE)) AS (medida, valor)"
+        ),
+    )
+
+
+@register(
+    "window_rank_family",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(ntile(4) OVER w AS BIGINT) AS cuartil,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS dist_acum,
+           CAST(dense_rank() OVER w AS BIGINT) AS rango_denso
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking-function family (ntile / percent_rank / cume_dist /
+    dense_rank) per customer — per-key windows, partition-local sorts."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).cast("long").alias("cuartil"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("dist_acum"),
+        F.dense_rank().over(w).cast("long").alias("rango_denso"),
+    )
+
+
+@register(
+    "scalar_subquery_filter",
+    """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS Anio,
+           count(*) AS pedidos_altos,
+           round(min(o_totalprice), 2) AS menor_alto
+    FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    GROUP BY year(o_orderdate)
+    """,
+)
+def scalar_subquery_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery predicate (orders above the global average) — the
+    subquery plans as its own tiny aggregate reused as a literal; the outer
+    filter still pushes toward the scan."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS Anio,
+               count(*) AS pedidos_altos,
+               round(min(o_totalprice), 2) AS menor_alto
+        FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        GROUP BY year(o_orderdate)
+        """
     )

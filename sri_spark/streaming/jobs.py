@@ -131,6 +131,53 @@ def prepare_click_view_streams(events: DataFrame) -> tuple[DataFrame, DataFrame]
     return clicks, views
 
 
+def enrich_events_with_dim(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join: enrich each event with a slowly-changing
+    dimension (here the customer segment keyed by user_id). Stateless on
+    the stream side — no watermark, no join state: each micro-batch hash-
+    joins against the static side, which Spark re-plans per batch (a
+    broadcast at dimension scale). The third join shape beside
+    stream-stream (click_view_interval_join) and batch-batch."""
+    d = dim.select(
+        F.col("c_custkey").alias("__dim_key"),
+        F.col("c_mktsegment").alias("segmento"),
+    )
+    joined = events.join(
+        F.broadcast(d), events["user_id"] == d["__dim_key"], "left"
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.coalesce(F.col("segmento"), F.lit("SIN_SEGMENTO")).alias("segmento"),
+    )
+
+
+def run_enriched_stream(
+    spark: SparkSession,
+    events_dir: str,
+    dim: DataFrame,
+    checkpoint_dir: str,
+    *,
+    query_name: str = "enriched_events",
+) -> DataFrame:
+    """Run the stream-static enrichment to completion (availableNow),
+    append mode — stateless, so every event is emitted exactly once."""
+    stream = read_events_stream(spark, events_dir)
+    q = (
+        enrich_events_with_dim(stream, dim)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
 def run_interval_join_stream(
     spark: SparkSession,
     events_dir: str,

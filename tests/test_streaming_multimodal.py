@@ -31,6 +31,28 @@ def test_stream_matches_batch(spark, sf_dir, tmp_path):
     assert s == b and len(s) > 0
 
 
+def test_stream_static_join_matches_batch(spark, sf_dir, tmp_path):
+    from sri_spark.streaming.jobs import enrich_events_with_dim, run_enriched_stream
+
+    events_dir = tmp_path / "events_enrich"
+    events_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", events_dir / "part-000.parquet")
+    cust = load_table(spark, sf_dir, "customer")
+
+    streamed = run_enriched_stream(
+        spark, str(events_dir), cust, str(tmp_path / "ckpt_enrich")
+    ).collect()
+    batch = enrich_events_with_dim(
+        load_table(spark, sf_dir, "events"), cust
+    ).collect()
+
+    key = lambda r: (r["event_id"], r["segmento"], r["value"])
+    assert sorted(map(key, streamed)) == sorted(map(key, batch))
+    assert len(streamed) > 0
+    # the static side actually enriched something
+    assert any(r["segmento"] != "SIN_SEGMENTO" for r in streamed)
+
+
 def test_multimodal_decode_and_frames(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(50)
     assets = attach_fake_payloads(docs)
