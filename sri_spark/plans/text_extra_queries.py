@@ -103,8 +103,10 @@ def embeddings_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_reduce(
                list_prepend(0::BIGINT,
                  list_transform(
-                   list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'),
-                               x -> x != ''),
+                   list_slice(
+                     list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'),
+                                 x -> x != ''),
+                     1, 16),
                    t -> (('0x' || substr(md5(t), 1, 15))::BIGINT) % 1000003)),
                (a, b) -> (a * 131 + b) % 1000000007
              ) AS fingerprint
@@ -115,14 +117,19 @@ def embeddings_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate groups blocked on the rolling-hash fingerprint — the cheap
-    token-sequence-equality pre-filter for exact dedup at scale."""
+    """Duplicate-candidate groups blocked on the 16-token-prefix rolling-hash
+    fingerprint — the cheap blocking pre-filter for dedup at scale (full-body
+    fingerprints find only byte-exact dups, which the fixtures barely have;
+    prefix blocks catch the near-dup families the downstream verifier then
+    resolves)."""
     from sri_spark.text.analysis import doc_fingerprint
 
     docs = load_table(spark, sf_dir, "documents")
     fp = docs.select(
         "doc_id",
-        doc_fingerprint(F.coalesce(F.col("text"), F.lit(""))).alias("fingerprint"),
+        doc_fingerprint(
+            F.coalesce(F.col("text"), F.lit("")), prefix=16
+        ).alias("fingerprint"),
     )
     return (
         fp.groupBy("fingerprint")

@@ -112,12 +112,17 @@ def language_id(text: Column) -> Column:
     )
 
 
-def doc_fingerprint(text: Column) -> Column:
+def doc_fingerprint(text: Column, *, prefix: int | None = None) -> Column:
     """Order-sensitive rolling-hash fingerprint over the token stream:
     fold((acc * 131 + md5int(token) % 1e6+3) % 1e9+7). Two documents share a
-    fingerprint iff their token sequences match — a cheap pre-filter for
-    exact-dedup at scale. Cross-engine reproducible (md5-based, hashing.py)."""
+    fingerprint iff their (prefix-)token sequences match — a cheap pre-filter
+    for exact-dedup at scale. `prefix=k` fingerprints only the first k tokens,
+    the usual blocking key (near-dup docs share openings far more often than
+    whole bodies; false positives are resolved by a full compare inside the
+    block). Cross-engine reproducible (md5-based, hashing.py)."""
     toks = tokens_col(text)
+    if prefix is not None:
+        toks = F.slice(toks, 1, prefix)
     hashed = F.transform(toks, lambda t: md5_int(t) % TOKEN_HASH_MOD)
     return F.aggregate(
         hashed,
