@@ -32,8 +32,13 @@ def norm(v):
     return (4,str(v))
 
 qs, os_ = e.queries(), e.oracle_sql()
+only = set(sys.argv[1:])  # optional: check just these query names
+if only:
+    unknown = only - set(qs)
+    if unknown:
+        raise SystemExit(f"unknown queries: {sorted(unknown)}")
 fails = []
-for name in sorted(qs):
+for name in sorted(only or qs):
     try:
         sdf = qs[name](spark, SF)
         scols = sorted(sdf.columns)

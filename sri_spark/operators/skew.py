@@ -1,16 +1,19 @@
-"""Skew-mitigated joins (100 TB concern; SURVEY §4.2 / mandate).
+"""Skew-mitigated equi-join: salt the skewed side, replicate the small side.
 
-First line of defense is AQE's skew-join splitting (on in session.py), which
-handles sort-merge skew transparently. This module covers the case AQE
-can't: a *hash-partitioned* join where a handful of hot keys concentrate on
-single tasks and the build side is too large to broadcast.
+A hash join on a skewed key funnels every row of a hot key through one
+task; AQE's skew-join split helps for sort-merge joins but not when the
+skew lives in a single key of a shuffled hash join. Salting is the
+classic manual fix: append salt = hash(row) % N to the big/skewed side,
+explode the other side N ways with every salt value, and join on
+(key, salt) — the hot key now spreads across N tasks.
 
-`salted_join` rewrites `big ⋈ small ON key` as
-`big ⋈ small' ON (key, salt)`: each big-side row picks one of S salt values
-(deterministically, from a hash of stable columns — never rand(), which
-breaks retry/lineage determinism); the small side is replicated S times, one
-copy per salt. Hot keys spread over S tasks at the cost of an S× replication
-of the small side.
+Semantics are EXACTLY those of the unsalted join (proved by the
+join_skew_salted catalog query, whose oracle is the plain join): every
+fact row keeps one salt value, and the dim side carries each of the N
+salts once per row, so each fact row still matches its dim row exactly
+once. Cost: the replicated side grows N-fold — use for genuinely small
+dims or pre-filtered build sides, and size N to the observed hot-key
+factor, not larger.
 """
 
 from __future__ import annotations
@@ -18,34 +21,41 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-SALT_COL = "__salt"
+_SALT = "__salt"
 
 
 def salted_join(
-    big: DataFrame,
-    small: DataFrame,
-    on: list[str],
+    fact: DataFrame,
+    dim: DataFrame,
+    on: Column,
     *,
-    n_salts: int = 8,
+    n_salt: int = 8,
+    salt_by: str | Column | None = None,
     how: str = "inner",
-    salt_source: Column | None = None,
 ) -> DataFrame:
-    """Join with the big side's hot keys spread over `n_salts` partitions.
+    """Join `fact` (skewed side) with `dim` (replicated side) on the `on`
+    condition, spreading each fact key over `n_salt` tasks.
 
-    `salt_source` is any expression varying within a key group (default: a
-    hash of all big-side columns); the result equals the unsalted join
-    row-for-row. Only join types that never emit unmatched small-side rows
-    are allowed — a right/full outer would emit each unmatched small-side
-    row once per salt replica.
-    """
-    if how not in ("inner", "left", "left_outer", "cross"):
-        raise ValueError(
-            f"salted_join supports inner/left joins, got how={how!r}; "
-            "outer joins would duplicate unmatched small-side rows per salt"
+    `salt_by` picks the deterministic per-row salt source on the fact side
+    (a unique column keeps reruns identical); defaults to a hash over the
+    whole row. `how` supports the fact-preserving types (inner / left)."""
+    if n_salt < 1:
+        raise ValueError(f"n_salt must be >= 1, got {n_salt}")
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt_src = (
+        F.xxhash64(*[F.col(c) for c in fact.columns])
+        if salt_by is None
+        else F.xxhash64(salt_by if isinstance(salt_by, Column) else F.col(salt_by))
+    )
+    salted_fact = fact.withColumn(_SALT, F.pmod(salt_src, F.lit(n_salt)))
+    replicated_dim = dim.withColumn(
+        _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)).cast("array<long>"))
+    )
+    return (
+        salted_fact.join(
+            replicated_dim, on & (salted_fact[_SALT] == replicated_dim[_SALT]), how
         )
-    if salt_source is None:
-        salt_source = F.hash(*[F.col(c) for c in big.columns])
-    salted_big = big.withColumn(SALT_COL, F.pmod(salt_source, F.lit(n_salts)))
-    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias(SALT_COL)
-    replicated_small = small.select("*", salts)
-    return salted_big.join(replicated_small, on=[*on, SALT_COL], how=how).drop(SALT_COL)
+        .drop(salted_fact[_SALT])
+        .drop(replicated_dim[_SALT])
+    )

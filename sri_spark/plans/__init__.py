@@ -24,5 +24,6 @@ from sri_spark.plans import (  # noqa: E402,F401
     surface_extra,
     text_extra_queries,
     text_queries,
+    timeseries_queries,
     training_queries,
 )

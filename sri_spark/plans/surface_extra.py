@@ -234,3 +234,44 @@ def scalar_subquery_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY year(o_orderdate)
         """
     )
+
+
+@register(
+    "join_skew_salted",
+    """
+    SELECT e.user_id,
+           COALESCE(c.c_mktsegment, 'SIN_SEGMENTO') AS segmento,
+           count(*) AS n_events,
+           round(sum(e.value), 2) AS total_value
+    FROM events e
+    LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join (operators/skew.py): fact side salted 8 ways on
+    event_id, dim side replicated once per salt, join on (key, salt) — a hot
+    user_id now spreads over 8 tasks instead of one. The oracle is the PLAIN
+    join: salting must be semantically invisible, and this query proves it
+    cross-engine."""
+    from sri_spark.operators.skew import salted_join
+
+    from sri_spark.sources.testdata import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+    cust = _lt(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(
+        ev,
+        cust,
+        ev["user_id"] == cust["c_custkey"],
+        n_salt=8,
+        salt_by="event_id",
+        how="left",
+    )
+    return joined.groupBy(
+        "user_id",
+        F.coalesce(F.col("c_mktsegment"), F.lit("SIN_SEGMENTO")).alias("segmento"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

@@ -13,15 +13,20 @@ from sri_spark.sources.testdata import load_table
 from sri_spark.text.analysis import (
     BPE_PATTERN,
     CJK_PATTERN,
+    EMAIL_PATTERN,
     FINGERPRINT_BASE,
     FINGERPRINT_MOD,
+    PHONE_PATTERN,
     STOPWORDS,
     TOKEN_HASH_MOD,
     bpe_tokens_col,
     doc_fingerprint,
     language_id,
+    pii_counts,
     quality_features,
     quality_score,
+    redact_pii,
+    repetition_features,
 )
 
 _TOKS_SQL = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x != '')"
@@ -113,6 +118,94 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", F.size(bpe_tokens_col(F.col("text"))).cast("long").alias("n_bpe_tokens")
+    )
+
+
+_REPETITION_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+f AS (
+  SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         CASE WHEN len(toks) > 0 THEN
+           list_max(list_transform(list_distinct(toks),
+                                   d -> len(list_filter(toks, x -> x = d))))::BIGINT
+         ELSE 0 END AS top_freq,
+         list_transform(generate_series(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i + 1]) AS g2,
+         list_transform(generate_series(1, len(toks) - 2),
+                        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS g3
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       round(CASE WHEN n_tokens > 0 THEN top_freq::DOUBLE / n_tokens ELSE 0.0 END, 6)
+         AS top_word_fraction,
+       round(CASE WHEN len(g2) > 0
+                  THEN (len(g2) - len(list_distinct(g2)))::DOUBLE / len(g2)
+                  ELSE 0.0 END, 6) AS dup_2gram_fraction,
+       round(CASE WHEN len(g3) > 0
+                  THEN (len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3)
+                  ELSE 0.0 END, 6) AS dup_3gram_fraction
+FROM f
+"""
+
+
+@register("text_repetition_stats", _REPETITION_ORACLE)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (Gopher-style filters:
+    most-common-word fraction, duplicate 2/3-gram fractions) — per-row
+    array expressions, no shuffle, no explode."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = repetition_features(F.col("text"))
+    return docs.select("doc_id", *[c.alias(n) for n, c in feats.items()])
+
+
+# synthetic deterministic contact line: the fixtures contain no PII, so the
+# query plants one email + one phone per document and the oracle must redact
+# the exact same bytes — a non-vacuous cross-engine check of the scrubber
+_PII_ORACLE = (
+    """
+WITH t AS (
+  SELECT doc_id,
+         text || ' contact doc' || CAST(doc_id AS VARCHAR)
+              || '@example.com tel +5939'
+              || lpad(CAST(doc_id % 10000000 AS VARCHAR), 7, '0') AS txt
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(txt, '"""
+    + EMAIL_PATTERN
+    + """'))::BIGINT AS n_emails,
+       len(regexp_extract_all(txt, '"""
+    + PHONE_PATTERN
+    + """'))::BIGINT AS n_phones,
+       md5(regexp_replace(regexp_replace(txt, '"""
+    + EMAIL_PATTERN
+    + """', '[EMAIL]', 'g'), '"""
+    + PHONE_PATTERN
+    + """', '[PHONE]', 'g')) AS redacted_md5
+FROM t
+"""
+)
+
+
+@register("text_pii_redact", _PII_ORACLE)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub audit: plant a deterministic synthetic contact line per
+    document (emails/phones keyed off doc_id), then count matches and hash
+    the redacted text. Regex subset chosen so Java regex (Spark) and RE2
+    (DuckDB) agree byte-for-byte."""
+    docs = load_table(spark, sf_dir, "documents")
+    synthetic = F.concat(
+        F.col("text"),
+        F.lit(" contact doc"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com tel +5939"),
+        F.lpad((F.col("doc_id") % 10_000_000).cast("string"), 7, "0"),
+    )
+    counts = pii_counts(synthetic)
+    return docs.select(
+        "doc_id",
+        *[c.alias(n) for n, c in counts.items()],
+        F.md5(redact_pii(synthetic)).alias("redacted_md5"),
     )
 
 

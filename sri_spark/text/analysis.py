@@ -34,6 +34,10 @@ FINGERPRINT_MOD = 1_000_000_007
 FINGERPRINT_BASE = 131
 TOKEN_HASH_MOD = 1_000_003
 
+# PII patterns kept to the regex subset Java regex and RE2 read identically
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\+?[0-9][0-9()-]{6,}[0-9]"
+
 
 def tokens_col(text: Column) -> Column:
     """Whitespace tokens of lower(trim(text)), empty strings removed."""
@@ -110,6 +114,72 @@ def language_id(text: Column) -> Column:
         .when(de > 0, F.lit("de"))
         .otherwise(F.lit("unknown"))
     )
+
+
+def repetition_features(text: Column) -> dict[str, Column]:
+    """Within-document repetition signals (Gopher-style quality rules):
+    most-common-word fraction and duplicate word-2/3-gram fractions. All
+    higher-order array expressions over the token array — per-row compute
+    bounded by document length, zero shuffles, whole-stage codegen.
+    Fractions use integer numerators ((total - distinct) / total) so the
+    DuckDB oracle divides the exact same integers."""
+    toks = tokens_col(text)
+    n = F.size(toks).cast("long")
+    top_freq = F.when(
+        n > 0,
+        F.array_max(
+            F.transform(
+                F.array_distinct(toks),
+                lambda d: F.size(F.filter(toks, lambda x: x == d)),
+            )
+        ),
+    ).otherwise(F.lit(0)).cast("long")
+
+    def grams(width: int) -> Column:
+        idx = F.sequence(F.lit(1), (n - (width - 1)).cast("int"))
+        return F.when(
+            n >= width,
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + off) for off in range(width)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def dup_fraction(g: Column) -> Column:
+        total = F.size(g).cast("long")
+        distinct = F.size(F.array_distinct(g)).cast("long")
+        return F.round(
+            F.when(total > 0, (total - distinct).cast("double") / total).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        )
+
+    return {
+        "n_tokens": n,
+        "top_word_fraction": F.round(
+            F.when(n > 0, top_freq.cast("double") / n).otherwise(F.lit(0.0)), 6
+        ),
+        "dup_2gram_fraction": dup_fraction(grams(2)),
+        "dup_3gram_fraction": dup_fraction(grams(3)),
+    }
+
+
+def redact_pii(text: Column) -> Column:
+    """Mask emails then phone numbers with typed placeholders — the
+    pre-training PII scrub. Plain regexp_replace: stays in codegen."""
+    redacted = F.regexp_replace(text, EMAIL_PATTERN, "[EMAIL]")
+    return F.regexp_replace(redacted, PHONE_PATTERN, "[PHONE]")
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Match counts per PII class (pre-redaction audit numbers)."""
+    return {
+        "n_emails": _count_matches(text, EMAIL_PATTERN),
+        "n_phones": _count_matches(text, PHONE_PATTERN),
+    }
 
 
 def doc_fingerprint(text: Column, *, prefix: int | None = None) -> Column:

@@ -38,10 +38,11 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    small = orders.withColumnRenamed("o_orderkey", "l_orderkey")
 
-    plain = li.join(small, "l_orderkey").collect()
-    salted = salted_join(li, small, ["l_orderkey"], n_salts=4).collect()
+    plain = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).collect()
+    salted = salted_join(
+        li, orders, li["l_orderkey"] == orders["o_orderkey"], n_salt=4
+    ).collect()
 
     key = lambda r: (r["l_orderkey"], r["l_quantity"], r["o_totalprice"])
     assert sorted(map(key, plain)) == sorted(map(key, salted))
