@@ -1,18 +1,19 @@
 """n-gram Jaccard near-duplicate pairs — the exact (quadratic-in-collisions)
 baseline that MinHash-LSH approximates.
 
-Plan shape: shingles (narrow) → self-equi-join on shingle (shuffle on the
-shingle key) → pair-count aggregate → broadcast-join per-doc shingle sizes →
-Jaccard filter. The self-join cost is bounded by shingle collision counts,
-not |docs|²; hot shingles (boilerplate) are the skew risk at scale — AQE
-skew-join handles moderate cases, MinHash-LSH is the real scale path."""
+Plan shape: hashed shingles (narrow; 8-byte keys, strings never shuffle) →
+self-equi-join on the shingle hash (shuffle on an 8-byte key) → pair-count
+aggregate → join per-doc shingle sizes → Jaccard filter. The self-join cost
+is bounded by shingle collision counts, not |docs|²; hot shingles
+(boilerplate) are the skew risk at scale — AQE skew-join handles moderate
+cases, MinHash-LSH is the real scale path."""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sri_spark.dedup.shingles import shingles_df
+from sri_spark.dedup.shingles import shingle_hashes_df
 from sri_spark.operators.caching import scoped_persist
 
 
@@ -29,32 +30,33 @@ def ngram_jaccard_pairs(
     # the shingle set feeds both join sides and the size aggregate — persist
     # so tokenize+distinct runs once (scoped: harnesses release it between
     # queries via operators.caching.unpersist_all)
-    sh = scoped_persist(shingles_df(df, text_col, id_col, n))
+    sh = scoped_persist(shingle_hashes_df(df, text_col, id_col, n))
     return jaccard_pairs_from_shingles(sh, id_col=id_col, threshold=threshold)
 
 
 def jaccard_pairs_from_shingles(
     sh: DataFrame, *, id_col: str = "doc_id", threshold: float = 0.5
 ) -> DataFrame:
-    """Jaccard pairs from a precomputed distinct (id, shingle) set — callers
-    that reuse the shingle set elsewhere (MinHash verification) pass the same
-    DataFrame, persisted once, instead of re-tokenizing per consumer.
+    """Jaccard pairs from a precomputed distinct (id, shingle_h) set —
+    callers that reuse the shingle set elsewhere (MinHash verification) pass
+    the same DataFrame, persisted once, instead of re-tokenizing per
+    consumer.
 
     Singleton shingles (in exactly one doc) cannot contribute to any
     intersection, so the self-join runs only over shared shingles — on
     natural-text corpora that drops most of the join input while leaving the
     result bit-identical (sizes still count every shingle)."""
     shared = (
-        sh.groupBy("shingle")
+        sh.groupBy("shingle_h")
         .agg(F.count("*").alias("__df"))
         .filter(F.col("__df") >= 2)
-        .select("shingle")
+        .select("shingle_h")
     )
-    sh_shared = sh.join(shared, "shingle")
-    a = sh_shared.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh_shared.select(F.col(id_col).alias("doc_b"), "shingle")
+    sh_shared = sh.join(shared, "shingle_h")
+    a = sh_shared.select(F.col(id_col).alias("doc_a"), "shingle_h")
+    b = sh_shared.select(F.col(id_col).alias("doc_b"), "shingle_h")
     inter = (
-        a.join(b, "shingle")
+        a.join(b, "shingle_h")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sri_spark.dedup.shingles import shingles_df
+from sri_spark.dedup.shingles import shingle_hashes_df
 from sri_spark.functions.hashing import md5_int
 from sri_spark.operators.caching import scoped_persist
 
@@ -39,12 +39,16 @@ def minhash_signatures(
     df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
     """One row per doc: m0..m15 minhash components."""
-    sh = shingles_df(df, text_col, id_col, n)
+    sh = shingle_hashes_df(df, text_col, id_col, n)
     return minhash_signatures_from_shingles(sh, id_col=id_col)
 
 
 def minhash_signatures_from_shingles(sh: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
-    hashed = sh.select(id_col, (md5_int(F.col("shingle")) % MINHASH_P).alias("h"))
+    """Signatures from a distinct (id, shingle_h) set — shingle_h is the
+    md5-based 60-bit hash from shingle_hashes_df, reduced mod P here so the
+    DuckDB oracle (md5_int_sql(shingle) % P over string shingles) computes
+    the identical permutation inputs."""
+    hashed = sh.select(id_col, (F.col("shingle_h") % MINHASH_P).alias("h"))
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"m{k}")
         for k, (a, b) in enumerate(MINHASH_COEFFS)
@@ -93,7 +97,7 @@ def minhash_lsh_pairs(
     the intersection, set sizes); it is persisted so the tokenize+distinct
     shuffle runs once. At 100 TB use a disk-backed storage level or a
     two-pass job that materializes shingles to parquet."""
-    sh = scoped_persist(shingles_df(df, text_col, id_col, n))
+    sh = scoped_persist(shingle_hashes_df(df, text_col, id_col, n))
     # one row per doc but referenced twice by the candidate self-join
     sig = scoped_persist(minhash_signatures_from_shingles(sh, id_col=id_col))
     buckets = _band_buckets(sig, id_col)
@@ -105,14 +109,14 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sh_a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    sh_b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    sh_a = sh.select(F.col(id_col).alias("doc_a"), "shingle_h")
+    sh_b = sh.select(F.col(id_col).alias("doc_b"), "shingle_h")
     # no forced broadcasts: candidate pairs and per-doc size tables grow with
     # the corpus, so a hard BroadcastExchange hint OOMs at the scale this
     # module targets. AQE broadcasts them when they really are small.
     inter = (
         cand.join(sh_a, "doc_a")
-        .join(sh_b, ["doc_b", "shingle"])
+        .join(sh_b, ["doc_b", "shingle_h"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_inter"))
     )

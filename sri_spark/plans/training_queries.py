@@ -91,18 +91,18 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a semi-join on the shingle key — cost scales with shingle overlap,
     never |train| x |bench|; the standard n-gram-overlap decontamination
     used for pretraining corpora."""
-    from sri_spark.dedup.shingles import shingles_df
+    from sri_spark.dedup.shingles import shingle_hashes_df
 
     docs = load_table(spark, sf_dir, "documents")
     bench_bucket = md5_int(
         F.concat(F.lit(BENCH_SALT), F.col("doc_id").cast("string"))
     ) % 100
     flagged = docs.select("doc_id", "text", (bench_bucket < BENCH_PCT).alias("is_bench"))
-    sh = shingles_df(flagged, "text", "doc_id")
+    sh = shingle_hashes_df(flagged, "text", "doc_id")
     bench_ids = flagged.filter("is_bench").select("doc_id")
-    bench_sh = sh.join(bench_ids, "doc_id", "left_semi").select("shingle").distinct()
+    bench_sh = sh.join(bench_ids, "doc_id", "left_semi").select("shingle_h").distinct()
     hits = (
-        sh.join(bench_sh, "shingle", "left_semi")
+        sh.join(bench_sh, "shingle_h", "left_semi")
         .select("doc_id")
         .distinct()
         .withColumn("__hit", F.lit(True))
