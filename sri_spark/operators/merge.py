@@ -1,0 +1,78 @@
+"""MERGE INTO semantics as a pure DataFrame transform.
+
+The reference replaces whole tables per run (WRITE_TRUNCATE,
+dags/sri_vehiculos_etl_dag.py) — at 100 TB you merge a daily batch instead
+of rewriting the table. Without a transactional table format this is the
+standard rewrite: one full outer join on the key resolves every MERGE
+branch (matched-update, not-matched-insert, matched-delete) column by
+column.
+
+Scale shape: a single shuffle on the merge key (both sides), no collect,
+no window. The source side of a daily merge is typically small relative to
+the target — AQE broadcasts it when it is; a forced hint would OOM on
+backfills where the "batch" is months of data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    *,
+    key: str | list[str],
+    update_cols: list[str] | None = None,
+    insert_not_matched: bool = True,
+    delete_condition: Column | None = None,
+) -> DataFrame:
+    """Return target MERGE source ON key.
+
+    - matched rows: `update_cols` (default: every non-key source column)
+      take the source value; other target columns are kept;
+    - unmatched source rows: inserted when `insert_not_matched` (columns
+      missing from source land as NULL);
+    - matched rows satisfying `delete_condition` (evaluated over the joined
+      row, source columns referenceable via the source DataFrame) are
+      dropped.
+
+    Both inputs must carry the key columns; source must not contain
+    duplicate keys (a 1:n merge is ill-defined — pre-aggregate the batch)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    upd = update_cols or [c for c in source.columns if c not in keys]
+    missing = [c for c in upd if c not in target.columns]
+    if missing:
+        raise ValueError(f"update_cols not in target: {missing}")
+
+    t = target.alias("t")
+    s = source.alias("s")
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & t[k].eqNullSafe(s[k])
+    joined = t.join(s, cond, "full_outer")
+
+    matched = F.lit(True)
+    for k in keys:
+        matched = matched & t[k].isNotNull() & s[k].isNotNull()
+    src_only = s[keys[0]].isNotNull() & t[keys[0]].isNull()
+
+    if delete_condition is not None:
+        joined = joined.filter(~(matched & delete_condition))
+
+    out_cols: list[Column] = []
+    for c in target.columns:
+        if c in keys:
+            out_cols.append(F.coalesce(t[c], s[c]).alias(c))
+        elif c in upd and c in source.columns:
+            # matched -> source value; source-only insert -> source value;
+            # target-only -> target value
+            out_cols.append(
+                F.when(matched | src_only, s[c]).otherwise(t[c]).alias(c)
+            )
+        else:
+            out_cols.append(t[c].alias(c))
+    if not insert_not_matched:
+        joined = joined.filter(~src_only)
+    return joined.select(*out_cols)

@@ -26,4 +26,5 @@ from sri_spark.plans import (  # noqa: E402,F401
     text_queries,
     timeseries_queries,
     training_queries,
+    warehouse_queries,
 )

@@ -1,0 +1,209 @@
+"""Warehouse-lifecycle operators the reference's truncate-and-replace star
+schema needs at scale: SCD2 history build, MERGE-style incremental upsert,
+and one-pass column profiling (the data-quality probe run before loads;
+reference analog: the notebook's exploratory df.info()/describe pass).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sri_spark.plans.registry import register
+from sri_spark.sources.testdata import load_table
+
+
+@register(
+    "scd2_user_event_type",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR event_type IS DISTINCT FROM lag(event_type) OVER w
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    versioned AS (
+      SELECT user_id, ts, event_type,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                            ROWS UNBOUNDED PRECEDING) AS version
+      FROM flagged
+    ),
+    intervals AS (
+      SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+             min(ts) AS vf
+      FROM versioned GROUP BY user_id, version, event_type
+    )
+    SELECT user_id, event_type, version,
+           strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(lead(vf) OVER v, '%Y-%m-%d %H:%M:%S') AS valid_to,
+           (lead(vf) OVER v IS NULL) AS is_current
+    FROM intervals
+    WINDOW v AS (PARTITION BY user_id ORDER BY version)
+    """,
+)
+def scd2_user_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 build (operators/scd.py): the events stream as a change
+    log of each user's event_type — consecutive identical values collapse
+    into one versioned validity interval, open-ended on the current row.
+    Windows follow the events ordering contract (Spark sorts the
+    µs-truncated ts, the oracle sorts epoch_us(ts), tie-broken by
+    event_id)."""
+    from sri_spark.operators.scd import scd2_from_changelog
+
+    ev = load_table(spark, sf_dir, "events")
+    scd = scd2_from_changelog(
+        ev.select("user_id", "ts", "event_type", "event_id"),
+        key="user_id",
+        attrs=["event_type"],
+        ts_col="ts",
+        tie_breaker="event_id",
+    )
+    return scd.select(
+        "user_id",
+        "event_type",
+        "version",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "is_current",
+    )
+
+
+MERGE_NEW_KEY_OFFSET = 10_000_000
+MERGE_NEW_KEY_MOD = 97
+
+
+@register(
+    "merge_upsert_customers",
+    f"""
+    WITH src AS (
+      SELECT o_custkey AS c_custkey,
+             round(sum(o_totalprice), 2) AS c_acctbal,
+             'ACTUALIZADO' AS c_mktsegment
+      FROM orders GROUP BY 1
+      UNION ALL
+      SELECT c_custkey + {MERGE_NEW_KEY_OFFSET}, 0.0, 'NUEVO'
+      FROM customer WHERE c_custkey % {MERGE_NEW_KEY_MOD} = 0
+    )
+    SELECT COALESCE(t.c_custkey, s.c_custkey) AS c_custkey,
+           t.c_name AS c_name,
+           t.c_nationkey AS c_nationkey,
+           round(CASE WHEN s.c_custkey IS NOT NULL
+                      THEN s.c_acctbal ELSE t.c_acctbal END, 2) AS c_acctbal,
+           CASE WHEN s.c_custkey IS NOT NULL
+                THEN s.c_mktsegment ELSE t.c_mktsegment END AS c_mktsegment
+    FROM customer t FULL JOIN src s ON t.c_custkey = s.c_custkey
+    """,
+)
+def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MERGE (operators/merge.py): a daily batch — per-customer
+    order totals plus a slice of brand-new keys — upserts into the customer
+    dimension. Matched rows take the batch's balance/segment, unmatched
+    batch rows insert (missing attributes NULL), untouched customers pass
+    through. One shuffle on the key; the oracle is the equivalent FULL
+    JOIN resolution."""
+    from sri_spark.operators.merge import merge_upsert
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    updates = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("c_acctbal"),
+        F.lit("ACTUALIZADO").alias("c_mktsegment"),
+    )
+    inserts = cust.filter(F.col("c_custkey") % MERGE_NEW_KEY_MOD == 0).select(
+        (F.col("c_custkey") + MERGE_NEW_KEY_OFFSET).alias("c_custkey"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NUEVO").alias("c_mktsegment"),
+    )
+    merged = merge_upsert(
+        cust,
+        updates.unionByName(inserts),
+        key="c_custkey",
+        update_cols=["c_acctbal", "c_mktsegment"],
+    )
+    return merged.withColumn("c_acctbal", F.round("c_acctbal", 2))
+
+
+_PROFILE_NUM = ["o_orderkey", "o_custkey", "o_totalprice"]
+_PROFILE_STR = ["o_orderstatus", "o_orderpriority"]
+_PROFILE_TS = ["o_orderdate"]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in _PROFILE_NUM:
+        parts.append(
+            f"""SELECT '{c}' AS col_name, count(*) AS n_rows,
+            count(*) - count({c}) AS n_nulls,
+            count(DISTINCT {c}) AS n_distinct,
+            round(min({c})::DOUBLE, 6) AS min_num,
+            round(max({c})::DOUBLE, 6) AS max_num,
+            NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str
+            FROM orders"""
+        )
+    for c in _PROFILE_STR:
+        parts.append(
+            f"""SELECT '{c}', count(*), count(*) - count({c}),
+            count(DISTINCT {c}), NULL::DOUBLE, NULL::DOUBLE,
+            min({c}), max({c}) FROM orders"""
+        )
+    for c in _PROFILE_TS:
+        parts.append(
+            f"""SELECT '{c}', count(*), count(*) - count({c}),
+            count(DISTINCT {c}), NULL::DOUBLE, NULL::DOUBLE,
+            strftime(min({c}), '%Y-%m-%d'), strftime(max({c}), '%Y-%m-%d')
+            FROM orders"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register("profile_orders_columns", _profile_oracle())
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler: per-column null count, exact distinct
+    count, and typed min/max, computed in a SINGLE aggregate over one scan
+    (Catalyst plans the multi-distinct via expand), then unpivoted to one
+    row per column driver-side-free with explode of a literal struct array.
+    The profile every load job runs before writing; at 100 TB swap exact
+    distincts for approx_count_distinct."""
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in _PROFILE_NUM + _PROFILE_STR + _PROFILE_TS:
+        aggs += [
+            F.count(c).alias(f"{c}__nn"),
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+        ]
+    one = orders.agg(*aggs)
+
+    def entry(c: str, kind: str):
+        base = {
+            "col_name": F.lit(c),
+            "n_rows": F.col("__n"),
+            "n_nulls": (F.col("__n") - F.col(f"{c}__nn")).cast("long"),
+            "n_distinct": F.col(f"{c}__nd").cast("long"),
+        }
+        if kind == "num":
+            base["min_num"] = F.round(F.col(f"{c}__min").cast("double"), 6)
+            base["max_num"] = F.round(F.col(f"{c}__max").cast("double"), 6)
+            base["min_str"] = F.lit(None).cast("string")
+            base["max_str"] = F.lit(None).cast("string")
+        else:
+            base["min_num"] = F.lit(None).cast("double")
+            base["max_num"] = F.lit(None).cast("double")
+            fmt = (
+                (lambda x: F.date_format(x, "yyyy-MM-dd"))
+                if kind == "ts"
+                else (lambda x: x.cast("string"))
+            )
+            base["min_str"] = fmt(F.col(f"{c}__min"))
+            base["max_str"] = fmt(F.col(f"{c}__max"))
+        return F.struct(*[v.alias(k) for k, v in base.items()])
+
+    entries = (
+        [entry(c, "num") for c in _PROFILE_NUM]
+        + [entry(c, "str") for c in _PROFILE_STR]
+        + [entry(c, "ts") for c in _PROFILE_TS]
+    )
+    return one.select(F.explode(F.array(*entries)).alias("p")).select("p.*")
