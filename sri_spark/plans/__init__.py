@@ -16,6 +16,7 @@ __all__ = ["QUERIES", "ORACLES", "register", "all_queries", "all_oracles"]
 # extension families are mandatory — import errors must surface, not
 # silently shrink the registry
 from sri_spark.plans import (  # noqa: E402,F401
+    embedding_queries,
     curation_queries,
     dedup_queries,
     events_queries,

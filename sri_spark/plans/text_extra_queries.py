@@ -136,3 +136,92 @@ def dedup_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_docs"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+VOCAB_MIN_COUNT = 20
+TOP_BIGRAMS = 100
+
+_TOKS = (
+    "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x != '')"
+)
+
+_VOCAB_ORACLE = f"""
+WITH counts AS (
+  SELECT tok AS token, count(*) AS cnt
+  FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+  GROUP BY 1 HAVING count(*) >= {VOCAB_MIN_COUNT}
+)
+SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS vocab_id,
+       token, cnt
+FROM counts
+"""
+
+
+@register("text_vocabulary_build", _VOCAB_ORACLE)
+def text_vocabulary_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: token frequencies with a min-count cutoff, ids
+    assigned by (count desc, token) rank. The global row_number sort runs
+    on the POST-cutoff aggregate — vocabulary-sized (≤ a few million rows
+    at 100 TB), not corpus-sized — so the single-partition window is safe;
+    the corpus-sized work is one explode + hash aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= VOCAB_MIN_COUNT)
+    )
+    w = Window.orderBy(F.col("cnt").desc(), "token")
+    return counts.select(
+        F.row_number().over(w).cast("long").alias("vocab_id"), "token", "cnt"
+    )
+
+
+_BIGRAM_ORACLE = f"""
+WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+grams AS (
+  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM t
+),
+counts AS (SELECT bigram, count(*) AS cnt FROM grams GROUP BY 1),
+ranked AS (
+  SELECT bigram, cnt,
+         row_number() OVER (ORDER BY cnt DESC, bigram) AS rk
+  FROM counts
+)
+SELECT CAST(rk AS BIGINT) AS rk, bigram, cnt FROM ranked WHERE rk <= {TOP_BIGRAMS}
+"""
+
+
+@register("text_top_bigrams", _BIGRAM_ORACLE)
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-100 word bigrams (boilerplate detector / language-
+    model n-gram table). Bigrams are generated per-row with transform over
+    the token array (no self-join), counted with one hash aggregate; the
+    top-k lands in TakeOrderedAndProject via the tie-broken window +
+    filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    n = F.size(toks)
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), (n - 1).cast("int")),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        docs.select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), "bigram")
+    return (
+        counts.select(
+            F.row_number().over(w).cast("long").alias("rk"), "bigram", "cnt"
+        )
+        .filter(F.col("rk") <= TOP_BIGRAMS)
+    )
