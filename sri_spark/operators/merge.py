@@ -27,11 +27,15 @@ def merge_upsert(
     update_cols: list[str] | None = None,
     insert_not_matched: bool = True,
     delete_condition: Column | None = None,
+    update_condition: Column | None = None,
 ) -> DataFrame:
     """Return target MERGE source ON key.
 
     - matched rows: `update_cols` (default: every non-key source column)
-      take the source value; other target columns are kept;
+      take the source value; other target columns are kept. With
+      `update_condition` (WHEN MATCHED AND <cond>), matched rows failing
+      the condition keep their target values — the latest-wins guard an
+      out-of-order incremental load needs;
     - unmatched source rows: inserted when `insert_not_matched` (columns
       missing from source land as NULL);
     - matched rows satisfying `delete_condition` (evaluated over the joined
@@ -53,13 +57,21 @@ def merge_upsert(
         cond = cond & t[k].eqNullSafe(s[k])
     joined = t.join(s, cond, "full_outer")
 
-    matched = F.lit(True)
+    matched_keys = F.lit(True)
     for k in keys:
-        matched = matched & t[k].isNotNull() & s[k].isNotNull()
+        matched_keys = matched_keys & t[k].isNotNull() & s[k].isNotNull()
+    # the update branch may be narrowed (WHEN MATCHED AND cond); the delete
+    # branch always sees every key-matched row, mirroring SQL MERGE where
+    # each WHEN MATCHED clause carries its own condition
+    matched = (
+        matched_keys & update_condition
+        if update_condition is not None
+        else matched_keys
+    )
     src_only = s[keys[0]].isNotNull() & t[keys[0]].isNull()
 
     if delete_condition is not None:
-        joined = joined.filter(~(matched & delete_condition))
+        joined = joined.filter(~(matched_keys & delete_condition))
 
     out_cols: list[Column] = []
     for c in target.columns:

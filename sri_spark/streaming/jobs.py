@@ -88,7 +88,11 @@ def dedupe_events_stream(events: DataFrame, *, watermark: str = "1 hour") -> Dat
 
 
 def click_view_interval_join(
-    clicks: DataFrame, views: DataFrame, *, watermark: str = "2 hours"
+    clicks: DataFrame,
+    views: DataFrame,
+    *,
+    watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Pair every click with the same user's views from the preceding hour —
     a time-interval join. One definition, two runtimes: on batch inputs it is
@@ -96,6 +100,11 @@ def click_view_interval_join(
     watermarks plus the two-sided time bound let Spark expire join state, so
     each side buffers only ~watermark worth of rows per key (the unbounded
     state a condition-free stream-stream join would otherwise need).
+
+    how="left_outer" additionally emits view-less clicks; in streaming they
+    surface only once the watermark passes the click's match window (Spark
+    must prove no matching view can still arrive), so a terminal batch is
+    needed to flush the tail — see the sentinel pattern in the tests.
 
     Inputs must carry (click_id, click_ts, user_id) / (view_id, view_ts,
     v_user_id) — see prepare_click_view_streams.
@@ -108,7 +117,7 @@ def click_view_interval_join(
         & (views["view_ts"] <= clicks["click_ts"])
         & (views["view_ts"] >= clicks["click_ts"] - F.expr("INTERVAL 1 HOUR"))
     )
-    return clicks.join(views, cond, "inner").select(
+    return clicks.join(views, cond, how).select(
         "click_id",
         "view_id",
         "user_id",
@@ -249,3 +258,70 @@ def run_windowed_stream(
     )
     query.awaitTermination()
     return spark.table(query_name)
+
+
+def latest_event_per_user(events: DataFrame) -> DataFrame:
+    """Per-user latest event (max ts, ties by event_id) — one definition
+    for the batch twin and the per-micro-batch increment. max_by keeps it
+    a single hash aggregate (partial + final), no window."""
+    tie = F.struct(F.col("ts"), F.col("event_id"))
+    return events.groupBy("user_id").agg(
+        F.max_by(F.col("event_id"), tie).alias("event_id"),
+        F.max(F.col("ts")).alias("ts"),
+        F.max_by(F.col("event_type"), tie).alias("event_type"),
+        F.max_by(F.col("value"), tie).alias("value"),
+    )
+
+
+def run_foreach_batch_merge_stream(
+    spark: SparkSession,
+    events_dir: str,
+    target_dir: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """foreachBatch incremental sink: maintain a per-user latest-event
+    table by MERGE-ing each micro-batch into a parquet target
+    (operators/merge.py). The latest-wins update condition makes replays
+    and out-of-order batches idempotent — the pattern for exactly-once
+    semantics onto a non-transactional store (at-least-once foreachBatch ×
+    idempotent merge). A production deployment swaps the
+    overwrite-a-directory step for a transactional table format commit.
+
+    Returns the final merged table."""
+    from sri_spark.operators.merge import merge_upsert
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        batch_latest = latest_event_per_user(batch_df)
+        try:
+            current = spark.read.parquet(target_dir)
+            has_target = True
+        except Exception:
+            has_target = False
+        if has_target:
+            newer = (F.col("s.ts") > F.col("t.ts")) | (
+                (F.col("s.ts") == F.col("t.ts"))
+                & (F.col("s.event_id") >= F.col("t.event_id"))
+            )
+            merged = merge_upsert(
+                current,
+                batch_latest,
+                key="user_id",
+                update_condition=newer,
+            )
+            # materialize before overwriting the directory being read
+            rows = merged.persist()
+            rows.count()
+            rows.write.mode("overwrite").parquet(target_dir)
+            rows.unpersist()
+        else:
+            batch_latest.write.mode("overwrite").parquet(target_dir)
+
+    stream = read_events_stream(spark, events_dir)
+    q = (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(target_dir)

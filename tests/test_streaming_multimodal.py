@@ -169,3 +169,43 @@ def test_interval_join_stream_equals_batch(spark, sf_dir, tmp_path):
     key = lambda r: (r["click_id"], r["view_id"], r["user_id"], r["lag_us"])
     assert sorted(map(key, streamed)) == sorted(map(key, batch))
     assert len(batch) > 0
+
+
+def test_foreach_batch_merge_latest_per_user(spark, sf_dir, tmp_path):
+    """Two micro-batches (second one entirely out-of-order: earlier
+    timestamps) merge into the same per-user latest table the batch twin
+    computes — the latest-wins update condition absorbs the disorder."""
+    from sri_spark.streaming.jobs import (
+        latest_event_per_user,
+        run_foreach_batch_merge_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = ev.select(F.percentile_approx("ts", 0.5)).first()[0]
+    events_dir = tmp_path / "events_merge"
+    events_dir.mkdir()
+    # file 1 = LATE half, file 2 = EARLY half -> batch 2 must not clobber.
+    # The file source does not recurse, so move each part file up flat.
+    for name, pred in [
+        ("0-late", F.timestamp_micros(F.expr("ts div 1000")) > cutoff),
+        ("1-early", F.timestamp_micros(F.expr("ts div 1000")) <= cutoff),
+    ]:
+        out = tmp_path / f"half_{name}"
+        spark.read.parquet(f"{sf_dir}/events.parquet").filter(pred).coalesce(
+            1
+        ).write.parquet(str(out))
+        part = next(out.glob("part-*.parquet"))
+        shutil.copy(part, events_dir / f"{name}.parquet")
+
+    merged = run_foreach_batch_merge_stream(
+        spark,
+        str(events_dir),
+        str(tmp_path / "target"),
+        str(tmp_path / "ckpt_merge"),
+    )
+    batch = latest_event_per_user(ev)
+
+    key = lambda r: (r["user_id"], r["event_id"], r["ts"], r["event_type"])
+    got = sorted(map(key, merged.collect()))
+    want = sorted(map(key, batch.collect()))
+    assert got == want and len(got) > 0
