@@ -1,7 +1,13 @@
 """Business metrics (reference dags/sri_vehiculos_etl_dag.py:762-844) —
 the three grouped rollups, as DataFrames over the in-session star tables.
-Each is fact ⋈ broadcast(dim) → partial+final hash aggregate → top-k via
-TakeOrderedAndProject."""
+Each is fact ⋈ dim → partial+final hash aggregate → top-k via
+TakeOrderedAndProject.
+
+Broadcast policy: bounded dims (dim_tiempo is calendar-bounded — one row per
+day; dim_ubicacion is the fixed 17-canton map) carry explicit broadcast
+hints. dim_vehiculo grows with the data (331k rows from a 460k-row input in
+the reference run) so its join strategy is AQE-decided — broadcast at runtime
+only when genuinely under the threshold."""
 
 from __future__ import annotations
 
@@ -29,7 +35,7 @@ def metricas_por_marca(tables: dict[str, DataFrame]) -> DataFrame:
     """Reference :788-798 (top-10 marcas by count)."""
     fact, veh = tables["fact_registro_vehiculos"], tables["dim_vehiculo"]
     return (
-        fact.join(F.broadcast(veh.select("ID_Vehiculo", "Marca")), "ID_Vehiculo")
+        fact.join(veh.select("ID_Vehiculo", "Marca"), "ID_Vehiculo")
         .groupBy("Marca")
         .agg(
             F.count("*").alias("total_registros"),

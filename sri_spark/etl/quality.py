@@ -82,10 +82,11 @@ def quality_report(
     ).first().asDict()
 
     # referential-integrity probe: 4-way inner star join count (:735-748);
-    # every dim is broadcast, the fact never shuffles
+    # bounded dims (tiempo/transaccion/ubicacion) are hint-broadcast;
+    # dim_vehiculo grows with the data, so AQE decides its join strategy
     ri = (
         fact.join(F.broadcast(t["dim_tiempo"].select("ID_Tiempo")), "ID_Tiempo")
-        .join(F.broadcast(t["dim_vehiculo"].select("ID_Vehiculo")), "ID_Vehiculo")
+        .join(t["dim_vehiculo"].select("ID_Vehiculo"), "ID_Vehiculo")
         .join(F.broadcast(t["dim_transaccion"].select("ID_Transaccion")), "ID_Transaccion")
         .join(F.broadcast(t["dim_ubicacion"].select("ID_Ubicacion")), "ID_Ubicacion")
         .count()

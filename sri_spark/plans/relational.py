@@ -299,15 +299,19 @@ def distinct_single_notnull(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_left_single(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact->dim left lookup joins. Both dims are broadcast (they are tiny
-    relative to the fact side), so the fact never shuffles."""
+    """Fact->dim left lookup joins.
+
+    Broadcast policy (scale-aware): ``nation`` is a fixed-cardinality dim
+    (25 rows at any SF) so it carries an explicit broadcast hint. ``customer``
+    grows linearly with SF — forcing a broadcast would become a driver/executor
+    OOM hazard at 100x — so its strategy is left to AQE, which picks a
+    broadcast join at runtime when the side is genuinely under the threshold
+    and a shuffle join otherwise."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     return (
-        orders.join(
-            F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left"
-        )
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left")
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "left")
         .select(
             "o_orderkey",
@@ -363,8 +367,13 @@ def join_left_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def star_integrity_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """4-way inner star join, count(*) — the data-quality RI probe. Catalyst
-    broadcasts every dim; the only wide operation is the final count."""
+    """4-way inner star join, count(*) — the data-quality RI probe.
+
+    Fixed-size dims (nation 25 rows, region 5 rows) are hint-broadcast;
+    ``customer`` grows with SF so AQE decides its join strategy at runtime —
+    a hard-coded BroadcastExchange on an unbounded-cardinality input is the
+    100 TB OOM pattern this engine avoids. The only guaranteed wide ops are
+    the lineitem⋈orders shuffle and the final count."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -372,7 +381,7 @@ def star_integrity_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region")
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
@@ -479,12 +488,13 @@ def metrics_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def metrics_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact ⋈ one dim, grouped count + revenue, top-10 (the 'por marca'
-    metric). The dim is broadcast; TakeOrderedAndProject does the top-k
-    without a global sort."""
+    metric). ``part`` grows with SF, so its join strategy is AQE-decided
+    (broadcast when small enough, shuffle otherwise) instead of hint-forced;
+    TakeOrderedAndProject does the top-k without a global sort."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy(F.col("p_brand").alias("Marca"))
         .agg(
             F.count("*").alias("total_registros"),
@@ -513,7 +523,9 @@ def metrics_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def metrics_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite-key grouped rollup over a geography hierarchy (the 'por
-    provincia' metric, reference :803-814)."""
+    provincia' metric, reference :803-814). Both broadcast hints here are on
+    fixed-cardinality dims (nation 25 rows, region 5 rows at any SF) —
+    safe forever, unlike SF-growing customer/part which are AQE-decided."""
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
@@ -576,10 +588,12 @@ def flagship_star_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query (SURVEY §7.2): star rollup by (year, nation,
     segment) with count + avg/sum revenue, top-10 by count.
 
-    Physical shape at scale: lineitem⋈orders is the only big join (both sides
-    shuffle on orderkey, or co-located if the lake buckets both by orderkey);
-    customer/nation broadcast; aggregation is partial (map-side) then final on
-    the 3 group keys; top-10 via TakeOrderedAndProject.
+    Physical shape at scale: lineitem⋈orders is the only guaranteed big join
+    (both sides shuffle on orderkey, or co-located if the lake buckets both by
+    orderkey); fixed-size ``nation`` is hint-broadcast, SF-growing ``customer``
+    is AQE-decided (broadcast only when genuinely small); aggregation is
+    partial (map-side) then final on the 3 group keys; top-10 via
+    TakeOrderedAndProject.
     """
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
@@ -588,7 +602,7 @@ def flagship_star_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy(
             F.year("o_orderdate").cast("long").alias("Anio"),
