@@ -64,6 +64,7 @@ def write_star(
     out_dir: str,
     *,
     partition_fact_by_year: bool = True,
+    clustering_fields: tuple[str, ...] = ("Anio", "Marca"),
     fmt: str = "parquet",
 ) -> None:
     """Persist the star — truncate-load semantics (mode='overwrite', the
@@ -75,11 +76,27 @@ def write_star(
     `project.dataset`; needs the connector jar + GCP credentials, so tests
     exercise it through a registered connector-shaped fake instead).
 
-    `partition_fact_by_year` activates the physical design the reference
-    declared but never used (config/variables.yaml:18-19, SURVEY §1.3 Q6):
-    the fact is partitioned by Anio (via its tiempo FK) and sorted within
-    partitions by Marca-equivalent clustering keys downstream engines can
-    exploit for partition pruning.
+    `partition_fact_by_year` + `clustering_fields` activate the physical
+    design the reference declared but never consumed
+    (config/variables.yaml:18-19 `clustering_fields: ["Anio", "Marca"]`,
+    `partitioning_field`; the DAG at dags/sri_vehiculos_etl_dag.py never
+    reads either — SURVEY §1.3 Q6). The Spark-lake equivalent of BigQuery's
+    date-partition + clustering:
+
+    - **Partition** the fact by ``Anio`` (the year of its tiempo FK) —
+      directory-level partition pruning, so a year-filtered scan at 100 TB
+      touches only that year's files (PartitionFilters in the scan node).
+    - **Cluster** within each partition by the remaining clustering fields
+      (``Marca``, denormalized from dim_vehiculo exactly as BigQuery
+      clustering requires the column in the table): rows are range-routed on
+      (Anio, Marca) and sorted within every output file, so parquet
+      row-group min/max stats make brand-filtered scans skip row groups.
+
+    Scale shape: one range shuffle (`repartitionByRange` samples boundaries,
+    so hot years split across many tasks instead of one file per year) + a
+    per-task sort; the Marca lookup join is AQE-decided (dim_vehiculo grows
+    with the data — 331k rows from the reference's 460k-row input — so no
+    forced broadcast).
     """
     from sri_spark.sources.sinks import get_sink
 
@@ -90,6 +107,15 @@ def write_star(
             df = (
                 df.join(F.broadcast(anio), "ID_Tiempo", "left").na.fill({"Anio": 0})
             )
+            cluster = [c for c in clustering_fields if c != "Anio"]
+            if "Marca" in cluster and "Marca" not in df.columns:
+                marca = tables["dim_vehiculo"].select("ID_Vehiculo", "Marca")
+                df = df.join(marca, "ID_Vehiculo", "left")
+            cluster = [c for c in cluster if c in df.columns]
+            if cluster:
+                df = df.repartitionByRange("Anio", *cluster).sortWithinPartitions(
+                    "Anio", *cluster
+                )
             writer = df.write.mode("overwrite").partitionBy("Anio")
         else:
             writer = df.write.mode("overwrite")
