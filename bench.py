@@ -48,6 +48,45 @@ HEADLINE = [
 ]
 
 
+def sri_etl_replay(spark) -> dict:
+    """BASELINE.md's one reference-derived target: the full 5-table star
+    build over a production-scale SRI-shaped CSV (460,550 rows, vehicle-code
+    pool sized so dim_vehiculo lands at the reference's recorded ~331k
+    distinct combos). The reference's recorded per-dim work totalled ≈41 s
+    (Colab, pandas + BigQuery round-trips) and its fact task never completed;
+    the replay times read_csv → 4 dims → fact → partitioned/clustered star
+    write, end to end, on local parquet."""
+    import shutil
+
+    from sri_spark.etl import EtlConfig, run_pipeline
+    from sri_spark.etl.pipeline import write_star
+    from tests.sri_fixture import write_sri_csv
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+    os.makedirs(cache, exist_ok=True)
+    csv_path = os.path.join(cache, "sri_460k.csv")
+    if not os.path.exists(csv_path):
+        write_sri_csv(csv_path, n=460550, seed=20250702, n_codes=660000)
+    out_dir = os.path.join(cache, "sri_star_out")
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    t0 = time.perf_counter()
+    tables = run_pipeline(spark, csv_path, EtlConfig(mode="fixed"))
+    write_star(tables, out_dir)
+    elapsed = time.perf_counter() - t0
+    n_fact = spark.read.parquet(
+        os.path.join(out_dir, "fact_registro_vehiculos")
+    ).count()
+    n_veh = tables["dim_vehiculo"].count()
+    spark.catalog.clearCache()  # releases the 5 star tables AND the src scan
+    return {
+        "sec": round(elapsed, 4),
+        "fact_rows": n_fact,
+        "dim_vehiculo_rows": n_veh,
+        "source_rows": 460550,
+    }
+
+
 def main() -> None:
     from sri_spark.plans import all_queries
     from sri_spark.session import get_spark
@@ -72,6 +111,11 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
         unpersist_all()  # release per-query scoped caches (dedup shingles etc.)
 
+    # production-scale ETL replay (BASELINE.md's reference-derived target);
+    # runs after the timed query pass so it never contends with it. Kept out
+    # of the headline total so `value` stays comparable across rounds.
+    replay = sri_etl_replay(spark)
+
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
     print(
@@ -82,6 +126,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "sri_etl_replay": replay,
             }
         )
     )

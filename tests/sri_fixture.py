@@ -34,11 +34,20 @@ SERVICIOS = ["PAR", "ALQ"]
 PERSONAS = ["NATURAL", "JURIDICA"]
 
 
-def generate_sri_rows(n: int = 2000, seed: int = 42) -> list[list]:
+def generate_sri_rows(
+    n: int = 2000, seed: int = 42, n_codes: int | None = None
+) -> list[list]:
+    """`n_codes` controls vehicle-code cardinality. Default (None) keeps the
+    small-fixture shape (~300 codes → duplicate codes, small dim_vehiculo).
+    The production replay bench passes a large pool so the vehicle dim comes
+    out at the reference's recorded shape — 331,160 distinct combos from
+    460,550 rows (BASELINE.md): a ~660k-code pool drawn 460,550 times leaves
+    ≈331k distinct codes present (coupon-collector expectation)."""
     rng = random.Random(seed)
+    code_pool = n_codes if n_codes is not None else 300
     rows = []
     for i in range(n):
-        codigo = 1000 + rng.randrange(300)  # ~300 codes over n rows → dup codes
+        codigo = 1000 + rng.randrange(code_pool)
         # vehicle attributes are a deterministic function of the code so the
         # vehicle dim stays ~1:1 per code (the real data's shape: 883 combos /
         # 882 codes); targeted fan-out rows are injected below
@@ -93,8 +102,10 @@ def generate_sri_rows(n: int = 2000, seed: int = 42) -> list[list]:
     return rows
 
 
-def write_sri_csv(path: str, n: int = 2000, seed: int = 42) -> None:
+def write_sri_csv(
+    path: str, n: int = 2000, seed: int = 42, n_codes: int | None = None
+) -> None:
     with open(path, "w", newline="", encoding="utf-8") as f:
         w = csv.writer(f)
         w.writerow(HEADER)
-        w.writerows(generate_sri_rows(n, seed))
+        w.writerows(generate_sri_rows(n, seed, n_codes))
