@@ -24,18 +24,26 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for all pairs with Jaccard >= threshold over
-    word n-gram shingle sets; doc_a < doc_b."""
+    word n-gram shingle sets; doc_a < doc_b. See
+    `jaccard_pairs_from_shingles` for `max_df` (hot-shingle cap)."""
     # the shingle set feeds both join sides and the size aggregate — persist
     # so tokenize+distinct runs once (scoped: harnesses release it between
     # queries via operators.caching.unpersist_all)
     sh = scoped_persist(shingle_hashes_df(df, text_col, id_col, n))
-    return jaccard_pairs_from_shingles(sh, id_col=id_col, threshold=threshold)
+    return jaccard_pairs_from_shingles(
+        sh, id_col=id_col, threshold=threshold, max_df=max_df
+    )
 
 
 def jaccard_pairs_from_shingles(
-    sh: DataFrame, *, id_col: str = "doc_id", threshold: float = 0.5
+    sh: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Jaccard pairs from a precomputed distinct (id, shingle_h) set —
     callers that reuse the shingle set elsewhere (MinHash verification) pass
@@ -45,13 +53,20 @@ def jaccard_pairs_from_shingles(
     Singleton shingles (in exactly one doc) cannot contribute to any
     intersection, so the self-join runs only over shared shingles — on
     natural-text corpora that drops most of the join input while leaving the
-    result bit-identical (sizes still count every shingle)."""
-    shared = (
-        sh.groupBy("shingle_h")
-        .agg(F.count("*").alias("__df"))
-        .filter(F.col("__df") >= 2)
-        .select("shingle_h")
-    )
+    result bit-identical (sizes still count every shingle).
+
+    `max_df` is the standard hot-shingle guard that bounds the quadratic
+    blowup: shingles appearing in more than `max_df` documents (boilerplate —
+    headers, license text, navigation chrome) are EXCLUDED from the
+    intersection join, capping the join's output at C(max_df, 2) pairs per
+    shingle regardless of corpus size. Sizes still count every shingle, so
+    capped Jaccard is a lower bound of exact Jaccard: the tradeoff is recall
+    on pairs whose overlap is carried by boilerplate (which are usually the
+    pairs you don't want to call near-duplicates anyway). `None` = exact."""
+    shared = sh.groupBy("shingle_h").agg(F.count("*").alias("__df"))
+    if max_df is not None:
+        shared = shared.filter(F.col("__df") <= max_df)
+    shared = shared.filter(F.col("__df") >= 2).select("shingle_h")
     sh_shared = sh.join(shared, "shingle_h")
     a = sh_shared.select(F.col(id_col).alias("doc_a"), "shingle_h")
     b = sh_shared.select(F.col(id_col).alias("doc_b"), "shingle_h")

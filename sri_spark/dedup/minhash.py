@@ -43,16 +43,25 @@ def minhash_signatures(
     return minhash_signatures_from_shingles(sh, id_col=id_col)
 
 
-def minhash_signatures_from_shingles(sh: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+def minhash_signatures_from_shingles(
+    sh: DataFrame, *, id_col: str = "doc_id", with_size: bool = False
+) -> DataFrame:
     """Signatures from a distinct (id, shingle_h) set — shingle_h is the
     md5-based 60-bit hash from shingle_hashes_df, reduced mod P here so the
     DuckDB oracle (md5_int_sql(shingle) % P over string shingles) computes
-    the identical permutation inputs."""
+    the identical permutation inputs.
+
+    `with_size` adds an `ns` column (distinct-shingle count per doc) to the
+    same aggregate — callers that need set sizes downstream (exact-Jaccard
+    verification) get them for free instead of paying a second full
+    shuffle+aggregate over the shingle set."""
     hashed = sh.select(id_col, (F.col("shingle_h") % MINHASH_P).alias("h"))
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"m{k}")
         for k, (a, b) in enumerate(MINHASH_COEFFS)
     ]
+    if with_size:
+        aggs.append(F.count("*").alias("ns"))
     return hashed.groupBy(id_col).agg(*aggs)
 
 
@@ -98,8 +107,12 @@ def minhash_lsh_pairs(
     shuffle runs once. At 100 TB use a disk-backed storage level or a
     two-pass job that materializes shingles to parquet."""
     sh = scoped_persist(shingle_hashes_df(df, text_col, id_col, n))
-    # one row per doc but referenced twice by the candidate self-join
-    sig = scoped_persist(minhash_signatures_from_shingles(sh, id_col=id_col))
+    # one row per doc but referenced four times (both self-join sides, both
+    # size lookups); ns rides along in the same aggregate so the set-size
+    # pass over the full shingle table never runs as a separate shuffle
+    sig = scoped_persist(
+        minhash_signatures_from_shingles(sh, id_col=id_col, with_size=True)
+    )
     buckets = _band_buckets(sig, id_col)
     left = buckets.select(F.col(id_col).alias("doc_a"), "band", "bucket")
     right = buckets.select(F.col(id_col).alias("doc_b"), "band", "bucket")
@@ -120,7 +133,7 @@ def minhash_lsh_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_inter"))
     )
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("ns"))
+    sizes = sig.select(id_col, "ns")
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("ns").alias("na"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("ns").alias("nb"))
     return (

@@ -1,15 +1,29 @@
 """Word n-gram shingling shared by the Jaccard and MinHash dedup paths.
 
-Narrow per-row generate (explode) — the only wide operation downstream is
+Fully NARROW: shingles are built, hashed, and deduplicated per document with
+array expressions (`transform` + `array_distinct`) before the explode, so
+producing the distinct (id, shingle) set costs ZERO shuffles — dedup is
+per-document by definition, and a `DataFrame.distinct()` here would shuffle
+the entire shingle multiset for nothing. The only wide operations are
 whatever the consumer groups/joins on. Documents shorter than n tokens
 produce no shingles (they can only be exact-duplicates)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from sri_spark.text.analysis import tokens_col
+
+
+def _shingle_array(n: int, value) -> Column:
+    """Array of per-doc-distinct shingle values over the `__toks` column;
+    `value(shingle_string_col) -> Column` maps each shingle string."""
+    arr = F.transform(
+        F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
+        lambda i: value(F.concat_ws(" ", F.slice(F.col("__toks"), i, n))),
+    )
+    return F.array_distinct(arr)
 
 
 def shingles_df(
@@ -20,14 +34,8 @@ def shingles_df(
     toks = df.select(F.col(id_col), tokens_col(F.col(text_col)).alias("__toks")).filter(
         F.size("__toks") >= n
     )
-    idx = F.explode(F.sequence(F.lit(1), F.size("__toks") - (n - 1))).alias("__i")
-    return (
-        toks.select(id_col, "__toks", idx)
-        .select(
-            id_col,
-            F.concat_ws(" ", F.slice(F.col("__toks"), F.col("__i"), n)).alias("shingle"),
-        )
-        .distinct()
+    return toks.select(
+        id_col, F.explode(_shingle_array(n, lambda s: s)).alias("shingle")
     )
 
 
@@ -38,25 +46,16 @@ def shingle_hashes_df(
     string (60-bit, cross-engine reproducible).
 
     This is the scale variant the join-heavy dedup paths use: the hash is
-    computed BEFORE the distinct, so every downstream exchange — the
-    distinct itself, the Jaccard self-join, the MinHash aggregate — moves
-    8-byte longs instead of ~n-word strings. Equal to joining/grouping on
-    the string modulo md5 collisions (~|shingles|²/2^60, negligible below
-    ~10^8 distinct shingles per corpus; the cross-engine oracles verify the
-    end results empirically)."""
+    computed BEFORE per-doc dedup, so everything downstream — the Jaccard
+    self-join, the MinHash aggregate — moves 8-byte longs instead of ~n-word
+    strings. Equal to joining/grouping on the string modulo md5 collisions
+    (~|shingles|²/2^60, negligible below ~10^8 distinct shingles per corpus;
+    the cross-engine oracles verify the end results empirically)."""
     from sri_spark.functions.hashing import md5_int
 
     toks = df.select(F.col(id_col), tokens_col(F.col(text_col)).alias("__toks")).filter(
         F.size("__toks") >= n
     )
-    idx = F.explode(F.sequence(F.lit(1), F.size("__toks") - (n - 1))).alias("__i")
-    return (
-        toks.select(id_col, "__toks", idx)
-        .select(
-            id_col,
-            md5_int(
-                F.concat_ws(" ", F.slice(F.col("__toks"), F.col("__i"), n))
-            ).alias("shingle_h"),
-        )
-        .distinct()
+    return toks.select(
+        id_col, F.explode(_shingle_array(n, md5_int)).alias("shingle_h")
     )

@@ -39,6 +39,32 @@ sh AS (
 )
 """
 
+def _jaccard_ctes(max_df: int | None = None) -> str:
+    """The exact-Jaccard CTE block; `max_df` mirrors
+    `jaccard_pairs_from_shingles`'s hot-shingle cap (shingles in more than
+    max_df docs excluded from the intersection, still counted in sizes)."""
+    df_pred = f"HAVING count(*) <= {max_df}" if max_df is not None else ""
+    return f"""
+shx AS (
+  SELECT sh.doc_id, sh.shingle FROM sh
+  JOIN (SELECT shingle FROM sh GROUP BY shingle {df_pred}) ok USING (shingle)
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM shx a JOIN shx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY 1),
+jac AS (
+  SELECT doc_a, doc_b,
+         round(n_inter / (sa.ns + sb.ns - n_inter), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON inter.doc_a = sa.doc_id
+  JOIN sizes sb ON inter.doc_b = sb.doc_id
+)
+"""
+
+
 _JACCARD_CTES = f"""
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
@@ -94,6 +120,35 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline for the LSH path)."""
     return ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"), threshold=JACCARD_THRESHOLD
+    )
+
+
+# hot-shingle document-frequency cap for the bounded variant. 32 > the
+# corpus's max observed shingle df at sf0.1 (25), so at test scale the capped
+# result is bit-identical to the exact one — while at production scale the
+# cap bounds the self-join to C(32,2) pairs per shingle no matter how much
+# boilerplate the corpus carries (the exact query is unbounded by design).
+MAX_SHINGLE_DF = 32
+
+
+@register(
+    "dedup_ngram_jaccard_capped",
+    f"""
+    WITH {_SHINGLE_CTES}, {_jaccard_ctes(MAX_SHINGLE_DF)}
+    SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard pairs with the standard hot-shingle guard:
+    shingles in more than MAX_SHINGLE_DF documents are dropped from the
+    intersection join (still counted in sizes), bounding the quadratic
+    blowup on boilerplate-heavy corpora. Capped Jaccard is a lower bound of
+    exact Jaccard, so the recall tradeoff is only on pairs whose overlap is
+    boilerplate-carried. The oracle mirrors the cap exactly."""
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        threshold=JACCARD_THRESHOLD,
+        max_df=MAX_SHINGLE_DF,
     )
 
 
