@@ -28,6 +28,7 @@ def merge_upsert(
     insert_not_matched: bool = True,
     delete_condition: Column | None = None,
     update_condition: Column | None = None,
+    on_null_source_key: str = "error",
 ) -> DataFrame:
     """Return target MERGE source ON key.
 
@@ -43,12 +44,42 @@ def merge_upsert(
       dropped.
 
     Both inputs must carry the key columns; source must not contain
-    duplicate keys (a 1:n merge is ill-defined — pre-aggregate the batch)."""
+    duplicate keys (a 1:n merge is ill-defined — pre-aggregate the batch).
+
+    A source row with a NULL (or partially-NULL composite) merge key can
+    neither match nor insert cleanly; `on_null_source_key` picks the policy:
+    'error' (default) fails the job with a clear message the moment such a
+    row is scanned, 'filter' silently drops them (for feeds where null keys
+    are expected noise)."""
     keys = [key] if isinstance(key, str) else list(key)
     upd = update_cols or [c for c in source.columns if c not in keys]
     missing = [c for c in upd if c not in target.columns]
     if missing:
         raise ValueError(f"update_cols not in target: {missing}")
+    if on_null_source_key not in ("error", "filter"):
+        raise ValueError(
+            f"on_null_source_key must be 'error' or 'filter', got {on_null_source_key!r}"
+        )
+
+    if on_null_source_key == "filter":
+        for k in keys:
+            source = source.filter(F.col(k).isNotNull())
+    else:
+        # plant a row-level guard on each key column: evaluated on the source
+        # scan, zero cost unless a null key actually appears
+        for k in keys:
+            source = source.withColumn(
+                k,
+                F.when(
+                    F.col(k).isNull(),
+                    F.raise_error(
+                        F.lit(
+                            f"merge_upsert: NULL source merge key {k!r} "
+                            "(set on_null_source_key='filter' to drop such rows)"
+                        )
+                    ),
+                ).otherwise(F.col(k)),
+            )
 
     t = target.alias("t")
     s = source.alias("s")
@@ -68,7 +99,12 @@ def merge_upsert(
         if update_condition is not None
         else matched_keys
     )
-    src_only = s[keys[0]].isNotNull() & t[keys[0]].isNull()
+    # mirror matched_keys over EVERY key column: a surviving source row has
+    # all keys non-null (guard above), and it is an insert iff no target row
+    # matched, i.e. every target-side key is null in the outer join
+    src_only = F.lit(True)
+    for k in keys:
+        src_only = src_only & s[k].isNotNull() & t[k].isNull()
 
     if delete_condition is not None:
         joined = joined.filter(~(matched_keys & delete_condition))

@@ -273,6 +273,43 @@ def latest_event_per_user(events: DataFrame) -> DataFrame:
     )
 
 
+def _swap_dirs(target_dir: str, staging_dir: str) -> None:
+    """Replace `target_dir` with `staging_dir` via rename, never deleting
+    the only complete copy: target -> backup, staging -> target, drop
+    backup. A crash at any point leaves a complete table at target or at
+    backup (see `_recover_swap`). Local-FS semantics — a cluster deployment
+    swaps this whole mechanism for a transactional table-format commit."""
+    import os
+    import shutil
+
+    backup = target_dir + ".backup"
+    shutil.rmtree(backup, ignore_errors=True)
+    if os.path.exists(target_dir):
+        os.rename(target_dir, backup)
+    os.rename(staging_dir, target_dir)
+    shutil.rmtree(backup, ignore_errors=True)
+
+
+def _recover_swap(target_dir: str) -> None:
+    """If a previous run crashed between the two renames (target moved to
+    backup, staging not yet promoted), restore the backup so the replayed
+    batch merges into the accumulated state instead of starting empty."""
+    import os
+    import shutil
+
+    backup = target_dir + ".backup"
+    if not os.path.exists(target_dir) and os.path.exists(backup):
+        os.rename(backup, target_dir)
+    # stale backup alongside an intact target is garbage, as are staging
+    # dirs left by crashed attempts (their batch replays into a new staging)
+    if os.path.exists(target_dir):
+        shutil.rmtree(backup, ignore_errors=True)
+    import glob
+
+    for stale in glob.glob(target_dir + ".staging-*"):
+        shutil.rmtree(stale, ignore_errors=True)
+
+
 def run_foreach_batch_merge_stream(
     spark: SparkSession,
     events_dir: str,
@@ -285,19 +322,25 @@ def run_foreach_batch_merge_stream(
     and out-of-order batches idempotent — the pattern for exactly-once
     semantics onto a non-transactional store (at-least-once foreachBatch ×
     idempotent merge). A production deployment swaps the
-    overwrite-a-directory step for a transactional table format commit.
+    staging-directory rename for a transactional table format commit.
+
+    The merged result is written to a STAGING directory and promoted with
+    renames (`_swap_dirs`) — the target being read is never overwritten in
+    place, so an executor loss or cache eviction mid-write can only fail the
+    batch (which foreachBatch replays), never corrupt or truncate the
+    accumulated table.
 
     Returns the final merged table."""
+    import os
+
     from sri_spark.operators.merge import merge_upsert
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        _recover_swap(target_dir)
         batch_latest = latest_event_per_user(batch_df)
-        try:
+        staging = f"{target_dir}.staging-{batch_id}"
+        if os.path.exists(target_dir):
             current = spark.read.parquet(target_dir)
-            has_target = True
-        except Exception:
-            has_target = False
-        if has_target:
             newer = (F.col("s.ts") > F.col("t.ts")) | (
                 (F.col("s.ts") == F.col("t.ts"))
                 & (F.col("s.event_id") >= F.col("t.event_id"))
@@ -308,13 +351,11 @@ def run_foreach_batch_merge_stream(
                 key="user_id",
                 update_condition=newer,
             )
-            # materialize before overwriting the directory being read
-            rows = merged.persist()
-            rows.count()
-            rows.write.mode("overwrite").parquet(target_dir)
-            rows.unpersist()
         else:
-            batch_latest.write.mode("overwrite").parquet(target_dir)
+            merged = batch_latest
+        # reads from target, writes to staging — no read-then-overwrite race
+        merged.write.mode("overwrite").parquet(staging)
+        _swap_dirs(target_dir, staging)
 
     stream = read_events_stream(spark, events_dir)
     q = (

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 
 from sri_spark.operators.merge import merge_upsert
@@ -91,3 +92,68 @@ def test_merge_upsert_update_insert_passthrough_delete(spark):
         target, source, key="id", update_cols=["bal"], insert_not_matched=False
     )
     assert {r["id"] for r in out3.collect()} == {1, 2, 3}
+
+
+def test_merge_upsert_null_source_key_errors_by_default(spark):
+    target = spark.createDataFrame([(1, 100.0)], "id long, bal double")
+    source = spark.createDataFrame([(None, 5.0), (1, 7.0)], "id long, bal double")
+    out = merge_upsert(target, source, key="id", update_cols=["bal"])
+    with pytest.raises(Exception, match="NULL source merge key"):
+        out.collect()
+
+
+def test_merge_upsert_null_source_key_filter_policy(spark):
+    target = spark.createDataFrame([(1, 100.0)], "id long, bal double")
+    source = spark.createDataFrame([(None, 5.0), (1, 7.0)], "id long, bal double")
+    out = merge_upsert(
+        target, source, key="id", update_cols=["bal"], on_null_source_key="filter"
+    )
+    got = {r["id"]: r["bal"] for r in out.collect()}
+    assert got == {1: 7.0}  # null-key row dropped, no ghost all-NULL row
+
+
+def test_merge_upsert_partial_null_composite_key(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 100.0)], "k1 long, k2 string, bal double"
+    )
+    source = spark.createDataFrame(
+        [(2, None, 5.0), (1, "a", 7.0)], "k1 long, k2 string, bal double"
+    )
+    # partially-null composite key is rejected too
+    with pytest.raises(Exception, match="NULL source merge key"):
+        merge_upsert(target, source, key=["k1", "k2"], update_cols=["bal"]).collect()
+    out = merge_upsert(
+        target,
+        source,
+        key=["k1", "k2"],
+        update_cols=["bal"],
+        on_null_source_key="filter",
+    )
+    got = {(r["k1"], r["k2"]): r["bal"] for r in out.collect()}
+    assert got == {(1, "a"): 7.0}
+
+
+def test_merge_upsert_rejects_bad_null_policy(spark):
+    df = spark.createDataFrame([(1, 1.0)], "id long, bal double")
+    with pytest.raises(ValueError, match="on_null_source_key"):
+        merge_upsert(df, df, key="id", on_null_source_key="ignore")
+
+
+def test_cache_scope_releases_only_scope_entries(spark):
+    from sri_spark.operators.caching import (
+        cache_scope,
+        scoped_persist,
+        unpersist_all,
+    )
+
+    outer = scoped_persist(spark.range(10))
+    with cache_scope():
+        inner = scoped_persist(spark.range(20))
+        inner.count()
+        assert inner.storageLevel.useMemory
+    # scope exit released the inner cache but not the outer registry entry
+    assert not inner.storageLevel.useMemory
+    outer.count()
+    assert outer.storageLevel.useMemory
+    assert unpersist_all() >= 1
+    assert not outer.storageLevel.useMemory
