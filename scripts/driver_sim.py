@@ -32,6 +32,7 @@ def norm(v):
     return (4,str(v))
 
 qs, os_ = e.queries(), e.oracle_sql()
+results = {}
 only = set(sys.argv[1:])  # optional: check just these query names
 if only:
     unknown = only - set(qs)
@@ -44,6 +45,9 @@ for name in sorted(only or qs):
         scols = sorted(sdf.columns)
         srows = sorted(tuple(norm(r[c]) for c in scols) for r in sdf.collect())
         if name not in os_:
+            results[name] = {"rows_match": None, "schema_match": None,
+                             "hash_match": None, "spark_rows": len(srows),
+                             "oracle_rows": None, "err": "no_oracle"}
             print(f"{name}: rows-only, {len(srows)} rows")
             continue
         odf = con.execute(os_[name]).fetchdf()
@@ -76,6 +80,9 @@ for name in sorted(only or qs):
             all((x[0]==y[0]) and (math.isclose(x[1],y[1],rel_tol=1e-9,abs_tol=1e-6) if x[0]==1 else x==y) for x,y in zip(a,b))
             for a,b in zip(srows,orows))
         status = "MATCH" if (ok_cols and ok_cnt and ok_vals) else "MISMATCH"
+        results[name] = {"rows_match": ok_cnt, "schema_match": ok_cols,
+                         "hash_match": bool(ok_vals), "spark_rows": len(srows),
+                         "oracle_rows": len(orows), "err": None}
         print(f"{name}: {status} (cols={ok_cols} cnt={ok_cnt} {len(srows)}v{len(orows)} vals={ok_vals})")
         if status != "MATCH":
             fails.append(name)
@@ -83,6 +90,17 @@ for name in sorted(only or qs):
                 for a,b in zip(srows,orows):
                     if a!=b: print("  spark:",a,"\n  duck: ",b); break
     except Exception as ex:
+        results[name] = {"rows_match": False, "schema_match": False,
+                         "hash_match": False, "spark_rows": None,
+                         "oracle_rows": None,
+                         "err": f"{type(ex).__name__}: {str(ex)[:200]}"}
         print(f"{name}: ERROR {type(ex).__name__}: {str(ex)[:200]}")
         fails.append(name)
 print("FAILS:", fails if fails else "none")
+
+import json, os
+out_path = os.environ.get("SIM_JSON_OUT")
+if out_path:
+    with open(out_path, "w") as fh:
+        json.dump(results, fh, indent=1, sort_keys=True)
+    print(f"wrote {out_path} ({len(results)} queries)")

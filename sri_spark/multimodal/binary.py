@@ -141,6 +141,126 @@ def resolve_image_decoder(codec: str = "auto") -> ImageDecoder | None:
     return dec
 
 
+# an audio decoder takes raw bytes and returns
+# {"sample_rate": int, "n_channels": int, "duration_s": float, "rms": float}
+AudioDecoder = Callable[[bytes], dict]
+
+_REGISTERED_AUDIO_DECODER: AudioDecoder | None = None
+
+
+def set_audio_decoder(fn: AudioDecoder | None) -> None:
+    """Register (or clear, with None) the real audio decoder — same contract
+    as set_image_decoder: picklable, ships to executors in the closure,
+    takes precedence over the built-in WAV auto-detection."""
+    global _REGISTERED_AUDIO_DECODER
+    _REGISTERED_AUDIO_DECODER = fn
+
+
+def _wave_decoder() -> AudioDecoder:
+    """Stdlib `wave`-backed decoder for PCM WAV payloads (no external audio
+    libs in this container; a production deployment registers a
+    librosa/soundfile decoder via set_audio_decoder for other codecs).
+    Non-WAV bytes raise inside the decoder, which the batch fn maps to null
+    decoded fields — the same undecodable-asset contract as images."""
+    import struct
+    import wave
+
+    def dec(content: bytes) -> dict:
+        with wave.open(io.BytesIO(content), "rb") as w:
+            rate = w.getframerate()
+            n_frames = w.getnframes()
+            n_ch = w.getnchannels()
+            width = w.getsampwidth()
+            frames = w.readframes(n_frames)
+        if width == 2:
+            samples = struct.unpack(f"<{len(frames) // 2}h", frames)
+        elif width == 1:  # unsigned 8-bit PCM, center at 0
+            samples = tuple(b - 128 for b in frames)
+        else:
+            raise ValueError(f"unsupported sample width {width}")
+        rms = (
+            (sum(s * s for s in samples) / len(samples)) ** 0.5 if samples else 0.0
+        )
+        return {
+            "sample_rate": rate,
+            "n_channels": n_ch,
+            "duration_s": n_frames / rate if rate else 0.0,
+            "rms": float(rms),
+        }
+
+    return dec
+
+
+def resolve_audio_decoder(codec: str = "auto") -> AudioDecoder | None:
+    """Same feature-flag dispatch as resolve_image_decoder: 'fake' -> None
+    (byte stats only), 'real'/'auto' -> the registered decoder, else the
+    stdlib WAV decoder. Unlike images, a real decoder always exists (wave
+    is stdlib), so 'real' never raises NotImplementedError — undecodable
+    payloads surface as null decoded fields instead."""
+    if codec == "fake":
+        return None
+    if codec not in ("auto", "real"):
+        raise ValueError(f"codec must be auto|real|fake, got {codec!r}")
+    return _REGISTERED_AUDIO_DECODER or _wave_decoder()
+
+
+AUDIO_DECODE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("sha256", StringType()),
+        # decoded audio fields — null when the payload is undecodable or
+        # codec='fake' (one schema for all modes, like DECODE_SCHEMA)
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("duration_s", DoubleType()),
+        StructField("rms", DoubleType()),
+    ]
+)
+
+
+def _audio_batch_fn(decoder: AudioDecoder | None):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "asset_id": pdf["asset_id"],
+                "kind": pdf["kind"],
+                "n_bytes": pdf["content"].map(len).astype("int64"),
+                "sha256": pdf["content"].map(lambda b: hashlib.sha256(b).hexdigest()),
+            }
+            decoded: dict[str, list] = {
+                "sample_rate": [],
+                "n_channels": [],
+                "duration_s": [],
+                "rms": [],
+            }
+            for b in pdf["content"]:
+                d: dict = {}
+                if decoder is not None:
+                    try:
+                        d = decoder(bytes(b))
+                    except Exception:
+                        d = {}  # undecodable asset -> null decoded fields
+                decoded["sample_rate"].append(d.get("sample_rate"))
+                decoded["n_channels"].append(d.get("n_channels"))
+                decoded["duration_s"].append(d.get("duration_s"))
+                decoded["rms"].append(d.get("rms"))
+            out.update(decoded)
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def audio_stats(assets: DataFrame, *, codec: str = "auto") -> DataFrame:
+    """Per-asset audio decode pass (sample_rate / channels / duration / RMS
+    from bytes): the same Arrow-batched mapInPandas shape as decode_stats,
+    one output row per asset, schema identical in every codec mode."""
+    return assets.select("asset_id", "kind", "content").mapInPandas(
+        _audio_batch_fn(resolve_audio_decoder(codec)), schema=AUDIO_DECODE_SCHEMA
+    )
+
+
 def _decode_batch_fn(decoder: ImageDecoder | None):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

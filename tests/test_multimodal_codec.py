@@ -102,3 +102,101 @@ def test_undecodable_asset_yields_null_decoded_fields(spark):
 def test_invalid_codec_rejected():
     with pytest.raises(ValueError, match="codec must be"):
         resolve_image_decoder("gpu")
+
+
+# ---- audio contract (same dispatch shape, stdlib-WAV real decoder) --------
+
+
+def _wav_bytes(
+    *, rate: int = 8000, seconds: float = 0.25, amp: int = 1000, n_ch: int = 1
+) -> bytes:
+    """In-memory 16-bit PCM WAV: a constant-amplitude square-ish signal so
+    the expected RMS is exactly `amp`."""
+    import io as _io
+    import struct
+    import wave as _wave
+
+    n = int(rate * seconds)
+    buf = _io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(n_ch)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        samples = [amp if i % 2 == 0 else -amp for i in range(n * n_ch)]
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+@pytest.fixture(autouse=True)
+def _clean_audio_registry():
+    from sri_spark.multimodal import set_audio_decoder
+
+    set_audio_decoder(None)
+    yield
+    set_audio_decoder(None)
+
+
+def _audio_assets(spark):
+    from pyspark.sql import functions as F
+
+    wav = _wav_bytes()
+    rows = [(1, "audio", bytearray(wav)), (2, "audio", bytearray(b"not a wav"))]
+    return spark.createDataFrame(
+        rows, "asset_id long, kind string, content binary"
+    ).withColumn("width", F.lit(None).cast("integer"))
+
+
+def test_audio_real_path_decodes_wav(spark):
+    from sri_spark.multimodal import audio_stats
+
+    out = {r["asset_id"]: r for r in audio_stats(_audio_assets(spark)).collect()}
+    wav_row = out[1]
+    assert wav_row["sample_rate"] == 8000
+    assert wav_row["n_channels"] == 1
+    assert abs(wav_row["duration_s"] - 0.25) < 1e-9
+    assert abs(wav_row["rms"] - 1000.0) < 1e-6
+    assert wav_row["n_bytes"] > 0 and len(wav_row["sha256"]) == 64
+    # undecodable payload -> null decoded fields, byte stats still present
+    bad = out[2]
+    assert bad["sample_rate"] is None and bad["rms"] is None
+    assert bad["n_bytes"] == 9
+
+
+def test_audio_fake_mode_never_decodes(spark):
+    from sri_spark.multimodal import audio_stats
+
+    out = {
+        r["asset_id"]: r
+        for r in audio_stats(_audio_assets(spark), codec="fake").collect()
+    }
+    assert out[1]["sample_rate"] is None and out[1]["rms"] is None
+    assert out[1]["n_bytes"] > 0
+
+
+def test_audio_registered_decoder_takes_precedence(spark):
+    from sri_spark.multimodal import audio_stats, set_audio_decoder
+
+    def _make():
+        def dec(content: bytes) -> dict:
+            return {
+                "sample_rate": 42,
+                "n_channels": 7,
+                "duration_s": 1.5,
+                "rms": 2.5,
+            }
+
+        return dec
+
+    set_audio_decoder(_make())
+    out = {
+        r["asset_id"]: r
+        for r in audio_stats(_audio_assets(spark), codec="real").collect()
+    }
+    assert out[1]["sample_rate"] == 42 and out[2]["n_channels"] == 7
+
+
+def test_audio_invalid_codec_rejected():
+    from sri_spark.multimodal import resolve_audio_decoder
+
+    with pytest.raises(ValueError, match="codec"):
+        resolve_audio_decoder("mp3")
