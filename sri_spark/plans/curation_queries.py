@@ -99,3 +99,121 @@ def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", "lang", bucket.alias("bucket")
     ).filter(F.col("bucket") < rate)
+
+
+MIX_ALPHA = 0.7  # sampling temperature: weight ∝ share^alpha (alpha<1
+# flattens the domain distribution — the standard multilingual/multi-source
+# rebalancing; alpha=1 is proportional, alpha=0 uniform)
+
+_MIXING_ORACLE = f"""
+WITH per_source AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+),
+shares AS (
+  SELECT source, n_docs,
+         n_docs / (sum(n_docs) OVER ()) AS share,
+         pow(n_docs / (sum(n_docs) OVER ()), {MIX_ALPHA}) AS w_raw
+  FROM per_source
+)
+SELECT source, n_docs,
+       round(share, 6) AS share,
+       round(w_raw / sum(w_raw) OVER (), 6) AS mix_weight,
+       round((w_raw / sum(w_raw) OVER ()) / share, 6) AS epochs
+FROM shares
+"""
+
+
+@register("corpus_mixing_weights", _MIXING_ORACLE)
+def corpus_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain mixing: per source, the corpus share, the
+    alpha-flattened sampling weight (share^alpha renormalized), and the
+    implied epochs multiplier (weight/share — how many times the domain is
+    seen relative to proportional sampling). One hash aggregate over the
+    corpus + window sums over the |sources|-row result — the heavy pass is
+    the count, everything after is metadata-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    w_all = Window.partitionBy()
+    share = F.col("n_docs") / F.sum("n_docs").over(w_all)
+    shares = per_source.select(
+        "source", "n_docs", share.alias("share"), F.pow(share, MIX_ALPHA).alias("w_raw")
+    )
+    mix = F.col("w_raw") / F.sum("w_raw").over(w_all)
+    return shares.select(
+        "source",
+        "n_docs",
+        F.round("share", 6).alias("share"),
+        F.round(mix, 6).alias("mix_weight"),
+        F.round(mix / F.col("share"), 6).alias("epochs"),
+    )
+
+
+LENGTH_BUCKET_WIDTH = 64  # tokens per bucket — fixed-width integer buckets
+# are exactly cross-engine (no float log2 edge cases)
+
+_LENGTH_BUCKETS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x != '')) AS n_tokens
+  FROM documents
+),
+b AS (
+  SELECT doc_id, n_tokens, n_tokens // {LENGTH_BUCKET_WIDTH} AS bucket
+  FROM toks
+)
+SELECT bucket,
+       (bucket * {LENGTH_BUCKET_WIDTH}) AS lo_tokens,
+       ((bucket + 1) * {LENGTH_BUCKET_WIDTH} - 1) AS hi_tokens,
+       count(*) AS n_docs,
+       min(n_tokens) AS min_tokens,
+       max(n_tokens) AS max_tokens,
+       round(avg(n_tokens), 6) AS avg_tokens,
+       round(1.0 - sum(n_tokens) /
+             (count(*) * ((bucket + 1) * {LENGTH_BUCKET_WIDTH} - 1.0)), 6)
+         AS pad_waste
+FROM b
+GROUP BY bucket
+"""
+
+
+@register("corpus_length_buckets", _LENGTH_BUCKETS_ORACLE)
+def corpus_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length bucketing for padding-efficient batch assembly: docs
+    binned into fixed 64-token buckets, with per-bucket counts, length
+    stats, and the padding waste if every doc in the bucket were padded to
+    the bucket cap. The per-doc token count is a pure projection (fuses
+    into the scan); the only shuffle is the |buckets|-cardinality hash
+    aggregate. At training time batches draw from one bucket so attention
+    masks waste <= width-1 tokens per row."""
+    from sri_spark.text.analysis import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(tokens_col(F.col("text")))
+    b = docs.select(
+        n_tokens.alias("n_tokens"),
+        (n_tokens / LENGTH_BUCKET_WIDTH).cast("long").alias("bucket"),
+    )
+    cap = (F.col("bucket") + 1) * LENGTH_BUCKET_WIDTH - 1
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+            F.round(
+                1.0 - F.sum("n_tokens") / (F.count("*") * (cap.cast("double"))), 6
+            ).alias("pad_waste"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * LENGTH_BUCKET_WIDTH).alias("lo_tokens"),
+            cap.alias("hi_tokens"),
+            "n_docs",
+            "min_tokens",
+            "max_tokens",
+            "avg_tokens",
+            "pad_waste",
+        )
+    )

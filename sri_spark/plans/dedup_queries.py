@@ -16,7 +16,7 @@ from sri_spark.dedup.minhash import (
     MINHASH_P,
     minhash_lsh_pairs,
 )
-from sri_spark.dedup.simhash import SIMHASH_BITS, simhash_df
+from sri_spark.dedup.simhash import SIMHASH_BITS, simhash_df, simhash_near_pairs
 from sri_spark.functions.hashing import md5_int_sql
 from sri_spark.plans.registry import register
 from sri_spark.sources.testdata import load_table
@@ -189,7 +189,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_oracle() -> str:
+def _simhash_ctes() -> str:
+    """CTE block computing `sim` = (doc_id, simhash) in DuckDB — the bit-
+    exact mirror of dedup.simhash.simhash_df."""
     ws = ", ".join(
         f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN cnt ELSE -cnt END) AS w{i}"
         for i in range(SIMHASH_BITS)
@@ -199,7 +201,7 @@ def _simhash_oracle() -> str:
         for i in range(SIMHASH_BITS)
     )
     return f"""
-    WITH toks AS (
+    toks AS (
       SELECT doc_id,
              list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x != '') AS t
       FROM documents
@@ -210,15 +212,39 @@ def _simhash_oracle() -> str:
       GROUP BY 1, 2
     ),
     hh AS (SELECT doc_id, {md5_int_sql('tok', 8)} AS h, cnt FROM tc),
-    w AS (SELECT doc_id, {ws} FROM hh GROUP BY doc_id)
-    SELECT doc_id, ({bits}) AS simhash FROM w
+    w AS (SELECT doc_id, {ws} FROM hh GROUP BY doc_id),
+    sim AS (SELECT doc_id, ({bits}) AS simhash FROM w)
     """
 
 
-@register("dedup_simhash", _simhash_oracle())
+@register("dedup_simhash", f"WITH {_simhash_ctes()} SELECT doc_id, simhash FROM sim")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document (count-weighted token votes)."""
     return simhash_df(load_table(spark, sf_dir, "documents"))
+
+
+SIMHASH_MAX_HAMMING = 3
+
+
+@register(
+    "dedup_simhash_pairs",
+    f"""
+    WITH {_simhash_ctes()}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs at Hamming distance <= 3 via byte-band
+    blocking (dedup/simhash.py simhash_near_pairs). With 4 bands and radius
+    < 4 the banding is pigeonhole-EXACT, so the quadratic oracle self-join
+    and the banded plan agree bit-for-bit — the oracle checks recall, not
+    just precision."""
+    return simhash_near_pairs(
+        load_table(spark, sf_dir, "documents"), max_hamming=SIMHASH_MAX_HAMMING
+    )
 
 
 def _clusters_oracle() -> str:
