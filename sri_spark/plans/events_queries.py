@@ -296,3 +296,175 @@ def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     clicks, views = prepare_click_view_streams(ev)
     return click_view_interval_join(clicks, views)
+
+
+FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+
+_FUNNEL_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, min(ts) FILTER (event_type = 'signup') AS t1 FROM events
+  GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, any_value(t1) AS t1,
+         min(e.ts) FILTER (e.event_type = 'view' AND e.ts > t1) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, any_value(t1) AS t1, any_value(t2) AS t2,
+         min(e.ts) FILTER (e.event_type = 'click' AND e.ts > t2) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id GROUP BY e.user_id
+),
+s4 AS (
+  SELECT e.user_id, any_value(t1) AS t1, any_value(t2) AS t2,
+         any_value(t3) AS t3,
+         min(e.ts) FILTER (e.event_type = 'purchase' AND e.ts > t3) AS t4
+  FROM events e JOIN s3 ON e.user_id = s3.user_id GROUP BY e.user_id
+)
+SELECT 1 AS stage, 'signup' AS step, count(t1) AS n_users FROM s4
+UNION ALL SELECT 2, 'view', count(t2) FROM s4
+UNION ALL SELECT 3, 'click', count(t3) FROM s4
+UNION ALL SELECT 4, 'purchase', count(t4) FROM s4
+"""
+
+
+@register("events_funnel", _FUNNEL_ORACLE)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup -> view -> click -> purchase: a user
+    counts at stage k only with a strictly-later event at every prior stage
+    (the classic sequential funnel, not mere set membership).
+
+    Shape at scale: one aggregation per stage, ALL keyed on user_id — after
+    the first shuffle the data is already hash-partitioned by user_id, so
+    the follow-on joins+aggregates co-locate (no further full-table
+    exchanges of the events side); the result is 4 rows."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_after(prev_col: str | None, step: str) -> F.Column:
+        cond = F.col("event_type") == step
+        if prev_col is not None:
+            cond = cond & (F.col("ts") > F.col(prev_col))
+        return F.min(F.when(cond, F.col("ts")))
+
+    cur = ev.groupBy("user_id").agg(first_after(None, "signup").alias("t1"))
+    for i, step in enumerate(FUNNEL_STEPS[1:], start=2):
+        cur = (
+            ev.join(cur, "user_id")
+            .groupBy("user_id")
+            .agg(
+                *[F.first(f"t{k}").alias(f"t{k}") for k in range(1, i)],
+                first_after(f"t{i-1}", step).alias(f"t{i}"),
+            )
+        )
+    rows = [
+        F.struct(
+            F.lit(i + 1).alias("stage"),
+            F.lit(step).alias("step"),
+            F.count(f"t{i+1}").alias("n_users"),
+        )
+        for i, step in enumerate(FUNNEL_STEPS)
+    ]
+    return (
+        cur.agg(F.array(*rows).alias("stages"))
+        .select(F.explode("stages").alias("s"))
+        .select("s.stage", "s.step", "s.n_users")
+    )
+
+
+_COHORT_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week FROM events
+  GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, cohort_week, date_trunc('week', e.ts) AS active_week
+  FROM events e JOIN firsts USING (user_id)
+)
+SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+       (date_diff('day', cohort_week, active_week) // 7) AS week_offset,
+       count(*) AS n_users
+FROM activity
+GROUP BY 1, 2
+"""
+
+
+@register("events_cohort_retention", _COHORT_ORACLE)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week, counted
+    once per (cohort, active-week offset). Two user-keyed aggregations and
+    a distinct — all co-partitioned on user_id after the first shuffle; the
+    final rollup is |cohorts x offsets| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.date_trunc("week", F.col("ts")).alias("active_week"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (
+                F.datediff(F.to_date("active_week"), F.to_date("cohort_week"))
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+ZSCORE_WINDOW = 20  # trailing rows per user
+ZSCORE_MIN_N = 5  # emit z only once the window holds enough history
+
+_ZSCORE_ORACLE = f"""
+WITH stats AS (
+  SELECT user_id, event_id, value,
+         avg(value) OVER w AS mu,
+         stddev_samp(value) OVER w AS sigma,
+         count(*) OVER w AS n
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {ZSCORE_WINDOW - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id,
+       round((value - mu) / sigma, 6) AS zscore
+FROM stats
+WHERE n >= {ZSCORE_MIN_N} AND sigma > 0
+"""
+
+
+@register("events_rolling_zscore", _ZSCORE_ORACLE)
+def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling z-score of event value over a trailing
+    {ZSCORE_WINDOW}-row frame — the anomaly-scoring primitive for metric
+    streams. One window (partitioned by user_id, ROWS frame — per-user sort
+    only, never global); mean/std/count come from the same frame pass."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(ZSCORE_WINDOW - 1), 0)
+    )
+    stats = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sigma"),
+        F.count("*").over(w).alias("n"),
+    )
+    return stats.filter(
+        (F.col("n") >= ZSCORE_MIN_N) & (F.col("sigma") > 0)
+    ).select(
+        "user_id",
+        "event_id",
+        F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 6).alias("zscore"),
+    )

@@ -58,21 +58,35 @@ def rp_lsh_near_pairs(
     threshold: float = 0.9,
 ) -> DataFrame:
     """(vec_a, vec_b, cosine) for same-bucket pairs with cosine >= threshold;
-    vec_a < vec_b. The all-pairs comparison collapses to within-bucket."""
-    emb = df.select(
-        F.col(id_col),
-        _as_double(F.col(vec_col)).alias("__e"),
-        rp_bucket_col(F.col(vec_col)).alias("__bucket"),
+    vec_a < vec_b. The all-pairs comparison collapses to within-bucket.
+
+    Shuffle hygiene: the candidate self-join moves only (id, bucket) — two
+    8-byte columns — never the embedding arrays; vectors are fetched by id
+    AFTER candidate generation for the exact re-rank (AQE picks the join
+    strategy). At a billion vectors the difference is shuffling ~16 B/row
+    versus ~512 B/row through the quadratic-side join. The embedding+bucket
+    projection is persisted: it feeds bucketing once and re-rank twice."""
+    from sri_spark.operators.caching import scoped_persist
+
+    emb = scoped_persist(
+        df.select(
+            F.col(id_col),
+            _as_double(F.col(vec_col)).alias("__e"),
+            rp_bucket_col(F.col(vec_col)).alias("__bucket"),
+        )
     )
-    a = emb.select(
-        F.col(id_col).alias("vec_a"), F.col("__e").alias("__ea"), "__bucket"
-    )
-    b = emb.select(
-        F.col(id_col).alias("vec_b"), F.col("__e").alias("__eb"), "__bucket"
-    )
-    return (
+    a = emb.select(F.col(id_col).alias("vec_a"), "__bucket")
+    b = emb.select(F.col(id_col).alias("vec_b"), "__bucket")
+    cand = (
         a.join(b, "__bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+    )
+    ea = emb.select(F.col(id_col).alias("vec_a"), F.col("__e").alias("__ea"))
+    eb = emb.select(F.col(id_col).alias("vec_b"), F.col("__e").alias("__eb"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
         .select(
             "vec_a",
             "vec_b",
