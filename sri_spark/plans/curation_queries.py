@@ -217,3 +217,38 @@ def corpus_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pad_waste",
         )
     )
+
+
+N_SHARDS = 16
+_SHARD_SALT = "shard:"
+_ORDER_SALT = "order:"
+
+_SHUFFLE_ORACLE = f"""
+SELECT doc_id,
+       (('0x' || substr(md5('{_SHARD_SALT}' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
+         % {N_SHARDS} AS shard,
+       (('0x' || substr(md5('{_ORDER_SALT}' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
+         AS sort_key
+FROM documents
+"""
+
+
+@register("corpus_shuffle_assign", _SHUFFLE_ORACLE)
+def corpus_shuffle_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training order: every doc gets a
+    hash shard and an in-shard sort key (salted md5 — rerun-stable,
+    partition-layout-independent, resumable; a rand() shuffle changes order
+    on every retry). Pure projection — zero shuffles to ASSIGN; the writer
+    then does repartition(shard) + sortWithinPartitions(sort_key), one
+    exchange, so no per-shard row-numbering (a window rank per shard would
+    serialize each shard through one task at 100 TB — the sort key itself
+    IS the order)."""
+    from sri_spark.functions.hashing import md5_int
+
+    docs = load_table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    return docs.select(
+        "doc_id",
+        (md5_int(F.concat(F.lit(_SHARD_SALT), sid)) % N_SHARDS).alias("shard"),
+        md5_int(F.concat(F.lit(_ORDER_SALT), sid)).alias("sort_key"),
+    )

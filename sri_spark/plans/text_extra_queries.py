@@ -52,7 +52,10 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     df = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = docs.count()
-    scored = tf.join(F.broadcast(df), "tok").select(
+    # no broadcast hint on df: the vocabulary grows with the corpus (a
+    # forced BroadcastExchange on it is the 100 TB OOM pattern); AQE
+    # broadcasts it at runtime when it is genuinely small
+    scored = tf.join(df, "tok").select(
         "doc_id",
         "tok",
         F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
@@ -224,4 +227,92 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).cast("long").alias("rk"), "bigram", "cnt"
         )
         .filter(F.col("rk") <= TOP_BIGRAMS)
+    )
+
+
+SPARSE_COS_MAX_DF = 32  # prune tokens in more docs (stopwords/boilerplate)
+SPARSE_COS_THRESHOLD = 0.3
+
+_SPARSE_COS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x != '') AS t
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+  GROUP BY 1, 2
+),
+dfreq AS (
+  SELECT tok, count(*) AS df FROM tf GROUP BY tok
+  HAVING count(*) <= {SPARSE_COS_MAX_DF}
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+w AS (
+  SELECT tf.doc_id, tf.tok, tf.tf * ln(n.n_docs / dfreq.df) AS w
+  FROM tf JOIN dfreq ON tf.tok = dfreq.tok CROSS JOIN n
+),
+norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
+  FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(dot / (na.nrm * nb.nrm), 6) AS cosine
+FROM dots
+JOIN norms na ON dots.doc_a = na.doc_id
+JOIN norms nb ON dots.doc_b = nb.doc_id
+WHERE dot / (na.nrm * nb.nrm) >= {SPARSE_COS_THRESHOLD}
+"""
+
+
+@register("text_sparse_cosine_pairs", _SPARSE_COS_ORACLE)
+def text_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine similarity join — the bag-of-words analogue of
+    the embedding near-pair search, over the pruned vocabulary (tokens in
+    more than {SPARSE_COS_MAX_DF} docs dropped: stopwords and boilerplate
+    both poison the metric and cause the quadratic hot-token blowup; the
+    same df-cap guard as the capped Jaccard baseline).
+
+    Shape at scale: explode -> two hash aggregates -> weights persisted
+    once for its three consumers -> shared-token self-join (bounded by
+    C(max_df, 2) pairs per token) -> pair-sum -> norm joins. Every shuffle
+    moves (token, 8-byte weight) or (pair ids), never documents."""
+    from sri_spark.operators.caching import scoped_persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dfreq = (
+        tf.groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= SPARSE_COS_MAX_DF)
+    )
+    n_docs = docs.count()
+    w = scoped_persist(
+        tf.join(dfreq, "tok").select(
+            "doc_id",
+            "tok",
+            (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("w"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    a = w.select(F.col("doc_id").alias("doc_a"), "tok", F.col("w").alias("wa"))
+    b = w.select(F.col("doc_id").alias("doc_b"), "tok", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    cos = F.col("dot") / (F.col("na") * F.col("nb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(cos >= SPARSE_COS_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(cos, 6).alias("cosine"))
     )

@@ -207,3 +207,99 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         + [entry(c, "ts") for c in _PROFILE_TS]
     )
     return one.select(F.explode(F.array(*entries)).alias("p")).select("p.*")
+
+
+_PIT_ORACLE = """
+WITH hist AS (
+  SELECT user_id, ts, event_id, event_type FROM events
+  WHERE event_type <> 'purchase'
+),
+flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR event_type IS DISTINCT FROM lag(event_type) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM hist
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+versioned AS (
+  SELECT user_id, ts, event_type,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                        ROWS UNBOUNDED PRECEDING) AS version
+  FROM flagged
+),
+intervals AS (
+  SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+         min(ts) AS valid_from
+  FROM versioned GROUP BY user_id, version, event_type
+),
+iv AS (
+  SELECT user_id, version, event_type, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+           AS valid_to
+  FROM intervals
+),
+probes AS (
+  SELECT user_id, event_id, ts, value FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT p.user_id, p.event_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts, p.value,
+       s.version, s.event_type AS attr_type
+FROM probes p LEFT JOIN iv s
+  ON p.user_id = s.user_id
+ AND epoch_us(s.valid_from) <= epoch_us(p.ts)
+ AND (s.valid_to IS NULL OR epoch_us(p.ts) < epoch_us(s.valid_to))
+"""
+
+
+@register("join_point_in_time", _PIT_ORACLE)
+def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) lookup against SCD2 history: each purchase event
+    resolves the attribute version valid AT its timestamp — the
+    training-feature / regulatory-reporting join that must never leak
+    future values.
+
+    Spark-first shape: SCD2 validity intervals partition each key's
+    timeline, so "valid_from <= ts < valid_to" is equivalent to an AS-OF
+    join on valid_from — which operators/asof.py runs as one union + one
+    keyed window (single shuffle, no non-equi join, no interval
+    materialization). The oracle states the interval condition directly;
+    both sides resolve empty intervals (duplicate-timestamp version runs)
+    to the later version."""
+    from sri_spark.operators.asof import asof_join
+    from sri_spark.operators.scd import scd2_from_changelog
+
+    ev = load_table(spark, sf_dir, "events")
+    hist = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    scd = scd2_from_changelog(
+        hist, key="user_id", attrs=["event_type"], ts_col="ts",
+        tie_breaker="event_id",
+    )
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    right = scd.select(
+        "user_id",
+        "valid_from",
+        "version",
+        F.col("event_type").alias("attr_type"),
+    )
+    out = asof_join(
+        probes,
+        right,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="valid_from",
+        right_cols=["version", "attr_type"],
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "value",
+        "version",
+        "attr_type",
+    )
