@@ -13,10 +13,14 @@ from sri_spark.session import get_spark
 QUERIES = [
     "flagship_star_rollup",
     "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "text_sparse_cosine_pairs",
     "topk_orders",
     "events_sessionize",
     "join_asof_attribution",
     "join_range_price_bands",
+    "join_point_in_time",
+    "corpus_shuffle_assign",
 ]
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 

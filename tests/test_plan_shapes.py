@@ -1,0 +1,114 @@
+"""Physical-plan shape invariants — the scale contracts the docstrings
+claim, asserted against explain() output so a regression (a forced
+broadcast of an unbounded table, a cartesian product sneaking into a dedup
+path, a shuffle appearing in a pure projection) fails CI instead of OOMing
+a cluster later.
+
+These check STRUCTURE, not timing: plan text at sf0.001 has the same
+operator skeleton as at 100 TB for these queries (AQE may rewrite exchanges
+at runtime, but a static CartesianProduct or a hint-forced BroadcastExchange
+is visible statically).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sri_spark.plans import all_queries
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = all_queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+NO_CARTESIAN = [
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "similarity_lsh_near_pairs",
+    "text_sparse_cosine_pairs",
+    "join_asof_attribution",
+    "join_range_price_bands",
+    "join_point_in_time",
+]
+
+
+@pytest.mark.parametrize("name", NO_CARTESIAN)
+def test_no_cartesian_or_nested_loop(spark, sf_dir, name):
+    """Every pair-generating operator must candidate-join on a key — an
+    all-pairs CartesianProduct or nested-loop join is the plan that dies at
+    scale (the as-of/range/PIT operators exist precisely to avoid the
+    non-equi nested loop)."""
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+ZERO_SHUFFLE = [
+    # pure projections: assigning shards / scoring text costs no exchange
+    "corpus_shuffle_assign",
+    "text_quality_score",
+    "text_language_id",
+    "text_pii_redact",
+    "embeddings_normalize_stats",
+]
+
+
+@pytest.mark.parametrize("name", ZERO_SHUFFLE)
+def test_pure_projection_has_no_shuffle(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "Exchange" not in plan, f"{name} claims zero shuffles:\n{plan[:2000]}"
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark, sf_dir):
+    """Top-k queries must compile to TakeOrderedAndProject (per-partition
+    heap + driver merge), never a full Sort of the aggregate output."""
+    for name in ["flagship_star_rollup", "topk_orders", "metrics_by_brand"]:
+        plan = _plan(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in plan, name
+
+
+# expected number of explicit broadcast hints per query — exactly the
+# bounded-cardinality dims (nation=25 rows, region=5 at any SF). A count
+# above this means someone hinted a scale-growing table (customer, part,
+# the vocabulary df) — the 100 TB OOM regression this test exists to catch.
+EXPECTED_BROADCAST_HINTS = {
+    "join_left_single": 1,  # nation
+    "star_integrity_count": 2,  # nation, region
+    "metrics_by_brand": 0,
+    "metrics_by_region": 2,  # nation, region
+    "flagship_star_rollup": 1,  # nation
+    "text_tfidf_top_terms": 0,
+    "text_sparse_cosine_pairs": 0,
+    "dedup_minhash_lsh": 0,
+    "dedup_ngram_jaccard": 0,
+    "similarity_lsh_near_pairs": 0,
+}
+
+
+@pytest.mark.parametrize("name", sorted(EXPECTED_BROADCAST_HINTS))
+def test_no_forced_broadcast_on_scale_growing_tables(spark, sf_dir, name):
+    """Size-stat broadcasts chosen by Catalyst/AQE are fine (the same stats
+    pick a shuffle join at 100 TB); what must not appear is a LOGICAL hint
+    (`strategy=broadcast` on a join node) beyond the fixed-size dims each
+    query declares — hints bypass AQE no matter how large the side grows."""
+    df = all_queries()[name](spark, sf_dir)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    hints = logical.count("strategy=broadcast")
+    assert hints == EXPECTED_BROADCAST_HINTS[name], (
+        f"{name}: {hints} broadcast hints, expected "
+        f"{EXPECTED_BROADCAST_HINTS[name]}\n{logical[:2000]}"
+    )
+
+
+def test_shingle_build_is_narrow(spark, sf_dir):
+    """The distinct (id, shingle_h) set must be produced without any
+    exchange — per-document array_distinct, not a DataFrame.distinct()."""
+    from sri_spark.dedup.shingles import shingle_hashes_df
+    from sri_spark.sources.testdata import load_table
+
+    sh = shingle_hashes_df(load_table(spark, sf_dir, "documents"))
+    plan = sh._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
