@@ -81,16 +81,23 @@ def merge_upsert(
                 ).otherwise(F.col(k)),
             )
 
+    # alias-qualified STRING refs (`t.c` / `s.c`), never expr-id refs
+    # (target[c]): when target and source share lineage — e.g. re-merging
+    # the same batch after a retry, where target IS the output of the
+    # previous merge — expr-id refs are ambiguous and Spark rejects the
+    # self-join. String refs resolve by alias, which is always unambiguous.
     t = target.alias("t")
     s = source.alias("s")
+    tc = lambda c: F.col(f"t.`{c}`")
+    sc = lambda c: F.col(f"s.`{c}`")
     cond = F.lit(True)
     for k in keys:
-        cond = cond & t[k].eqNullSafe(s[k])
+        cond = cond & tc(k).eqNullSafe(sc(k))
     joined = t.join(s, cond, "full_outer")
 
     matched_keys = F.lit(True)
     for k in keys:
-        matched_keys = matched_keys & t[k].isNotNull() & s[k].isNotNull()
+        matched_keys = matched_keys & tc(k).isNotNull() & sc(k).isNotNull()
     # the update branch may be narrowed (WHEN MATCHED AND cond); the delete
     # branch always sees every key-matched row, mirroring SQL MERGE where
     # each WHEN MATCHED clause carries its own condition
@@ -104,7 +111,7 @@ def merge_upsert(
     # matched, i.e. every target-side key is null in the outer join
     src_only = F.lit(True)
     for k in keys:
-        src_only = src_only & s[k].isNotNull() & t[k].isNull()
+        src_only = src_only & sc(k).isNotNull() & tc(k).isNull()
 
     if delete_condition is not None:
         joined = joined.filter(~(matched_keys & delete_condition))
@@ -112,15 +119,15 @@ def merge_upsert(
     out_cols: list[Column] = []
     for c in target.columns:
         if c in keys:
-            out_cols.append(F.coalesce(t[c], s[c]).alias(c))
+            out_cols.append(F.coalesce(tc(c), sc(c)).alias(c))
         elif c in upd and c in source.columns:
             # matched -> source value; source-only insert -> source value;
             # target-only -> target value
             out_cols.append(
-                F.when(matched | src_only, s[c]).otherwise(t[c]).alias(c)
+                F.when(matched | src_only, sc(c)).otherwise(tc(c)).alias(c)
             )
         else:
-            out_cols.append(t[c].alias(c))
+            out_cols.append(tc(c).alias(c))
     if not insert_not_matched:
         joined = joined.filter(~src_only)
     return joined.select(*out_cols)
