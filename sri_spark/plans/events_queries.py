@@ -468,3 +468,50 @@ def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 6).alias("zscore"),
     )
+
+
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+_WINSOR_ORACLE = f"""
+WITH bounds AS (
+  SELECT event_type,
+         quantile_cont(value, {WINSOR_LO}) AS lo,
+         quantile_cont(value, {WINSOR_HI}) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       round(e.value, 6) AS value,
+       round(CASE WHEN e.value < b.lo THEN b.lo
+                  WHEN e.value > b.hi THEN b.hi
+                  ELSE e.value END, 6) AS value_winsorized,
+       (e.value < b.lo OR e.value > b.hi) AS clipped
+FROM events e JOIN bounds b ON e.event_type = b.event_type
+"""
+
+
+@register("events_winsorize_value", _WINSOR_ORACLE)
+def events_winsorize_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization (clip to [p05, p95]) — the outlier-capping
+    pass metric pipelines run before aggregation. One exact-percentile
+    aggregate per event type, joined back (the bounds table is
+    |event_types| rows — AQE broadcasts it); `percentile_approx` is the
+    documented swap-in at 100 TB group cardinalities."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(WINSOR_LO)).alias("lo"),
+        F.percentile("value", F.lit(WINSOR_HI)).alias("hi"),
+    )
+    return ev.join(bounds, "event_type").select(
+        "event_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+        F.round(
+            F.when(F.col("value") < F.col("lo"), F.col("lo"))
+            .when(F.col("value") > F.col("hi"), F.col("hi"))
+            .otherwise(F.col("value")),
+            6,
+        ).alias("value_winsorized"),
+        ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))).alias(
+            "clipped"
+        ),
+    )
