@@ -28,6 +28,12 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument("--mode", default="fixed", choices=["parity", "fixed"])
     parser.add_argument("--run-date", default="2025-07-02")
     parser.add_argument("--no-enforce", action="store_true", help="skip quality gate")
+    parser.add_argument(
+        "--interactive",
+        action="store_true",
+        help="notebook-style task-by-task run: per-task timing/rows, table "
+        "verification, example query (etl/interactive.py)",
+    )
     args = parser.parse_args(argv)
 
     from sri_spark.etl import EtlConfig, run_pipeline
@@ -46,6 +52,20 @@ def main(argv: list[str] | None = None) -> None:
     t0 = time.perf_counter()
     spark = get_spark("sri-star-etl")
     cfg = EtlConfig(mode=args.mode, run_date=dt.date.fromisoformat(args.run_date))
+
+    if args.interactive:
+        from sri_spark.etl.interactive import run_interactive
+
+        report = run_interactive(
+            spark, args.source, out_dir=args.out, cfg=cfg, log=log.info
+        )
+        log.info(
+            "interactive run %s in %.1fs",
+            "completed" if report["ok"] else "FAILED",
+            time.perf_counter() - t0,
+        )
+        return
+
     tables = run_pipeline(spark, args.source, cfg)
     write_star(tables, args.out)
     report = quality_report(tables, enforce=not args.no_enforce)

@@ -1,0 +1,103 @@
+"""Degenerate-input behavior: empty corpora, single documents, null/short
+text. At 100 TB these shapes appear constantly (an empty partition, a
+filtered-away day, a null-text crawl record) — operators must return empty
+or null-safe results, never throw."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sri_spark.dedup.exact import exact_dedup_groups
+from sri_spark.dedup.jaccard import ngram_jaccard_pairs
+from sri_spark.dedup.minhash import minhash_lsh_pairs
+from sri_spark.dedup.simhash import simhash_df, simhash_near_pairs
+from sri_spark.similarity.lsh import rp_lsh_near_pairs
+from sri_spark.text.analysis import language_id, quality_score
+
+
+@pytest.fixture(scope="module")
+def empty_docs(spark):
+    return spark.createDataFrame([], "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def degenerate_docs(spark):
+    return spark.createDataFrame(
+        [
+            (0, None),  # null text
+            (1, ""),  # empty
+            (2, "one"),  # below shingle width
+            (3, "two words"),  # still below 3-gram width
+            (4, "exactly three tokens"),  # one shingle
+        ],
+        "doc_id long, text string",
+    )
+
+
+PAIR_OPS = [
+    ngram_jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_near_pairs,
+]
+
+
+@pytest.mark.parametrize("op", PAIR_OPS, ids=lambda f: f.__name__)
+def test_pair_ops_on_empty_corpus(empty_docs, op):
+    assert op(empty_docs).count() == 0
+
+
+@pytest.mark.parametrize("op", PAIR_OPS, ids=lambda f: f.__name__)
+def test_pair_ops_on_degenerate_docs(degenerate_docs, op):
+    # nothing shares content -> no pairs; and no null-text crash
+    assert op(degenerate_docs).count() == 0
+
+
+def test_exact_dedup_handles_null_and_empty_text(degenerate_docs):
+    groups = exact_dedup_groups(degenerate_docs)
+    # md5(null) is null -> its group key is null; no crash, and the four
+    # distinct non-null texts plus the null each form singleton groups
+    assert groups.count() == 5
+    assert groups.filter(F.col("n_copies") != 1).count() == 0
+
+
+def test_simhash_of_sub_width_docs(degenerate_docs):
+    # simhash is token-based (width 1): only null/empty text drop out
+    out = simhash_df(degenerate_docs)
+    assert {r["doc_id"] for r in out.collect()} == {2, 3, 4}
+
+
+def test_text_scores_null_safe(degenerate_docs):
+    rows = degenerate_docs.select(
+        "doc_id",
+        language_id(F.col("text")).alias("lang"),
+        quality_score(F.col("text")).alias("q"),
+    ).collect()
+    assert len(rows) == 5  # no row lost, no exception
+
+
+def test_lsh_near_pairs_empty_embeddings(spark):
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert rp_lsh_near_pairs(emb).count() == 0
+
+
+def test_cli_interactive_flag(spark, tmp_path):
+    """--interactive routes to the notebook-style runner end to end."""
+    from sri_spark.etl.run import main
+
+    from tests.sri_fixture import write_sri_csv
+
+    csv = tmp_path / "sri.csv"
+    write_sri_csv(str(csv), n=1500, seed=9)
+    main(
+        [
+            "--source",
+            str(csv),
+            "--out",
+            str(tmp_path / "star"),
+            "--interactive",
+        ]
+    )
+    import os
+
+    assert os.path.isdir(tmp_path / "star" / "fact_registro_vehiculos")
