@@ -8,7 +8,7 @@ are dims; the SRI star ETL itself is exercised separately in sri_spark.etl.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sri_spark.functions.cleaning import coerce_date, coerce_double
@@ -644,3 +644,47 @@ def set_ops_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("nombre")
     )
     return nation.union(region).distinct().exceptAll(seg.distinct())
+
+
+@register(
+    "metrics_yoy_growth",
+    """
+    WITH yearly AS (
+      SELECT year(o_orderdate) AS Anio,
+             count(*) AS total_registros,
+             sum(o_totalprice) AS monto
+      FROM orders GROUP BY 1
+    )
+    SELECT Anio, total_registros,
+           round(monto, 2) AS monto_total,
+           round(100.0 * (monto - lag(monto) OVER (ORDER BY Anio))
+                 / lag(monto) OVER (ORDER BY Anio), 4) AS crecimiento_pct,
+           (total_registros - lag(total_registros) OVER (ORDER BY Anio))
+             AS delta_registros
+    FROM yearly
+    """,
+)
+def metrics_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth of the yearly rollup (the period-over-period
+    completion of the reference's 'por anio' metric,
+    dags/sri_vehiculos_etl_dag.py:772-783). The lag window runs over the
+    YEARS-sized aggregate (single partition of ~7 rows — metadata-sized by
+    construction, like the vocabulary rank), never over the fact."""
+    orders = load_table(spark, sf_dir, "orders")
+    yearly = orders.groupBy(
+        F.year("o_orderdate").cast("long").alias("Anio")
+    ).agg(
+        F.count("*").alias("total_registros"),
+        F.sum("o_totalprice").alias("monto"),
+    )
+    w = Window.orderBy("Anio")
+    prev_m, prev_n = F.lag("monto").over(w), F.lag("total_registros").over(w)
+    return yearly.select(
+        "Anio",
+        "total_registros",
+        F.round("monto", 2).alias("monto_total"),
+        F.round(100.0 * (F.col("monto") - prev_m) / prev_m, 4).alias(
+            "crecimiento_pct"
+        ),
+        (F.col("total_registros") - prev_n).alias("delta_registros"),
+    )
