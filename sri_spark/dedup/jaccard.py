@@ -25,14 +25,18 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    hasher: str = "md5",
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for all pairs with Jaccard >= threshold over
     word n-gram shingle sets; doc_a < doc_b. See
-    `jaccard_pairs_from_shingles` for `max_df` (hot-shingle cap)."""
+    `jaccard_pairs_from_shingles` for `max_df` (hot-shingle cap) and
+    `shingle_hashes_df` for `hasher` ('xxhash64' is the faster production
+    path; the PAIR RESULTS are hash-family-invariant absent collisions,
+    only the oracle-reproducibility of intermediate hashes differs)."""
     # the shingle set feeds both join sides and the size aggregate — persist
     # so tokenize+distinct runs once (scoped: harnesses release it between
     # queries via operators.caching.unpersist_all)
-    sh = scoped_persist(shingle_hashes_df(df, text_col, id_col, n))
+    sh = scoped_persist(shingle_hashes_df(df, text_col, id_col, n, hasher=hasher))
     return jaccard_pairs_from_shingles(
         sh, id_col=id_col, threshold=threshold, max_df=max_df
     )

@@ -63,3 +63,32 @@ def test_cap_above_max_df_is_identity(boilerplate_docs):
     exact = _pairs(boilerplate_docs)
     capped = _pairs(boilerplate_docs, max_df=1000)
     assert capped == exact
+
+
+def test_jaccard_results_invariant_to_hash_family(spark, sf_dir):
+    """The xxhash64 production fast path must produce the exact same pair
+    set and Jaccard values as the oracle-reproducible md5 path (hashes are
+    an internal representation; set similarity is hash-family-invariant
+    absent collisions)."""
+    from sri_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    md5_pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    xx_pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.5, hasher="xxhash64").collect()
+    }
+    assert md5_pairs == xx_pairs and md5_pairs
+
+
+def test_unknown_hasher_rejected(spark):
+    import pytest as _pytest
+
+    from sri_spark.dedup.shingles import shingle_hashes_df
+
+    df = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="hasher"):
+        shingle_hashes_df(df, hasher="sha1")
