@@ -15,8 +15,14 @@ Layout
 - ``dedup``      : exact / n-gram-Jaccard / MinHash-LSH / SimHash deduplication.
 - ``text``       : language-ID, quality scoring, token counting, fingerprinting.
 - ``similarity`` : embedding cosine top-k (brute force + LSH-bucketed ANN).
-- ``multimodal`` : binary-column plumbing for image/audio payloads (decode stubbed).
-- ``streaming``  : Structured Streaming jobs over the `events` fixture.
+- ``multimodal`` : binary-column plumbing for image/audio payloads
+                   (pluggable codecs: PIL / stdlib-WAV auto-detect, byte-stats fallback).
+- ``streaming``  : Structured Streaming jobs over the `events` fixture,
+                   incl. the exactly-once foreachBatch MERGE sink.
+- ``tuning``     : cluster-sizing arithmetic (shuffle partitions, split sizes)
+                   for lake-scale deployments.
+- ``etl.interactive`` : notebook-style task-by-task runner (per-task timing,
+                   validation, table verification, example query).
 """
 
 __version__ = "0.1.0"
