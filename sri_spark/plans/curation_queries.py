@@ -252,3 +252,90 @@ def corpus_shuffle_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         (md5_int(F.concat(F.lit(_SHARD_SALT), sid)) % N_SHARDS).alias("shard"),
         md5_int(F.concat(F.lit(_ORDER_SALT), sid)).alias("sort_key"),
     )
+
+
+_RESAMPLE_SALT = "rs:"
+
+_RESAMPLE_ORACLE = f"""
+WITH per_lang AS (
+  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+),
+shares AS (
+  SELECT lang, n_docs,
+         n_docs / (sum(n_docs) OVER ()) AS share,
+         pow(n_docs / (sum(n_docs) OVER ()), {MIX_ALPHA}) AS w_raw
+  FROM per_lang
+),
+epochs AS (
+  SELECT lang,
+         CAST(round(1000.0 * (w_raw / sum(w_raw) OVER ()) / share) AS BIGINT)
+           AS epochs_milli
+  FROM shares
+),
+planned AS (
+  SELECT d.doc_id, d.lang,
+         (e.epochs_milli // 1000)
+         + CASE WHEN (('0x' || substr(md5('{_RESAMPLE_SALT}' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT)
+                     % 1000 < e.epochs_milli % 1000
+                THEN 1 ELSE 0 END AS n_copies
+  FROM documents d JOIN epochs e ON d.lang = e.lang
+)
+SELECT doc_id, lang, CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy_idx
+FROM planned WHERE n_copies > 0
+"""
+
+
+@register("corpus_resample_epochs", _RESAMPLE_ORACLE)
+def corpus_resample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the temperature mixture (corpus_mixing_weights) as actual
+    training rows: grouped per language (the skewed axis in this corpus), each doc replicated floor(epochs) times, plus one more
+    for a deterministic hash-selected fraction of docs so the EXPECTED copy
+    count per source equals its epochs multiplier exactly — stochastic
+    rounding with a salted key hash instead of rand(), so the materialized
+    epoch plan is rerun-stable and resumable.
+
+    Scale shape: one corpus count + window math over the sources-sized
+    aggregate, one join of docs to the |sources|-row epochs table
+    (AQE-broadcast), then a narrow explode(sequence(1, n_copies)) — no
+    shuffle touches the replicated output. Epochs quantized to millis so
+    floor/fraction arithmetic is integer-exact cross-engine."""
+    from sri_spark.functions.hashing import md5_int
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    w_all = Window.partitionBy()
+    share = F.col("n_docs") / F.sum("n_docs").over(w_all)
+    shares = per_source.select(
+        "lang", share.alias("share"), F.pow(share, MIX_ALPHA).alias("w_raw")
+    )
+    epochs = shares.select(
+        "lang",
+        F.round(
+            1000.0 * (F.col("w_raw") / F.sum("w_raw").over(w_all)) / F.col("share")
+        )
+        .cast("long")
+        .alias("epochs_milli"),
+    )
+    h = md5_int(F.concat(F.lit(_RESAMPLE_SALT), F.col("doc_id").cast("string"))) % 1000
+    planned = (
+        docs.select("doc_id", "lang")
+        .join(epochs, "lang")
+        .select(
+            "doc_id",
+            "lang",
+            (
+                (F.col("epochs_milli") / 1000).cast("long")
+                + F.when(h < F.col("epochs_milli") % 1000, 1).otherwise(0)
+            ).alias("n_copies"),
+        )
+    )
+    return (
+        planned.filter(F.col("n_copies") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_copies"))).alias(
+                "copy_idx"
+            ),
+        )
+    )
