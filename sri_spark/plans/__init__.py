@@ -21,6 +21,7 @@ from sri_spark.plans import (  # noqa: E402,F401
     dedup_queries,
     events_queries,
     join_advanced,
+    lm_queries,
     similarity_queries,
     surface_extra,
     text_extra_queries,

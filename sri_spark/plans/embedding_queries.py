@@ -95,3 +95,45 @@ def embeddings_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             (mae <= scale / 2).alias("mae_within_bound"),
         )
     )
+
+
+@register(
+    "embeddings_array_ops",
+    """
+    SELECT vec_id,
+           list_transform(list_slice(embedding, 1, 4),
+                          x -> round(x::DOUBLE, 6)) AS head4,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+           round(list_sum(list_transform(embedding, x -> abs(x::DOUBLE))), 6)
+               AS l1_norm,
+           round(list_max(list_transform(embedding, x -> x::DOUBLE)), 6)
+               AS max_v,
+           round(list_min(list_transform(embedding, x -> x::DOUBLE)), 6)
+               AS min_v,
+           (len(list_filter(embedding, x -> x < -0.5)) > 0) AS has_large_neg
+    FROM embeddings
+    """,
+)
+def embeddings_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The higher-order array-function family (slice / filter / transform /
+    aggregate / exists) exercised end to end over the embedding column.
+    Everything is a per-row Column expression that fuses into the parquet
+    scan — this is the idiom that keeps vector feature-engineering out of
+    Python at 100 TB (the UDF-shaped alternative pays a serialization tax
+    per row)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding")
+    as_d = F.transform(vec, lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.transform(F.slice(vec, 1, 4), lambda x: F.round(x.cast("double"), 6)).alias(
+            "head4"
+        ),
+        F.size(F.filter(vec, lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.round(
+            F.aggregate(as_d, F.lit(0.0), lambda acc, x: acc + F.abs(x)), 6
+        ).alias("l1_norm"),
+        F.round(F.array_max(as_d), 6).alias("max_v"),
+        F.round(F.array_min(as_d), 6).alias("min_v"),
+        F.exists(vec, lambda x: x < -0.5).alias("has_large_neg"),
+    )

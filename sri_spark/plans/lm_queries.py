@@ -1,0 +1,146 @@
+"""Statistical language-model style corpus analytics (mandate items — the
+reference has no text surface): Zipf-law fit over the token frequency
+distribution and a bigram-LM log-probability quality score per document.
+
+Both are the public CCNet/Gopher-style corpus-quality patterns: a corpus
+whose token frequencies deviate hard from Zipf is suspect (OCR noise,
+boilerplate), and per-document LM log-prob is the standard "does this read
+like natural language" filter (here a corpus-fit bigram MLE instead of an
+external KenLM binary, so the operator is self-contained and
+oracle-checkable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sri_spark.plans.registry import register
+from sri_spark.sources.testdata import load_table
+from sri_spark.text.analysis import tokens_col
+
+_TOKS = (
+    "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x != '')"
+)
+
+_ZIPF_ORACLE = f"""
+WITH counts AS (
+  SELECT tok AS token, count(*) AS cnt
+  FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+  GROUP BY 1
+),
+ranked AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rnk
+  FROM counts
+)
+SELECT count(*) AS n_types,
+       CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       round(regr_slope(ln(cnt), ln(rnk)), 6) AS zipf_slope,
+       round(regr_intercept(ln(cnt), ln(rnk)), 6) AS zipf_intercept,
+       round(regr_r2(ln(cnt), ln(rnk)), 6) AS zipf_r2
+FROM ranked
+"""
+
+
+@register("text_zipf_stats", _ZIPF_ORACLE)
+def text_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit: log-log linear regression of token frequency on rank.
+    Corpus-sized work is one explode + hash aggregate; the rank window then
+    runs on the vocabulary-sized aggregate (single-partition sort is safe at
+    that cardinality — same argument as text_vocabulary_build), and the
+    regression itself is one scalar aggregate. Ties in cnt permute ranks
+    only among equal frequencies, so the fitted line is deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    ranked = counts.select(
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), "token"))
+        .alias("rnk"),
+    )
+    ln_cnt = F.log(F.col("cnt").cast("double"))
+    ln_rnk = F.log(F.col("rnk").cast("double"))
+    return ranked.agg(
+        F.count("*").alias("n_types"),
+        F.sum("cnt").alias("n_tokens"),
+        F.round(F.regr_slope(ln_cnt, ln_rnk), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(ln_cnt, ln_rnk), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2(ln_cnt, ln_rnk), 6).alias("zipf_r2"),
+    )
+
+
+_BIGRAM_LM_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(toks) - 1),
+                               i -> toks[i])) AS w1,
+         unnest(list_transform(generate_series(1, len(toks) - 1),
+                               i -> toks[i + 1])) AS w2
+  FROM t
+),
+big_cnt AS (SELECT w1, w2, count(*) AS c2 FROM grams GROUP BY 1, 2),
+uni_cnt AS (SELECT w1, sum(c2) AS c1 FROM big_cnt GROUP BY 1),
+scored AS (
+  SELECT g.doc_id, ln(b.c2 / u.c1) AS lp
+  FROM grams g
+  JOIN big_cnt b ON g.w1 = b.w1 AND g.w2 = b.w2
+  JOIN uni_cnt u ON g.w1 = u.w1
+)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       round(avg(lp), 6) AS avg_logprob,
+       round(exp(-avg(lp)), 6) AS perplexity
+FROM scored GROUP BY doc_id
+"""
+
+
+@register("text_bigram_lm_score", _BIGRAM_LM_ORACLE)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM quality score: fit a maximum-likelihood bigram
+    model on the corpus itself, then score each document by its mean bigram
+    log-probability ln P(w2|w1) (and the equivalent perplexity). Documents
+    full of rare/ungrammatical transitions score low — the KenLM-filter
+    pattern with the model table computed in-engine.
+
+    Shape at scale: bigrams are generated per-row with transform (no
+    self-join), counted in one hash aggregate; the unigram table derives
+    from the bigram table (sum over w2 — no second corpus pass); scoring is
+    two hash joins keyed on the n-gram columns, so every shuffle moves
+    (token-pair, count) rows bounded by the n-gram vocabulary, and the
+    per-doc rollup is one final aggregate. Zero probabilities cannot occur:
+    the model is fit on the same corpus it scores (MLE, unsmoothed by
+    design — add-k smoothing only shifts scores when train != score
+    corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    n = F.size(toks)
+    pairs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), (n - 1).cast("int")),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    grams = docs.select("doc_id", F.explode(pairs).alias("g")).select(
+        "doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2")
+    )
+    big_cnt = grams.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    uni_cnt = big_cnt.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    scored = (
+        grams.join(big_cnt, ["w1", "w2"])
+        .join(uni_cnt, "w1")
+        .select("doc_id", F.log(F.col("c2") / F.col("c1")).alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        F.round(F.exp(-F.avg("lp")), 6).alias("perplexity"),
+    )

@@ -17,6 +17,66 @@ from sri_spark.plans.registry import register
 from sri_spark.sources.testdata import load_table
 
 
+EWMA_ALPHA = 0.3  # weight on the most recent observation
+EWMA_DEPTH = 8  # bounded frame: lags 0..7 (weights below ~8% of w0 truncated)
+
+# decay weights (1-alpha)^k for k = 0..DEPTH-1, as SQL literals
+_EWMA_W = [(1.0 - EWMA_ALPHA) ** k for k in range(EWMA_DEPTH)]
+
+# Portable formulation both engines evaluate bit-identically: an explicit
+# lag chain over one window (single pass — all lags share the frame) with
+# per-row renormalization over the lags that actually exist. A
+# collect_list/list_transform formulation would be shorter but DuckDB and
+# Spark disagree on lambda-index support; lag() is ANSI.
+_EWMA_NUM_SQL = " + ".join(
+    f"coalesce(lag(value, {k}) OVER w * {w!r}, 0)" for k, w in enumerate(_EWMA_W)
+)
+_EWMA_DEN_SQL = " + ".join(
+    f"(CASE WHEN lag(value, {k}) OVER w IS NULL THEN 0 ELSE {w!r} END)"
+    for k, w in enumerate(_EWMA_W)
+)
+
+_EWMA_ORACLE = f"""
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       round(value, 6) AS value,
+       round(({_EWMA_NUM_SQL}) / ({_EWMA_DEN_SQL}), 6) AS ewma
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+"""
+
+
+@register("events_ewma", _EWMA_ORACLE)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-window exponentially weighted moving average per user — the
+    smoothing/anomaly-baseline primitive. True EWMA is an infinite
+    recurrence (not window-expressible without UDAF state); the standard
+    scale-safe approximation truncates the tail at DEPTH lags, where the
+    dropped mass is (1-alpha)^DEPTH (<6% here), and renormalizes over the
+    weights actually present so series starts are unbiased.
+
+    Shape: one per-user window carries all DEPTH lag() calls (Spark fuses
+    same-window functions into a single Window exec — one shuffle + per-key
+    sort, no self-joins)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = sum(
+        F.coalesce(F.lag("value", k).over(w) * F.lit(wt), F.lit(0.0))
+        for k, wt in enumerate(_EWMA_W)
+    )
+    den = sum(
+        F.when(F.lag("value", k).over(w).isNull(), F.lit(0.0)).otherwise(F.lit(wt))
+        for k, wt in enumerate(_EWMA_W)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.round("value", 6).alias("value"),
+        F.round(num / den, 6).alias("ewma"),
+    )
+
+
 @register(
     "events_gaps_islands",
     """

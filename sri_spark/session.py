@@ -50,6 +50,9 @@ def get_spark(
         # the events fixture stores timestamp[ns]; read as long and convert in
         # the loader (Spark has no native nanosecond timestamp)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # write µs-precision INT64 timestamps, not legacy INT96 (interops
+        # cleanly with pyarrow/DuckDB readers and our own schema probes)
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.showConsoleProgress", "false")

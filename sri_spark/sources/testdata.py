@@ -43,16 +43,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # stored as timestamp[ns]; with nanosAsLong it arrives as epoch-nanos
-        # long — truncate to microseconds (same truncation DuckDB applies)
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
+        df = normalize_event_ts(df)
+    return df
 
-        if isinstance(df.schema["ts"].dataType, LongType):
-            # integer division, not `/ 1000` — float division of an epoch-ns
-            # long loses precision past 2^53 and lands ~12% of values 1 µs
-            # off DuckDB's exact ns→µs truncation
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events `ts` column to session-zoned TimestampType.
+
+    The driver has regenerated the fixture with different physical types
+    across rounds, so every reader funnels through this:
+    - timestamp[ns] read under nanosAsLong → epoch-nanos long: truncate to
+      microseconds with integer division (`div 1000`, not `/ 1000`: float
+      division of an epoch-ns long loses precision past 2^53 and lands
+      ~12% of values 1 µs off DuckDB's exact ns→µs truncation);
+    - timestamp[us] with isAdjustedToUTC=false → TIMESTAMP_NTZ in Spark 4:
+      cast to the session-zoned type (session tz pinned to UTC) so epoch
+      arithmetic (unix_micros) works and instants match DuckDB's naive
+      reading;
+    - already TimestampType → no-op.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

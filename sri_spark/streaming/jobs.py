@@ -26,32 +26,72 @@ from pyspark.sql.types import (
     StructType,
 )
 
-# the fixture stores ts as timestamp[ns]; a declared-schema stream reads it as
-# long (nanos) under nanosAsLong and converts — same contract as the batch
-# loader (sources.testdata)
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_raw_schema(events_dir: str) -> StructType:
+    """Declared file-source schema for the events stream.
+
+    A stream needs its schema up front, but the fixture's `ts` physical type
+    has changed across driver regenerations (timestamp[ns] vs timestamp[us],
+    see sources.testdata.normalize_event_ts). Probe ONE parquet footer
+    (metadata-sized, driver-side, once per stream definition — not a data
+    scan) and declare `ts` accordingly; normalize_event_ts then converts
+    whatever arrives to session-zoned TimestampType.
+    """
+    import glob
+    import os
+
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    ts_field: StructField
+    files = sorted(glob.glob(os.path.join(events_dir, "*.parquet")))
+    if not files:
+        ts_field = StructField("ts", TimestampType())
+    else:
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(files[0])
+        phys = next(
+            (
+                pf.schema.column(i).physical_type
+                for i in range(len(pf.schema))
+                if pf.schema.column(i).name == "ts"
+            ),
+            None,
+        )
+        t = pf.schema_arrow.field("ts").type
+        if phys == "INT96":
+            # legacy Spark-written timestamps (pyarrow reports them as ns,
+            # but nanosAsLong does NOT apply to INT96 — Spark reads them as
+            # plain TIMESTAMP)
+            ts_field = StructField("ts", TimestampType())
+        elif t.unit == "ns":
+            ts_field = StructField("ts", LongType())  # via nanosAsLong
+        elif t.tz is None:
+            ts_field = StructField("ts", TimestampNTZType())
+        else:
+            ts_field = StructField("ts", TimestampType())
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            ts_field,
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     """File-source stream over a directory of events parquet files."""
+    from sri_spark.sources.testdata import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(_events_raw_schema(events_dir))
         .option("maxFilesPerTrigger", 1)
         .parquet(events_dir)
     )
-    # integer division (not `/ 1000`): float division of epoch-ns longs loses
-    # precision past 2^53 — same contract as the batch loader
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(raw)
 
 
 def windowed_event_counts(

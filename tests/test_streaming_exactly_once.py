@@ -32,8 +32,10 @@ def _rows(df):
 @pytest.fixture()
 def split_events(spark, sf_dir, tmp_path):
     """events split into three single-file slices by ts tercile."""
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ts = F.timestamp_micros(F.expr("ts div 1000"))
+    from sri_spark.sources.testdata import normalize_event_ts
+
+    raw = normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    ts = F.col("ts")
     q1, q2 = (
         raw.select(
             F.percentile_approx(ts, 1 / 3), F.percentile_approx(ts, 2 / 3)
@@ -64,12 +66,7 @@ def test_merge_sink_exactly_once_across_restarts(
     shutil.copy(split_events[0], events_dir / "a.parquet")
     shutil.copy(split_events[1], events_dir / "b.parquet")
     got1 = run_foreach_batch_merge_stream(spark, str(events_dir), target, ckpt)
-    ts = F.timestamp_micros(F.expr("ts div 1000"))
-    cutoff = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .select(F.percentile_approx(ts, 2 / 3))
-        .first()[0]
-    )
+    cutoff = ev.select(F.percentile_approx("ts", 2 / 3)).first()[0]
     want1 = latest_event_per_user(ev.filter(F.col("ts") <= cutoff))
     assert _rows(got1) == _rows(want1)
 

@@ -186,14 +186,15 @@ def test_foreach_batch_merge_latest_per_user(spark, sf_dir, tmp_path):
     events_dir.mkdir()
     # file 1 = LATE half, file 2 = EARLY half -> batch 2 must not clobber.
     # The file source does not recurse, so move each part file up flat.
+    from sri_spark.sources.testdata import normalize_event_ts
+
+    src = normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
     for name, pred in [
-        ("0-late", F.timestamp_micros(F.expr("ts div 1000")) > cutoff),
-        ("1-early", F.timestamp_micros(F.expr("ts div 1000")) <= cutoff),
+        ("0-late", F.col("ts") > cutoff),
+        ("1-early", F.col("ts") <= cutoff),
     ]:
         out = tmp_path / f"half_{name}"
-        spark.read.parquet(f"{sf_dir}/events.parquet").filter(pred).coalesce(
-            1
-        ).write.parquet(str(out))
+        src.filter(pred).coalesce(1).write.parquet(str(out))
         part = next(out.glob("part-*.parquet"))
         shutil.copy(part, events_dir / f"{name}.parquet")
 
