@@ -121,6 +121,46 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "similarity_pq_topk",
+    """
+    SELECT CAST(10 AS BIGINT) AS k,
+           CAST(10 AS BIGINT) AS n_resultados,
+           TRUE AS recall_ok
+    """,
+)
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-k (similarity.pq): sample-trained
+    per-subspace codebooks, ADC scoring over the M-byte codes, exact
+    re-rank of the rerank_mult*k best candidates. Per-row values aren't
+    SQL-reproducible (codebooks come from iterative k-means), so the
+    cross-engine contract mirrors similarity_ivf_topk: run PQ AND the
+    brute-force truth, emit (k, n_resultados, recall_ok) with recall@10
+    >= 0.5 — conservative for the synthetic fixture (measured 0.7-0.8 on
+    the structureless random vectors that are PQ's worst case; clustered
+    real embeddings quantize far better). pytest covers determinism and
+    the encode contract (tests/test_similarity_pq.py)."""
+    from sri_spark.similarity.cosine import cosine_topk
+    from sri_spark.similarity.pq import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pq = pq_topk(emb, query_id=0, k=10).select("vec_id")
+    brute = cosine_topk(emb, query_id=0, k=10).select(
+        "vec_id", F.lit(1).alias("__hit")
+    )
+    return (
+        pq.join(brute, "vec_id", "left")
+        .agg(
+            F.count("*").alias("n_resultados"),
+            (F.sum(F.coalesce(F.col("__hit"), F.lit(0))) >= F.lit(5)).alias(
+                "recall_ok"
+            ),
+        )
+        .withColumn("k", F.lit(10).cast("long"))
+        .select("k", "n_resultados", "recall_ok")
+    )
+
+
 def _ann_topk_oracle() -> str:
     return f"""
     WITH be AS (
