@@ -339,3 +339,50 @@ def corpus_resample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_WSAMPLE_SALT = "wsample-v1"
+WSAMPLE_N = 100
+
+_WSAMPLE_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         ln(((('0x' || substr(md5('{_WSAMPLE_SALT}' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) + 1)
+            / 1152921504606846977.0) / n_chars AS k
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, lang, n_chars AS weight, round(k, 9) AS sample_key
+FROM keyed ORDER BY k DESC, doc_id LIMIT {WSAMPLE_N}
+"""
+
+
+@register("corpus_sample_weighted", _WSAMPLE_ORACLE)
+def corpus_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, deterministic: the
+    Efraimidis-Spirakis A-Res scheme (public "Weighted random sampling with
+    a reservoir", IPL 2006) with the uniform drawn from a salted doc_id
+    hash instead of rand() — longer documents (weight = n_chars) are
+    proportionally more likely to be kept, and reruns select the same
+    sample (resumable pipelines, reproducible training mixes).
+
+    key = ln(u)/w orders identically to the paper's u^(1/w) (exp is
+    monotone) while avoiding cross-engine pow() rounding; u is shifted to
+    (0, 1] so ln never sees 0. One narrow projection + global top-N
+    (TakeOrderedAndProject — N rows through the driver, no full sort)."""
+    from sri_spark.functions.hashing import md5_int
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        md5_int(F.concat(F.lit(_WSAMPLE_SALT), F.col("doc_id").cast("string"))) + 1
+    ) / F.lit(float(2**60 + 1))
+    k = F.log(u) / F.col("n_chars")
+    return (
+        docs.select(
+            "doc_id", "lang", F.col("n_chars").alias("weight"), k.alias("__k")
+        )
+        .orderBy(F.desc("__k"), F.asc("doc_id"))  # exact key, like the oracle
+        .limit(WSAMPLE_N)
+        .select(
+            "doc_id", "lang", "weight", F.round("__k", 9).alias("sample_key")
+        )
+    )
