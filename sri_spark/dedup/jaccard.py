@@ -67,6 +67,49 @@ def jaccard_pairs_from_shingles(
     capped Jaccard is a lower bound of exact Jaccard: the tradeoff is recall
     on pairs whose overlap is carried by boilerplate (which are usually the
     pairs you don't want to call near-duplicates anyway). `None` = exact."""
+    return (
+        _pair_overlap(sh, id_col=id_col, max_df=max_df)
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def containment_pairs_from_shingles(
+    sh: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup: containment |A∩B| / min(|A|, |B|) >= threshold.
+
+    Jaccard under-scores pairs of very unequal length (a paragraph quoted
+    inside a long article has tiny Jaccard but containment ≈ 1) — this is
+    the standard quote/subset detector next to it (the Broder resemblance /
+    containment pair). Same intermediates as Jaccard: the shared-shingle
+    intersection join and the per-doc size table."""
+    o = _pair_overlap(sh, id_col=id_col, max_df=max_df)
+    cont = F.col("inter") / F.least(F.col("na"), F.col("nb"))
+    return (
+        o.withColumn("containment", F.round(cont, 6))
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
+    )
+
+
+def _pair_overlap(
+    sh: DataFrame, *, id_col: str, max_df: int | None
+) -> DataFrame:
+    """(doc_a, doc_b, inter, na, nb) for every candidate pair sharing a
+    shingle: singleton shingles are pruned (they cannot intersect), hot
+    shingles optionally df-capped, sizes joined without broadcast hints —
+    the size tables are one row per document, "small" only at test scale;
+    a forced BroadcastExchange on them OOMs at a billion docs, so AQE
+    decides."""
     shared = sh.groupBy("shingle_h").agg(F.count("*").alias("__df"))
     if max_df is not None:
         shared = shared.filter(F.col("__df") <= max_df)
@@ -83,17 +126,4 @@ def jaccard_pairs_from_shingles(
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("na"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("nb"))
-    # no broadcast hints: the size tables are one row per document, which is
-    # only "small" at test scale — at a billion-doc corpus a forced
-    # BroadcastExchange OOMs the driver. AQE picks broadcast when the side
-    # really is small; otherwise this is a plain shuffled hash join.
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return inter.join(sa, "doc_a").join(sb, "doc_b")

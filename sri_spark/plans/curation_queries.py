@@ -386,3 +386,111 @@ def corpus_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "lang", "weight", F.round("__k", 9).alias("sample_key")
         )
     )
+
+
+FUNNEL_MIN_CHARS = 100
+FUNNEL_MIN_QUALITY = 0.65
+
+_FUNNEL_FP = """list_reduce(
+               list_prepend(0::BIGINT,
+                 list_transform(
+                   list_slice(
+                     list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'),
+                                 x -> x != ''),
+                     1, 16),
+                   t -> (('0x' || substr(md5(t), 1, 15))::BIGINT) % 1000003)),
+               (a, b) -> (a * 131 + b) % 1000000007
+             )"""
+
+_FUNNEL_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id, lang,
+         length(text)::BIGINT AS n_chars,
+         len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x != ''))::BIGINT AS n_tokens,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::BIGINT AS n_punct,
+         len(regexp_extract_all(text, '[0-9]'))::BIGINT AS n_digits,
+         row_number() OVER (PARTITION BY {_FUNNEL_FP} ORDER BY doc_id) AS fp_rank
+  FROM documents
+),
+flags AS (
+  SELECT doc_id,
+         (lang = 'en') AS f1,
+         (lang = 'en' AND n_chars >= {FUNNEL_MIN_CHARS}) AS f2,
+         (lang = 'en' AND n_chars >= {FUNNEL_MIN_CHARS}
+          AND round(0.5 * least(n_tokens / 100.0, 1.0)
+              + 0.3 * (1 - round(n_punct / greatest(n_chars, 1), 6))
+              + 0.2 * (1 - round(n_digits / greatest(n_chars, 1), 6)), 6)
+              >= {FUNNEL_MIN_QUALITY}) AS f3,
+         fp_rank = 1 AS keeper
+  FROM f
+),
+agg AS (
+  SELECT count(*) AS n0,
+         sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS n1,
+         sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS n2,
+         sum(CASE WHEN f3 THEN 1 ELSE 0 END) AS n3,
+         sum(CASE WHEN f3 AND keeper THEN 1 ELSE 0 END) AS n4
+  FROM flags
+)
+SELECT * FROM (
+  SELECT 1 AS stage_idx, 'language' AS stage,
+         CAST(n0 AS BIGINT) AS n_in, CAST(n1 AS BIGINT) AS n_out,
+         CAST(n0 - n1 AS BIGINT) AS n_dropped FROM agg
+  UNION ALL
+  SELECT 2, 'min_length', CAST(n1 AS BIGINT), CAST(n2 AS BIGINT), CAST(n1 - n2 AS BIGINT) FROM agg
+  UNION ALL
+  SELECT 3, 'quality', CAST(n2 AS BIGINT), CAST(n3 AS BIGINT), CAST(n2 - n3 AS BIGINT) FROM agg
+  UNION ALL
+  SELECT 4, 'near_dedup', CAST(n3 AS BIGINT), CAST(n4 AS BIGINT), CAST(n3 - n4 AS BIGINT) FROM agg
+)
+"""
+
+
+@register("corpus_curation_funnel", _FUNNEL_ORACLE)
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel with per-stage drop accounting — the report every
+    corpus pipeline publishes (language filter -> min length -> quality
+    threshold -> near-dup keeper, cumulative). One scan computes all stage
+    flags; the only shuffle is the fingerprint keeper window (partitioned by
+    the 16-token-prefix fingerprint — per-block sorts); the counts collapse
+    in a single aggregate and unpivot via stack(), so the funnel costs one
+    pass regardless of stage count."""
+    from sri_spark.text.analysis import doc_fingerprint, quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(doc_fingerprint(F.coalesce(F.col("text"), F.lit("")), prefix=16)).orderBy(
+        "doc_id"
+    )
+    flags = docs.select(
+        (F.col("lang") == "en").alias("f1"),
+        ((F.col("lang") == "en") & (F.length("text") >= FUNNEL_MIN_CHARS)).alias("f2"),
+        (
+            (F.col("lang") == "en")
+            & (F.length("text") >= FUNNEL_MIN_CHARS)
+            & (quality_score(F.col("text")) >= FUNNEL_MIN_QUALITY)
+        ).alias("f3"),
+        (F.row_number().over(w) == 1).alias("keeper"),
+    )
+    agg = flags.agg(
+        F.count("*").alias("n0"),
+        F.sum(F.when(F.col("f1"), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("f2"), 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(F.col("f3"), 1).otherwise(0)).alias("n3"),
+        F.sum(F.when(F.col("f3") & F.col("keeper"), 1).otherwise(0)).alias("n4"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(4, "
+            "1, 'language',   n0, n1, "
+            "2, 'min_length', n1, n2, "
+            "3, 'quality',    n2, n3, "
+            "4, 'near_dedup', n3, n4"
+            ") AS (stage_idx, stage, n_in, n_out)"
+        )
+    ).select(
+        F.col("stage_idx").cast("int").alias("stage_idx"),
+        "stage",
+        F.col("n_in").cast("long").alias("n_in"),
+        F.col("n_out").cast("long").alias("n_out"),
+        (F.col("n_in") - F.col("n_out")).cast("long").alias("n_dropped"),
+    )

@@ -322,3 +322,40 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
+
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@register(
+    "dedup_containment",
+    f"""
+    WITH {_SHINGLE_CTES},
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY 1)
+    SELECT doc_a, doc_b,
+           round(n_inter / least(sa.ns, sb.ns), 6) AS containment
+    FROM inter
+    JOIN sizes sa ON inter.doc_a = sa.doc_id
+    JOIN sizes sb ON inter.doc_b = sb.doc_id
+    WHERE n_inter / least(sa.ns, sb.ns) >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle containment |A∩B|/min(|A|,|B|) >= 0.8 — the asymmetric
+    quote/subset detector Jaccard misses on unequal-length pairs (Broder's
+    containment measure). Reuses the Jaccard plan's intermediates: one
+    persisted shingle set, shared-shingle intersection join, size joins."""
+    from sri_spark.dedup.jaccard import containment_pairs_from_shingles
+    from sri_spark.dedup.shingles import shingle_hashes_df
+    from sri_spark.operators.caching import scoped_persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = scoped_persist(shingle_hashes_df(docs, "text", "doc_id", 3))
+    return containment_pairs_from_shingles(
+        sh, threshold=CONTAINMENT_THRESHOLD
+    )

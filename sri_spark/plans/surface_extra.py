@@ -275,3 +275,39 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+HIST_BIN_WIDTH = 25_000.0
+
+
+@register(
+    "agg_histogram",
+    f"""
+    SELECT CAST(floor(o_totalprice / {HIST_BIN_WIDTH!r}) AS BIGINT) AS bin,
+           round(CAST(floor(o_totalprice / {HIST_BIN_WIDTH!r}) AS BIGINT)
+                 * {HIST_BIN_WIDTH!r}, 2) AS bin_lo,
+           count(*) AS n,
+           round(min(o_totalprice), 2) AS min_v,
+           round(max(o_totalprice), 2) AS max_v
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals — the profiling primitive that
+    needs exactly one hash aggregate regardless of scale (bin id is a pure
+    projection, so the map side pre-aggregates; contrast with an
+    ORDER BY-based quantile scan). Empty bins are absent by construction."""
+    orders = load_table(spark, sf_dir, "orders")
+    bin_ = F.floor(F.col("o_totalprice") / HIST_BIN_WIDTH).cast("long")
+    return (
+        orders.groupBy(
+            bin_.alias("bin"),
+            F.round(bin_ * HIST_BIN_WIDTH, 2).alias("bin_lo"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("min_v"),
+            F.round(F.max("o_totalprice"), 2).alias("max_v"),
+        )
+    )

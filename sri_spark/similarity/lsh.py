@@ -73,6 +73,9 @@ def rp_lsh_near_pairs(
             F.col(id_col),
             _as_double(F.col(vec_col)).alias("__e"),
             rp_bucket_col(F.col(vec_col)).alias("__bucket"),
+            # norm once per VECTOR here; the re-rank runs once per candidate
+            # PAIR (pairs >> vectors at scale), where it must not recompute
+            _norm(_as_double(F.col(vec_col))).alias("__n"),
         )
     )
     a = emb.select(F.col(id_col).alias("vec_a"), "__bucket")
@@ -82,8 +85,16 @@ def rp_lsh_near_pairs(
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b")
     )
-    ea = emb.select(F.col(id_col).alias("vec_a"), F.col("__e").alias("__ea"))
-    eb = emb.select(F.col(id_col).alias("vec_b"), F.col("__e").alias("__eb"))
+    ea = emb.select(
+        F.col(id_col).alias("vec_a"),
+        F.col("__e").alias("__ea"),
+        F.col("__n").alias("__na"),
+    )
+    eb = emb.select(
+        F.col(id_col).alias("vec_b"),
+        F.col("__e").alias("__eb"),
+        F.col("__n").alias("__nb"),
+    )
     return (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
@@ -91,8 +102,7 @@ def rp_lsh_near_pairs(
             "vec_a",
             "vec_b",
             F.round(
-                _dot(F.col("__ea"), F.col("__eb"))
-                / (_norm(F.col("__ea")) * _norm(F.col("__eb"))),
+                _dot(F.col("__ea"), F.col("__eb")) / (F.col("__na") * F.col("__nb")),
                 6,
             ).alias("cosine"),
         )
