@@ -177,3 +177,58 @@ def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
     )
+
+
+MAD_K = 3.0 * 1.4826  # 3 sigma-equivalents under normality
+
+_MAD_ORACLE = f"""
+WITH med AS (SELECT user_id, median(value) AS med FROM events GROUP BY 1),
+dev AS (
+  SELECT e.user_id, e.event_id, e.ts, e.value, abs(e.value - m.med) AS ad
+  FROM events e JOIN med m USING (user_id)
+),
+mad AS (SELECT user_id, median(ad) AS mad FROM dev GROUP BY 1)
+SELECT d.user_id, d.event_id,
+       strftime(d.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       round(d.value, 6) AS value,
+       round(d.ad, 6) AS deviation,
+       round({MAD_K!r} * m.mad, 6) AS threshold
+FROM dev d JOIN mad m USING (user_id)
+WHERE m.mad > 0 AND d.ad > {MAD_K!r} * m.mad
+"""
+
+
+@register("events_anomaly_mad", _MAD_ORACLE)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-user anomaly flags via median absolute deviation — the
+    outlier detector that, unlike z-scores (events_rolling_zscore), is not
+    itself corrupted by the outliers it hunts (median breakdown point 50%
+    vs mean's 0). Flags |v - median| > 3·1.4826·MAD.
+
+    Shape: two grouped exact medians + two joins, all keyed on user_id, so
+    every stage reuses one hash partitioning; output is only the flagged
+    rows. Exact median is a per-group sort at bounded per-user cardinality
+    — for heavy multi-billion-row keys swap in approx_percentile, same
+    plan shape."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("user_id").agg(F.median("value").alias("med"))
+    dev = ev.join(med, "user_id").select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.abs(F.col("value") - F.col("med")).alias("ad"),
+    )
+    mad = dev.groupBy("user_id").agg(F.median("ad").alias("mad"))
+    return (
+        dev.join(mad, "user_id")
+        .filter((F.col("mad") > 0) & (F.col("ad") > MAD_K * F.col("mad")))
+        .select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            F.round("value", 6).alias("value"),
+            F.round("ad", 6).alias("deviation"),
+            F.round(MAD_K * F.col("mad"), 6).alias("threshold"),
+        )
+    )
