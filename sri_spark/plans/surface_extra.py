@@ -311,3 +311,55 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("max_v"),
         )
     )
+
+
+BASKET_MIN_SUPPORT = 2  # pairs must co-occur in >= 2 orders
+BASKET_MAX_ITEMS = 50  # degree cap per order (quadratic guard)
+
+
+@register(
+    "orders_basket_pairs",
+    f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    sized AS (
+      SELECT l_orderkey FROM items GROUP BY 1 HAVING count(*) <= {BASKET_MAX_ITEMS}
+    ),
+    it AS (SELECT i.l_orderkey, i.l_partkey FROM items i JOIN sized USING (l_orderkey)),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS support
+      FROM it a JOIN it b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, support
+    FROM pairs WHERE support >= {BASKET_MIN_SUPPORT}
+    """,
+)
+def orders_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: parts co-purchased in the same order with
+    support >= 2 — pairwise frequent itemsets, the first A-priori level.
+    Same guarded-quadratic discipline as the dedup self-joins: the
+    within-order self-join is capped by a per-order degree bound
+    (BASKET_MAX_ITEMS, the analogue of the hot-shingle df cap), so the
+    blowup per order is C(cap, 2) however large the corpus; shuffles move
+    (orderkey, partkey) pairs only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    sized = (
+        items.groupBy("l_orderkey")
+        .agg(F.count("*").alias("__deg"))
+        .filter(F.col("__deg") <= BASKET_MAX_ITEMS)
+        .select("l_orderkey")
+    )
+    it = items.join(sized, "l_orderkey")
+    a = it.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = it.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= BASKET_MIN_SUPPORT)
+    )
