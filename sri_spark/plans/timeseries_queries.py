@@ -232,3 +232,33 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(MAD_K * F.col("mad"), 6).alias("threshold"),
         )
     )
+
+
+_TREND_ORACLE = """
+SELECT user_id,
+       count(*) AS n_events,
+       round(regr_slope(value, epoch_us(ts) / 86400000000.0), 6) AS slope_per_day,
+       round(regr_intercept(value, epoch_us(ts) / 86400000000.0), 6) AS intercept,
+       round(coalesce(regr_r2(value, epoch_us(ts) / 86400000000.0), 0.0), 6) AS r2
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("events_user_trend", _TREND_ORACLE)
+def events_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user linear trend of event values over time (slope/day,
+    intercept, fit quality) — the trend feature a churn/engagement model
+    consumes. regr_* aggregates are partial-aggregatable (sums of x, y,
+    xy, x²), so this is ONE map-combinable hash aggregate — the reason to
+    prefer them over a per-group OLS UDF, which would ship raw rows to
+    Python."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.unix_micros("ts") / F.lit(86_400_000_000.0)  # days since epoch
+    v = F.col("value")
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.regr_slope(v, x), 6).alias("slope_per_day"),
+        F.round(F.regr_intercept(v, x), 6).alias("intercept"),
+        F.round(F.coalesce(F.regr_r2(v, x), F.lit(0.0)), 6).alias("r2"),
+    )

@@ -300,6 +300,56 @@ def run_windowed_stream(
     return spark.table(query_name)
 
 
+def session_window_counts(
+    events: DataFrame, *, gap: str = "30 minutes", watermark: str | None = "1 hour"
+) -> DataFrame:
+    """Native session_window(gap) per user — one definition for batch and
+    stream (the batch catalog twin is events_session_window_native). In a
+    stream the watermark bounds session state: a session closes (and its
+    state is dropped) once the watermark passes its end + gap."""
+    if watermark is not None and events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_session_window_stream(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    *,
+    query_name: str = "session_windows",
+) -> DataFrame:
+    """Streaming sessionization over the file source (availableNow). Complete
+    mode keeps all sessions in the memory sink for batch comparison; a
+    production job uses append + watermark-expired emission."""
+    stream = read_events_stream(spark, events_dir)
+    agg = session_window_counts(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
 def latest_event_per_user(events: DataFrame) -> DataFrame:
     """Per-user latest event (max ts, ties by event_id) — one definition
     for the batch twin and the per-micro-batch increment. max_by keeps it

@@ -210,3 +210,25 @@ def test_foreach_batch_merge_latest_per_user(spark, sf_dir, tmp_path):
     got = sorted(map(key, merged.collect()))
     want = sorted(map(key, batch.collect()))
     assert got == want and len(got) > 0
+
+
+def test_session_window_stream_equals_batch(spark, sf_dir, tmp_path):
+    from sri_spark.streaming.jobs import (
+        run_session_window_stream,
+        session_window_counts,
+    )
+
+    events_dir = tmp_path / "events_sess"
+    events_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", events_dir / "part-000.parquet")
+
+    streamed = run_session_window_stream(
+        spark, str(events_dir), str(tmp_path / "ckpt_sess")
+    ).collect()
+    batch = session_window_counts(
+        load_table(spark, sf_dir, "events"), watermark=None
+    ).collect()
+
+    key = lambda r: (r["user_id"], r["session_start"], r["n_events"], r["total_value"])
+    assert sorted(map(key, streamed)) == sorted(map(key, batch))
+    assert len(streamed) > 0
