@@ -87,6 +87,12 @@ def sri_etl_replay(spark) -> dict:
     }
 
 
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     from sri_spark.plans import all_queries
     from sri_spark.session import get_spark
@@ -116,6 +122,15 @@ def main() -> None:
     # of the headline total so `value` stays comparable across rounds.
     replay = sri_etl_replay(spark)
 
+    # CPU self-calibration: a fixed JVM-side workload whose time depends only
+    # on host speed, not on this repo's code. Cross-round bench comparisons
+    # divide by this to separate code regressions from host-speed changes
+    # (observed: identical code measured ~2x apart across round drivers).
+    calib = min(
+        _timed(lambda: spark.range(500_000_000).selectExpr("sum(id * 2)").collect())
+        for _ in range(3)
+    )
+
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
     print(
@@ -127,6 +142,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "sri_etl_replay": replay,
+                "calibration": {"range_sum_500m_sec": round(calib, 4)},
             }
         )
     )

@@ -73,19 +73,33 @@ def main() -> None:
     floor = load(floor_path)
 
     nq, fq = new["queries"], floor["queries"]
+
+    # Host-speed normalization: both artifacts carry a CPU self-calibration
+    # (a fixed spark.range sum whose time depends only on the host), so a
+    # uniformly slower machine doesn't read as a code regression. Floor
+    # times are scaled by the calibration ratio; artifacts without one
+    # (rounds 1-2) compare raw.
+    host = 1.0
+    nc = (new.get("calibration") or {}).get("range_sum_500m_sec")
+    fc = (floor.get("calibration") or {}).get("range_sum_500m_sec")
+    if nc and fc:
+        host = nc / fc
+
     regressions, improved, added = [], [], []
     for name, t in sorted(nq.items()):
         base = fq.get(name)
         if base is None:
             added.append(name)
             continue
+        base = base * host
         if t > base * RATIO_LIMIT and t - base > ABS_SLACK_SEC:
             regressions.append((name, base, t))
         elif t < base * 0.8:
             improved.append((name, base, t))
 
     print(f"floor: {os.path.basename(floor_path)} total={floor['value']}s; "
-          f"new total={new['value']}s")
+          f"new total={new['value']}s"
+          + (f"; host-speed factor {host:.2f}x applied to floor" if host != 1.0 else ""))
     for name in added:
         print(f"  NEW      {name}: {nq[name]}s (no floor entry)")
     for name, base, t in improved:

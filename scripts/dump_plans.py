@@ -21,6 +21,9 @@ QUERIES = [
     "join_range_price_bands",
     "join_point_in_time",
     "corpus_shuffle_assign",
+    "graph_pagerank_trade",
+    "events_user_trend",
+    "orders_basket_pairs",
 ]
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 

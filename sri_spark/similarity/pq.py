@@ -91,6 +91,8 @@ def build_pq_codebooks(
         .limit(TRAIN_SAMPLE)
         .collect()
     )
+    if not sample_rows:
+        raise ValueError("cannot train PQ codebooks on an empty input")
     pts = np.array([r["__v"] for r in sample_rows])
     dim = pts.shape[1]
     if dim % m != 0:
