@@ -363,3 +363,54 @@ def orders_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= BASKET_MIN_SUPPORT)
     )
+
+
+APPROX_Q_PS = [0.25, 0.5, 0.75, 0.95]
+APPROX_Q_ACC = 100  # percentile_approx accuracy => rank error <= 1/ACC
+
+
+@register(
+    "agg_approx_quantiles_bound",
+    "SELECT * FROM (VALUES "
+    + ", ".join(f"({p!r}, TRUE)" for p in APPROX_Q_PS)
+    + ") AS t(p, within_bound)",
+)
+def agg_approx_quantiles_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch with a PROVEN error bound: percentile_approx
+    (Greenwald-Khanna style, partial-aggregatable — the 100 TB path where
+    exact percentiles would global-sort) must land within its documented
+    rank error 1/accuracy: exact_value(p - eps) <= approx(p) <=
+    exact_value(p + eps). The same self-check contract as the HLL and ANN
+    recall queries: Spark computes sketch AND exact bounds, emits the
+    boolean; the oracle pins the expected verdict."""
+    orders = load_table(spark, sf_dir, "orders")
+    eps = 1.0 / APPROX_Q_ACC
+    approx = orders.agg(
+        F.percentile_approx("o_totalprice", APPROX_Q_PS, APPROX_Q_ACC).alias("qs"),
+        *[
+            F.expr(
+                f"percentile(o_totalprice, {max(0.0, p - eps)!r})"
+            ).alias(f"lo_{i}")
+            for i, p in enumerate(APPROX_Q_PS)
+        ],
+        *[
+            F.expr(
+                f"percentile(o_totalprice, {min(1.0, p + eps)!r})"
+            ).alias(f"hi_{i}")
+            for i, p in enumerate(APPROX_Q_PS)
+        ],
+    )
+    checks = [
+        F.struct(
+            F.lit(p).alias("p"),
+            (
+                (F.element_at("qs", i + 1) >= F.col(f"lo_{i}"))
+                & (F.element_at("qs", i + 1) <= F.col(f"hi_{i}"))
+            ).alias("within_bound"),
+        )
+        for i, p in enumerate(APPROX_Q_PS)
+    ]
+    return (
+        approx.select(F.explode(F.array(*checks)).alias("c"))
+        .select(F.col("c.p").alias("p"), F.col("c.within_bound").alias("within_bound"))
+    )
