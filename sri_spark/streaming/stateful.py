@@ -81,3 +81,77 @@ def run_stateful_stream(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+EWMA_ALPHA = 0.3
+
+EWMA_STATE_SCHEMA = StructType([StructField("ewma", DoubleType())])
+EWMA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("value", DoubleType()),
+        StructField("ewma", DoubleType()),
+    ]
+)
+
+
+def _update_ewma(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    prev = state.get[0] if state.exists else None
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+    smoothed = []
+    for v in pdf["value"]:
+        v = float(v)
+        prev = v if prev is None else EWMA_ALPHA * v + (1.0 - EWMA_ALPHA) * prev
+        smoothed.append(prev)
+    state.update((prev,))
+    yield pd.DataFrame(
+        {
+            "user_id": pdf["user_id"].astype("int64"),
+            "event_id": pdf["event_id"].astype("int64"),
+            "value": pdf["value"].astype("float64"),
+            "ewma": [round(x, 9) for x in smoothed],
+        }
+    )
+
+
+def user_ewma(events: DataFrame) -> DataFrame:
+    """TRUE recursive EWMA per user (ewma' = a·v + (1-a)·ewma) — the
+    infinite recurrence a batch window cannot express without truncation
+    (the batch catalog's events_ewma is the bounded-lag approximation; this
+    is the exact operator, carried in one double of state per user).
+
+    Ordering contract: rows are folded in (ts, event_id) order within each
+    micro-batch, and state chains batches in arrival order — correct when
+    the source delivers per-key batches in time order (file source with
+    ordered files, or an upstream watermark+sort stage). A disordered
+    source needs buffering state keyed by watermark, a different operator."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_ewma,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_ewma_stream(
+    spark, events_dir: str, checkpoint_dir: str, *, query_name: str = "user_ewma"
+) -> DataFrame:
+    from sri_spark.streaming.jobs import read_events_stream
+
+    stream = read_events_stream(spark, events_dir)
+    q = (
+        user_ewma(stream)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -232,3 +232,44 @@ def test_session_window_stream_equals_batch(spark, sf_dir, tmp_path):
     key = lambda r: (r["user_id"], r["session_start"], r["n_events"], r["total_value"])
     assert sorted(map(key, streamed)) == sorted(map(key, batch))
     assert len(streamed) > 0
+
+
+def _ewma_reference(rows, alpha):
+    """Pure-Python recursive EWMA per user over (ts, event_id)-ordered rows."""
+    out = {}
+    prev: dict[int, float] = {}
+    for r in sorted(rows, key=lambda r: (r["ts"], r["event_id"])):
+        u, v = r["user_id"], float(r["value"])
+        prev[u] = v if u not in prev else alpha * v + (1 - alpha) * prev[u]
+        out[(u, r["event_id"])] = prev[u]
+    return out
+
+
+def test_stateful_ewma_exact_recurrence(spark, sf_dir, tmp_path):
+    """Recursive EWMA must equal the Python fold over the whole series,
+    including across micro-batch boundaries (two time-ordered files)."""
+    from sri_spark.sources.testdata import normalize_event_ts
+    from sri_spark.streaming.stateful import EWMA_ALPHA, run_ewma_stream
+
+    src = normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    cutoff = src.select(F.percentile_approx("ts", 0.5)).first()[0]
+    events_dir = tmp_path / "events_ewma"
+    events_dir.mkdir()
+    for name, pred in [
+        ("0-early", F.col("ts") <= cutoff),  # file order = time order:
+        ("1-late", F.col("ts") > cutoff),  # state must chain across batches
+    ]:
+        out = tmp_path / f"ewma_{name}"
+        src.filter(pred).coalesce(1).write.parquet(str(out))
+        shutil.copy(next(out.glob("part-*.parquet")), events_dir / f"{name}.parquet")
+
+    got = {
+        (r["user_id"], r["event_id"]): r["ewma"]
+        for r in run_ewma_stream(
+            spark, str(events_dir), str(tmp_path / "ckpt_ewma")
+        ).collect()
+    }
+    want = _ewma_reference(src.collect(), EWMA_ALPHA)
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-6, k
