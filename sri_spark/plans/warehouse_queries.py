@@ -303,3 +303,65 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         "version",
         "attr_type",
     )
+
+
+_RFM_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey AS custkey,
+         max(o_orderdate) AS last_order,
+         count(*) AS frequency,
+         round(sum(o_totalprice), 2) AS monetary
+  FROM orders GROUP BY 1
+),
+scored AS (
+  SELECT custkey,
+         strftime(last_order, '%Y-%m-%d') AS last_order,
+         frequency, monetary,
+         ntile(4) OVER (ORDER BY last_order, custkey) AS r_score,
+         ntile(4) OVER (ORDER BY frequency, custkey) AS f_score,
+         ntile(4) OVER (ORDER BY monetary, custkey) AS m_score
+  FROM per_cust
+)
+SELECT custkey, last_order, frequency, monetary,
+       CAST(r_score AS BIGINT) AS r_score,
+       CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm
+FROM scored
+"""
+
+
+@register("customers_rfm_segments", _RFM_ORACLE)
+def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency/frequency/monetary quartiles
+    (ntile(4), tie-broken by custkey so the quartile assignment is a total
+    order — engine-independent) composed into the classic 3-digit RFM code.
+    One hash aggregate over orders, then three same-source window ranks on
+    the customers-sized rollup; a 100 TB deployment would swap the global
+    ntile for percentile-bucket joins, same output contract."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    r = F.ntile(4).over(Window.orderBy("last_order", "custkey"))
+    f = F.ntile(4).over(Window.orderBy("frequency", "custkey"))
+    m = F.ntile(4).over(Window.orderBy("monetary", "custkey"))
+    scored = per_cust.select(
+        "custkey",
+        F.date_format("last_order", "yyyy-MM-dd").alias("last_order"),
+        "frequency",
+        "monetary",
+        r.cast("long").alias("r_score"),
+        f.cast("long").alias("f_score"),
+        m.cast("long").alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")).cast(
+            "long"
+        ),
+    )
