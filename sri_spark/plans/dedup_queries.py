@@ -359,3 +359,45 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs_from_shingles(
         sh, threshold=CONTAINMENT_THRESHOLD
     )
+
+
+@register(
+    "text_novelty_vs_corpus",
+    f"""
+    WITH {_SHINGLE_CTES},
+    first_seen AS (
+      SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1
+    )
+    SELECT sh.doc_id,
+           count(*) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           round(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                 / count(*), 6) AS novelty
+    FROM sh JOIN first_seen f USING (shingle)
+    GROUP BY sh.doc_id
+    """,
+)
+def text_novelty_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's shingles first seen in
+    THAT doc (ingestion order = doc_id). The curve of this metric over a
+    crawl is the dedup-ROI report — when marginal novelty collapses, new
+    data is mostly repeats. Two hash aggregates over the hashed-shingle set
+    (first-seen owner, then per-doc rollup) joined on the 8-byte shingle
+    hash; strings never shuffle."""
+    from sri_spark.dedup.shingles import shingle_hashes_df
+    from sri_spark.operators.caching import scoped_persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = scoped_persist(shingle_hashes_df(docs, "text", "doc_id", 3))
+    first_seen = sh.groupBy("shingle_h").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        sh.join(first_seen, "shingle_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(novel).cast("long").alias("n_novel"),
+            F.round(F.sum(novel) / F.count("*"), 6).alias("novelty"),
+        )
+    )

@@ -515,3 +515,44 @@ def events_winsorize_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "clipped"
         ),
     )
+
+
+_MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type AS cur,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) AS prev
+  FROM events
+),
+trans AS (
+  SELECT prev, cur, count(*) AS n FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+),
+totals AS (SELECT prev, sum(n) AS n_total FROM trans GROUP BY 1)
+SELECT t.prev, t.cur, t.n,
+       round(t.n / tt.n_total, 6) AS p
+FROM trans t JOIN totals tt USING (prev)
+"""
+
+
+@register("events_markov_transitions", _MARKOV_ORACLE)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over event types (per-user
+    sequences, global probabilities): P(next | prev) with transition
+    counts — the behavioral-sequence feature and the sanity check sequence
+    models get compared against. One per-user lag window, one hash
+    aggregate, and the denominator derives from the transition table (no
+    second corpus pass)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lag("event_type").over(w).alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    trans = seq.groupBy("prev", "cur").agg(F.count("*").alias("n"))
+    totals = trans.groupBy("prev").agg(F.sum("n").alias("n_total"))
+    return trans.join(totals, "prev").select(
+        "prev",
+        "cur",
+        "n",
+        F.round(F.col("n") / F.col("n_total"), 6).alias("p"),
+    )
