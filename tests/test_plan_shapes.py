@@ -112,3 +112,53 @@ def test_shingle_build_is_narrow(spark, sf_dir):
     sh = shingle_hashes_df(load_table(spark, sf_dir, "documents"))
     plan = sh._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan[:2000]
+
+
+NO_CARTESIAN_R3 = [
+    "orders_basket_pairs",
+    "dedup_containment",
+    "text_novelty_vs_corpus",
+    "events_markov_transitions",
+    "customers_rfm_segments",
+    "text_bigram_lm_score",
+]
+
+
+@pytest.mark.parametrize("name", NO_CARTESIAN_R3)
+def test_round3_ops_have_no_cartesian(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+ZERO_SHUFFLE_R3 = [
+    "embeddings_array_ops",  # per-row array expressions fuse into the scan
+    "corpus_sample_weighted",  # projection + TakeOrderedAndProject only
+    "agg_histogram",  # bin id is a projection; agg is partial+final
+]
+
+
+def test_round3_projection_ops_stay_narrow(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "embeddings_array_ops")
+    assert "Exchange" not in plan, plan[:2000]
+    # weighted sample: the only wide op is the top-N (TakeOrderedAndProject),
+    # never a full Sort + Exchange of the corpus
+    plan = _plan(spark, sf_dir, "corpus_sample_weighted")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan, plan[:2000]
+
+
+def test_ewma_uses_single_window_pass(spark, sf_dir):
+    """All DEPTH lag() calls share one (user_id) window — the plan must
+    contain exactly one Window node and one Exchange, not one per lag."""
+    plan = _plan(spark, sf_dir, "events_ewma")
+    assert plan.count("Window") == 1, plan[:2000]
+    assert plan.count("Exchange") == 1, plan[:2000]
+
+
+def test_user_trend_is_one_hash_aggregate(spark, sf_dir):
+    """regr_* must compile to partial+final hash aggregation (one shuffle),
+    proving the sums-based formulation is map-combinable."""
+    plan = _plan(spark, sf_dir, "events_user_trend")
+    assert plan.count("Exchange") == 1, plan[:2000]
+    assert "HashAggregate" in plan
