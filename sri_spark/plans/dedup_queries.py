@@ -4,7 +4,7 @@ implementations in sri_spark.dedup."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sri_spark.dedup.exact import exact_dedup_groups
@@ -247,7 +247,10 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _clusters_oracle() -> str:
+def _clusters_oracle(extra: str | None = None, final: str | None = None) -> str:
+    extra = extra or ""
+    final = final or "SELECT s AS doc_id, min(t) AS cluster_id FROM reach GROUP BY s"
+
     # the minhash-pair CTE chain, then an undirected transitive closure:
     # min reachable doc id per node = cluster id (DuckDB recursive CTE;
     # UNION's distinct makes the recursion terminate)
@@ -285,8 +288,8 @@ def _clusters_oracle() -> str:
       SELECT a, a FROM edges
       UNION
       SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a
-    )
-    SELECT s AS doc_id, min(t) AS cluster_id FROM reach GROUP BY s
+    ){extra}
+    {final}
     """
 
 
@@ -400,4 +403,56 @@ def text_novelty_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(novel).cast("long").alias("n_novel"),
             F.round(F.sum(novel) / F.count("*"), 6).alias("novelty"),
         )
+    )
+
+
+_E2E_EXTRA = """,
+    clusters AS (SELECT s AS doc_id, min(t) AS cluster_id FROM reach GROUP BY s),
+    assigned AS (
+      SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN clusters c USING (doc_id)
+    )"""
+
+_E2E_FINAL = """
+    SELECT doc_id, cluster_id,
+           (doc_id = cluster_id) AS keep,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+    FROM assigned"""
+
+
+@register("dedup_corpus_end_to_end", _clusters_oracle(_E2E_EXTRA, _E2E_FINAL))
+def dedup_corpus_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline composed end to end — the actual corpus-dedup
+    deliverable, not just its stages: shingle -> MinHash signatures -> LSH
+    banding -> candidate verification (jaccard >= 0.5) -> large-star/
+    small-star connected components -> a keep/drop decision for EVERY
+    document (singletons keep themselves; clusters keep min doc_id).
+
+    Scale composition: each stage is the already-verified scale-safe plan
+    (8-byte shingle shuffles, banded candidates, signature-fixpoint
+    components); the final left join assigns cluster ids corpus-wide and
+    the size window partitions by cluster — per-cluster sorts, no global
+    ordering anywhere."""
+    from sri_spark.dedup.components import connected_components_star
+    from sri_spark.dedup.minhash import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=JACCARD_THRESHOLD)
+    clusters = connected_components_star(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    assigned = (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    w = Window.partitionBy("cluster_id")
+    return assigned.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+        F.count("*").over(w).cast("long").alias("cluster_size"),
     )
