@@ -262,3 +262,41 @@ def events_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept(v, x), 6).alias("intercept"),
         F.round(F.coalesce(F.regr_r2(v, x), F.lit(0.0)), 6).alias("r2"),
     )
+
+
+_RANGE_FRAME_ORACLE = """
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+       round(sum(value) OVER w, 6) AS sum_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) / 1000000
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("events_rolling_1h_range", _RANGE_FRAME_ORACLE)
+def events_rolling_1h_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour rolling count/sum per user with a RANGE frame — the
+    time-based frame family (every other window in the catalog uses ROWS).
+    RANGE frames bound by VALUE distance, so irregular event spacing is
+    handled exactly: each row aggregates whatever fell in its last hour,
+    not its last N rows. One per-user window pass; the frame is evaluated
+    with a sliding aggregate inside the sorted partition (no self-join
+    formulation needed)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.unix_micros("ts") / F.lit(1_000_000.0)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(sec.alias("__sec"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.count("*").over(w).cast("long").alias("n_1h"),
+        F.round(F.sum("value").over(w), 6).alias("sum_1h"),
+    )
