@@ -417,3 +417,37 @@ def agg_approx_quantiles_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         approx.select(F.explode(F.array(*checks)).alias("c"))
         .select(F.col("c.p").alias("p"), F.col("c.within_bound").alias("within_bound"))
     )
+
+
+@register(
+    "metrics_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue_effect,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def metrics_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q6 shape (public spec): a pure filter+aggregate whose
+    entire cost is the scan — the canonical predicate-pushdown probe. All
+    three predicates are scan-pushable (date range, discount range,
+    quantity bound), so the parquet reader skips row groups by min/max
+    stats before a single row reaches the aggregate; the plan-shape test
+    asserts PushedFilters is non-empty. At 100 TB with the Q6-activated
+    partitioned layout (etl/pipeline.write_star), the date predicate
+    prunes whole partitions before file listing."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1994-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01").cast("date"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue_effect"
+        ),
+        F.count("*").alias("n_rows"),
+    )

@@ -162,3 +162,17 @@ def test_user_trend_is_one_hash_aggregate(spark, sf_dir):
     plan = _plan(spark, sf_dir, "events_user_trend")
     assert plan.count("Exchange") == 1, plan[:2000]
     assert "HashAggregate" in plan
+
+
+def test_q6_predicates_reach_the_scan(spark, sf_dir):
+    """All three Q6 predicates must appear as PushedFilters on the parquet
+    scan AND the scan must read only the 4 referenced columns — the two
+    properties that make a filter+aggregate scan-bound at 100 TB."""
+    plan = _plan(spark, sf_dir, "metrics_forecast_revenue")
+    assert "PushedFilters" in plan, plan[:2000]
+    pushed = plan.split("PushedFilters")[1][:400]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed:\n{pushed}"
+    read_schema = plan.split("ReadSchema")[1][:400]
+    assert "l_extendedprice" in read_schema
+    assert "l_returnflag" not in read_schema, "column pruning failed"
