@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sri_spark.dedup.exact import exact_dedup_groups
-from sri_spark.dedup.jaccard import ngram_jaccard_pairs
+from sri_spark.dedup.jaccard import jaccard_pairs_from_shingles, ngram_jaccard_pairs
 from sri_spark.dedup.minhash import (
     LSH_BANDS,
     LSH_ROWS,
@@ -455,4 +455,89 @@ def dedup_corpus_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
         F.count("*").over(w).cast("long").alias("cluster_size"),
+    )
+
+
+_EST_MATCHES = " + ".join(f"CAST(a.m{k} = b.m{k} AS INT)" for k in range(16))
+
+_EST_EXTRA = f""",
+    est AS (
+      SELECT c.doc_a, c.doc_b,
+             ({_EST_MATCHES}) / 16.0 AS est_j,
+             coalesce(j.jaccard, 0) AS exact_j
+      FROM cand c
+      JOIN sig a ON c.doc_a = a.doc_id
+      JOIN sig b ON c.doc_b = b.doc_id
+      LEFT JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+    )"""
+
+_EST_FINAL = """
+    SELECT count(*) AS n_pairs,
+           round(avg(abs(est_j - exact_j)), 6) AS mean_abs_err,
+           round(max(abs(est_j - exact_j)), 6) AS max_abs_err
+    FROM est"""
+
+
+@register("dedup_minhash_estimate_error", _clusters_oracle(_EST_EXTRA, _EST_FINAL))
+def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-calibration report: over the LSH candidate pairs, compare the
+    MinHash Jaccard ESTIMATE (fraction of agreeing signature coordinates;
+    unbiased, std = sqrt(J(1-J)/16) ~= 0.125 at J=0.5 for 16 permutations)
+    against the exact shingle Jaccard. The dedup analogue of the HLL /
+    quantile accuracy contracts: it quantifies what the 16-perm signature
+    buys before anyone widens it. The estimate side is candidate-restricted;
+    the exact side reuses the shared-shingle baseline join (same cost class
+    as dedup_ngram_jaccard — this is a diagnostic you run on a sample, and
+    a scale deployment verifies candidates only, as minhash_lsh_pairs
+    does)."""
+    from sri_spark.dedup.minhash import (
+        _band_buckets,
+        minhash_signatures_from_shingles,
+    )
+    from sri_spark.dedup.shingles import shingle_hashes_df
+    from sri_spark.operators.caching import scoped_persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = scoped_persist(shingle_hashes_df(docs, "text", "doc_id", 3))
+    sig = scoped_persist(
+        minhash_signatures_from_shingles(sh, with_size=True)
+    )
+    buckets = _band_buckets(sig, "doc_id")
+    cand = (
+        buckets.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+        .join(
+            buckets.select(F.col("doc_id").alias("doc_b"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"m{k}").alias(f"a{k}") for k in range(16)]
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"m{k}").alias(f"b{k}") for k in range(16)]
+    )
+    matches = sum(
+        F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0) for k in range(16)
+    )
+    exact = jaccard_pairs_from_shingles(sh, threshold=0.0)
+    est = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", (matches / F.lit(16.0)).alias("est_j"))
+        .join(exact, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_j",
+            F.coalesce(F.col("jaccard"), F.lit(0.0)).alias("exact_j"),
+        )
+    )
+    ae = F.abs(F.col("est_j") - F.col("exact_j"))
+    return est.agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.avg(ae), 6).alias("mean_abs_err"),
+        F.round(F.max(ae), 6).alias("max_abs_err"),
     )

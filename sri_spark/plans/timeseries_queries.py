@@ -300,3 +300,49 @@ def events_rolling_1h_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).cast("long").alias("n_1h"),
         F.round(F.sum("value").over(w), 6).alias("sum_1h"),
     )
+
+
+_INTERARRIVAL_ORACLE = """
+WITH gaps AS (
+  SELECT user_id,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER
+            (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)) / 1000000.0
+           AS gap_s
+  FROM events
+)
+SELECT user_id,
+       count(gap_s) AS n_gaps,
+       round(avg(gap_s), 6) AS mean_gap_s,
+       round(median(gap_s), 6) AS median_gap_s,
+       round(quantile_cont(gap_s, 0.9), 6) AS p90_gap_s,
+       round(max(gap_s), 6) AS max_gap_s
+FROM gaps WHERE gap_s IS NOT NULL
+GROUP BY user_id
+"""
+
+
+@register("events_interarrival_stats", _INTERARRIVAL_ORACLE)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival time distribution (mean/median/p90/max gap
+    seconds) — the activity-cadence profile behind session-gap tuning
+    (events_sessionize's 30-minute threshold should sit far above the
+    typical p90 intra-session gap). One per-user lag window + one grouped
+    aggregate; exact per-group percentiles at bounded per-user cardinality
+    (approx_percentile is the swap-in at extreme keys)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)) / F.lit(
+        1_000_000.0
+    )
+    return (
+        ev.select("user_id", gap.alias("gap_s"))
+        .filter(F.col("gap_s").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("gap_s").alias("n_gaps"),
+            F.round(F.avg("gap_s"), 6).alias("mean_gap_s"),
+            F.round(F.median("gap_s"), 6).alias("median_gap_s"),
+            F.round(F.percentile("gap_s", F.lit(0.9)), 6).alias("p90_gap_s"),
+            F.round(F.max("gap_s"), 6).alias("max_gap_s"),
+        )
+    )
