@@ -451,3 +451,175 @@ def metrics_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n_rows"),
     )
+
+
+@register(
+    "metrics_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+             AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def metrics_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q1 shape (public spec): the canonical wide-aggregate scan —
+    8 aggregates over 2 grouping keys, one pushed date filter. Everything
+    partial-aggregates map-side (4-ish groups regardless of scale), so the
+    shuffle moves |groups| x 8 doubles: the query is pure scan throughput,
+    the shape Tungsten's whole-stage codegen exists for."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_ordered_list",
+    """
+    SELECT o_custkey,
+           string_agg(o_orderpriority, ',' ORDER BY o_orderdate, o_orderkey)
+             AS prioridades,
+           string_agg(CAST(o_orderkey AS VARCHAR), ','
+                      ORDER BY o_totalprice DESC, o_orderkey) AS pedidos_por_precio
+    FROM orders
+    WHERE o_custkey % 100 = 7
+    GROUP BY o_custkey
+    """,
+)
+def agg_ordered_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered list aggregation (string_agg ... ORDER BY): collect_list has
+    NO intra-group order guarantee in a distributed engine, so the portable
+    formulation collects (sort_key, value) structs and array_sorts BEFORE
+    joining — deterministic output without a single-partition sort. The
+    mod-filter keeps test output bounded; the shape is per-key regardless."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") % 100 == 7
+    )
+    by_date = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("o_orderdate").alias("k1"),
+                F.col("o_orderkey").alias("k2"),
+                F.col("o_orderpriority").alias("v"),
+            )
+        )
+    )
+    by_price = F.array_sort(
+        F.collect_list(
+            F.struct(
+                (-F.col("o_totalprice")).alias("k1"),
+                F.col("o_orderkey").alias("k2"),
+                F.col("o_orderkey").cast("string").alias("v"),
+            )
+        )
+    )
+    return orders.groupBy("o_custkey").agg(
+        F.array_join(F.transform(by_date, lambda s: s["v"]), ",").alias("prioridades"),
+        F.array_join(F.transform(by_price, lambda s: s["v"]), ",").alias(
+            "pedidos_por_precio"
+        ),
+    )
+
+
+@register(
+    "expr_null_semantics",
+    """
+    SELECT o_orderkey,
+           coalesce(NULLIF(o_orderstatus, 'O'), 'ABIERTO') AS estado_o,
+           (NULLIF(o_orderstatus, 'O') IS NOT DISTINCT FROM NULL) AS estado_es_o,
+           CASE WHEN o_totalprice > 100000 THEN 'alto'
+                WHEN o_totalprice > 50000 THEN 'medio'
+                ELSE 'bajo' END AS banda,
+           ifnull(try_cast(substr(o_orderpriority, 1, 1) AS DOUBLE), -1.0)
+             AS prioridad_num,
+           ifnull(try_cast(o_orderstatus AS DOUBLE), -1.0) AS estado_num
+    FROM orders WHERE o_orderkey % 1000 = 1
+    """,
+)
+def expr_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The null-semantics expression family: NULLIF/COALESCE/IFNULL,
+    null-safe equality (IS NOT DISTINCT FROM / <=>), searched CASE, and
+    try_cast's error-to-null contract (ANSI mode throws on bad casts —
+    try_cast is the documented coercion path, SURVEY E7/E8)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 1000 == 1
+    )
+    return orders.select(
+        "o_orderkey",
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("ABIERTO")
+        ).alias("estado_o"),
+        F.nullif(F.col("o_orderstatus"), F.lit("O"))
+        .eqNullSafe(F.lit(None).cast("string"))
+        .alias("estado_es_o"),
+        F.when(F.col("o_totalprice") > 100000, "alto")
+        .when(F.col("o_totalprice") > 50000, "medio")
+        .otherwise("bajo")
+        .alias("banda"),
+        F.ifnull(
+            F.expr("try_cast(substring(o_orderpriority, 1, 1) AS DOUBLE)"),
+            F.lit(-1.0),
+        ).alias("prioridad_num"),
+        F.ifnull(F.expr("try_cast(o_orderstatus AS DOUBLE)"), F.lit(-1.0)).alias(
+            "estado_num"
+        ),
+    )
+
+
+@register(
+    "expr_date_functions",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS fecha,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS mas_30d,
+           strftime(last_day(o_orderdate), '%Y-%m-%d') AS fin_de_mes,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS inicio_mes,
+           CAST(isodow(o_orderdate) AS BIGINT) AS dia_iso,
+           CAST(date_diff('day', o_orderdate, DATE '1998-12-31') AS BIGINT)
+             AS dias_hasta_fin
+    FROM orders WHERE o_orderkey % 1000 = 1
+    """,
+)
+def expr_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The date-function family beyond parts extraction: interval add,
+    last_day, month truncation, ISO weekday, date difference — all codegen
+    scalar expressions (SURVEY §2.3 E1/E7 extended). Functions with
+    engine-specific semantics (months_between's fractional rules) are
+    deliberately excluded from the cross-engine contract."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 1000 == 1
+    )
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.date_format(d, "yyyy-MM-dd").alias("fecha"),
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("mas_30d"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("fin_de_mes"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("inicio_mes"),
+        F.dayofweek(F.date_sub(d, 1)).cast("long").alias("dia_iso"),
+        F.datediff(F.lit("1998-12-31").cast("date"), d).cast("long").alias(
+            "dias_hasta_fin"
+        ),
+    )
