@@ -379,3 +379,129 @@ def frame_sample(assets: DataFrame, stride: int = 64) -> DataFrame:
     return assets.select("asset_id", "content").mapInPandas(
         _frame_batch_fn(stride), schema=FRAME_SCHEMA
     )
+
+
+# a video decoder takes raw container bytes and returns
+# {"width": int, "height": int, "fps": float, "n_frames": int,
+#  "duration_s": float}
+VideoDecoder = Callable[[bytes], dict]
+
+_REGISTERED_VIDEO_DECODER: VideoDecoder | None = None
+
+# minimal deterministic container for tests: no video libs ship in this
+# environment, so the built-in decoder parses this 21-byte header (magic +
+# width/height/fps/n_frames); production registers an
+# ffmpeg/PyAV-backed decoder via set_video_decoder, same as images/audio
+_VIDEO_MAGIC = b"SRIV1"
+_VIDEO_HEADER = "<5sIIfI"  # magic, width, height, fps, n_frames
+
+
+def set_video_decoder(fn: VideoDecoder | None) -> None:
+    """Register (or clear) the real video decoder — picklable, ships to
+    executors in the closure, takes precedence over the header parser."""
+    global _REGISTERED_VIDEO_DECODER
+    _REGISTERED_VIDEO_DECODER = fn
+
+
+def make_fake_video(
+    *, width: int, height: int, fps: float, n_frames: int, payload: bytes = b""
+) -> bytes:
+    """Build a payload the built-in header decoder understands (test
+    fixture; the payload bytes stand in for encoded frame data)."""
+    import struct
+
+    return (
+        struct.pack(_VIDEO_HEADER, _VIDEO_MAGIC, width, height, fps, n_frames)
+        + payload
+    )
+
+
+def _header_video_decoder() -> VideoDecoder:
+    import struct
+
+    hdr_len = struct.calcsize(_VIDEO_HEADER)
+
+    def dec(content: bytes) -> dict:
+        magic, width, height, fps, n_frames = struct.unpack(
+            _VIDEO_HEADER, content[:hdr_len]
+        )
+        if magic != _VIDEO_MAGIC:
+            raise ValueError("not an SRIV1 container")
+        return {
+            "width": width,
+            "height": height,
+            "fps": float(fps),
+            "n_frames": n_frames,
+            "duration_s": n_frames / fps if fps else 0.0,
+        }
+
+    return dec
+
+
+def resolve_video_decoder(codec: str = "auto") -> VideoDecoder | None:
+    """'fake' -> None (byte stats only); 'real'/'auto' -> the registered
+    decoder or the built-in header parser. Undecodable payloads surface as
+    null decoded fields (the shared multimodal contract)."""
+    if codec == "fake":
+        return None
+    if codec not in ("auto", "real"):
+        raise ValueError(f"codec must be auto|real|fake, got {codec!r}")
+    return _REGISTERED_VIDEO_DECODER or _header_video_decoder()
+
+
+VIDEO_DECODE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("sha256", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("fps", DoubleType()),
+        StructField("n_frames", IntegerType()),
+        StructField("duration_s", DoubleType()),
+    ]
+)
+
+
+def _video_batch_fn(decoder: VideoDecoder | None):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "asset_id": pdf["asset_id"],
+                "kind": pdf["kind"],
+                "n_bytes": pdf["content"].map(len).astype("int64"),
+                "sha256": pdf["content"].map(lambda b: hashlib.sha256(b).hexdigest()),
+            }
+            decoded: dict[str, list] = {
+                "width": [],
+                "height": [],
+                "fps": [],
+                "n_frames": [],
+                "duration_s": [],
+            }
+            for b in pdf["content"]:
+                d: dict = {}
+                if decoder is not None:
+                    try:
+                        d = decoder(bytes(b))
+                    except Exception:
+                        d = {}
+                decoded["width"].append(d.get("width"))
+                decoded["height"].append(d.get("height"))
+                decoded["fps"].append(d.get("fps"))
+                decoded["n_frames"].append(d.get("n_frames"))
+                decoded["duration_s"].append(d.get("duration_s"))
+            out.update(decoded)
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def video_stats(assets: DataFrame, *, codec: str = "auto") -> DataFrame:
+    """Per-asset video metadata decode (width/height/fps/frames/duration) —
+    the third modality through the identical Arrow-batched mapInPandas
+    shape as decode_stats (image) and audio_stats."""
+    return assets.select("asset_id", "kind", "content").mapInPandas(
+        _video_batch_fn(resolve_video_decoder(codec)), schema=VIDEO_DECODE_SCHEMA
+    )

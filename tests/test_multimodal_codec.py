@@ -200,3 +200,58 @@ def test_audio_invalid_codec_rejected():
 
     with pytest.raises(ValueError, match="codec"):
         resolve_audio_decoder("mp3")
+
+
+def test_video_stats_decodes_header_container(spark):
+    from pyspark.sql import functions as F
+
+    from sri_spark.multimodal import make_fake_video, video_stats
+
+    payloads = [
+        (0, "video", make_fake_video(width=640, height=480, fps=24.0, n_frames=48,
+                                     payload=b"x" * 100)),
+        (1, "video", make_fake_video(width=1920, height=1080, fps=30.0, n_frames=90)),
+        (2, "video", b"not a video at all"),  # undecodable -> null fields
+    ]
+    assets = spark.createDataFrame(
+        payloads, "asset_id long, kind string, content binary"
+    )
+    rows = {r["asset_id"]: r for r in video_stats(assets).collect()}
+    assert rows[0]["width"] == 640 and rows[0]["height"] == 480
+    assert rows[0]["n_frames"] == 48 and abs(rows[0]["duration_s"] - 2.0) < 1e-9
+    assert rows[1]["fps"] == 30.0 and abs(rows[1]["duration_s"] - 3.0) < 1e-9
+    assert rows[2]["width"] is None and rows[2]["duration_s"] is None
+    assert rows[2]["n_bytes"] == len(b"not a video at all")  # byte stats always
+
+
+def test_video_registered_decoder_takes_precedence(spark):
+    from sri_spark.multimodal import make_fake_video, set_video_decoder, video_stats
+
+    def fixed(content: bytes) -> dict:
+        return {"width": 1, "height": 1, "fps": 1.0, "n_frames": 1,
+                "duration_s": 1.0}
+
+    assets = spark.createDataFrame(
+        [(0, "video", make_fake_video(width=640, height=480, fps=24.0, n_frames=48))],
+        "asset_id long, kind string, content binary",
+    )
+    set_video_decoder(fixed)
+    try:
+        r = video_stats(assets).collect()[0]
+        assert r["width"] == 1 and r["n_frames"] == 1
+    finally:
+        set_video_decoder(None)
+    # cleared: back to the header parser
+    r = video_stats(assets).collect()[0]
+    assert r["width"] == 640
+
+
+def test_video_fake_codec_byte_stats_only(spark):
+    from sri_spark.multimodal import make_fake_video, video_stats
+
+    assets = spark.createDataFrame(
+        [(0, "video", make_fake_video(width=8, height=8, fps=2.0, n_frames=4))],
+        "asset_id long, kind string, content binary",
+    )
+    r = video_stats(assets, codec="fake").collect()[0]
+    assert r["width"] is None and r["n_bytes"] > 0
