@@ -1,0 +1,150 @@
+"""Incremental star updates — the capability the reference lacks.
+
+The reference re-extracts the full CSV and WRITE_TRUNCATEs every table on
+every run (dags/sri_vehiculos_etl_dag.py:136-141, :199-203): cost grows
+with history, and surrogate keys are reassigned wholesale — any downstream
+consumer holding yesterday's keys breaks. This module applies a DELTA:
+
+- dimensions grow append-only: rows whose full attribute tuple (the dim's
+  grain) is new get surrogate keys CONTINUING from the existing maximum;
+  every existing key is untouched (key-stability contract — the property
+  full refresh cannot give).
+- the fact builds ONLY over the increment's rows (joined against the
+  merged dims) and appends, with ID_Registro continuing densely.
+
+Fixed mode only: parity mode exists to reproduce the reference, and the
+reference is full-refresh by definition.
+
+Equivalence contract vs a full rebuild: the fact resolves every lookup to
+the same JOIN KEY (and therefore the same join-key-determined attributes
+and measures). Where the source is m:m on a join key (one CodigoVehiculo,
+several 12-column tuples — the reference's Q4 hazard), the fixed-mode
+min-ID dedup picks a representative tuple, and append-only keys can pick a
+different representative than a rebuild would (a new tuple that sorts
+before an existing one gets a HIGHER id here, a lower one there). That is
+inherent to key stability, not a defect: consumers needing
+representative-stable attributes should read them through the dim by key,
+which never changes.
+
+Scale shape: per increment the work is O(|increment| + |dims|) — the
+existing fact is never rescanned (union is a metadata concat; with the
+partitioned star layout an append touches only new files). The max-key
+lookups are 1-row aggregates over the (dimension-sized) key columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from sri_spark.etl.config import EtlConfig
+from sri_spark.etl.dims import (
+    build_dim_transaccion,
+    build_dim_ubicacion,
+    build_dim_vehiculo,
+)
+from sri_spark.etl.fact import build_fact
+from sri_spark.etl.source import read_sri_csv, with_src_id
+
+# dimension grain = every non-key column (the builders' dropDuplicates set)
+_DIM_BUILDERS = {
+    "dim_vehiculo": (build_dim_vehiculo, "ID_Vehiculo"),
+    "dim_transaccion": (build_dim_transaccion, "ID_Transaccion"),
+    "dim_ubicacion": (build_dim_ubicacion, "ID_Ubicacion"),
+}
+
+
+def extend_dim(
+    existing: DataFrame, increment_built: DataFrame, id_col: str
+) -> DataFrame:
+    """existing ∪ (new attribute tuples keyed max_id+1.. in natural order).
+
+    `increment_built` is the ordinary dim builder's output over the
+    increment source; its own 1..m keys are discarded — only genuinely new
+    attribute tuples (anti-join on the full grain) receive keys, continuing
+    from the existing maximum so no existing key ever changes."""
+    attrs = [c for c in existing.columns if c != id_col]
+    new_rows = increment_built.select(*attrs).join(
+        existing.select(*attrs), attrs, "left_anti"
+    )
+    # max over a dimension-sized table: 1-row aggregate, joined (not
+    # collected) so the plan stays fully lazy
+    max_id = existing.agg(F.max(id_col).alias("__max"))
+    w = Window.orderBy(*[F.col(f"`{c}`") for c in attrs])
+    keyed = (
+        new_rows.withColumn("__rn", F.row_number().over(w).cast("long"))
+        .join(max_id)
+        .select(
+            (F.col("__max") + F.col("__rn")).alias(id_col),
+            *attrs,
+        )
+    )
+    return existing.unionByName(keyed)
+
+
+def apply_increment(
+    spark: SparkSession,
+    existing: dict[str, DataFrame],
+    source: str | DataFrame,
+    cfg: EtlConfig | None = None,
+) -> dict[str, DataFrame]:
+    """Apply one increment (a CSV path or SRI-schema DataFrame) to an
+    existing star (`run_pipeline`/`read_star` output). Returns the updated
+    five tables; dims append-only with stable keys, fact appended with
+    densely continuing ID_Registro."""
+    cfg = cfg or EtlConfig(mode="fixed")
+    if cfg.parity:
+        raise ValueError(
+            "incremental updates are a fixed-mode feature; parity mode "
+            "reproduces the reference's full-refresh semantics"
+        )
+    src = read_sri_csv(spark, source) if isinstance(source, str) else with_src_id(source)
+    src = src.persist()
+
+    dims: dict[str, DataFrame] = {"dim_tiempo": existing["dim_tiempo"]}
+    for name, (builder, id_col) in _DIM_BUILDERS.items():
+        dims[name] = extend_dim(existing[name], builder(src, cfg), id_col).persist()
+
+    incr_fact = build_fact(
+        src,
+        dims["dim_tiempo"],
+        dims["dim_vehiculo"],
+        dims["dim_transaccion"],
+        dims["dim_ubicacion"],
+        cfg,
+    )
+    old_fact = existing["fact_registro_vehiculos"]
+    max_reg = old_fact.agg(F.max("ID_Registro").alias("__max"))
+    shifted = (
+        incr_fact.join(max_reg)
+        .withColumn("ID_Registro", F.col("ID_Registro") + F.col("__max"))
+        .drop("__max")
+    )
+    fact = old_fact.unionByName(shifted).persist()
+    return {**dims, "fact_registro_vehiculos": fact}
+
+
+def read_star(spark: SparkSession, star_dir: str) -> dict[str, DataFrame]:
+    """Load a previously written star (write_star output) for incrementing.
+
+    The partitioned/clustered fact layout denormalizes `Anio` (partition
+    directory key) and `Marca` (cluster sort column) into the physical
+    files — strip them back off so the logical fact schema matches what
+    run_pipeline/build_fact produce (write_star re-derives them on the
+    next write)."""
+    import os
+
+    names = [
+        "dim_tiempo",
+        "dim_vehiculo",
+        "dim_transaccion",
+        "dim_ubicacion",
+        "fact_registro_vehiculos",
+    ]
+    tables = {n: spark.read.parquet(os.path.join(star_dir, n)) for n in names}
+    fact = tables["fact_registro_vehiculos"]
+    layout_cols = [c for c in ("Anio", "Marca") if c in fact.columns]
+    if layout_cols:
+        tables["fact_registro_vehiculos"] = fact.drop(*layout_cols)
+    return tables
