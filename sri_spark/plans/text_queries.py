@@ -12,6 +12,7 @@ from sri_spark.plans.registry import register
 from sri_spark.sources.testdata import load_table
 from sri_spark.text.analysis import (
     BPE_PATTERN,
+    tokens_col,
     CJK_PATTERN,
     EMAIL_PATTERN,
     FINGERPRINT_BASE,
@@ -230,4 +231,67 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", doc_fingerprint(F.coalesce(F.col("text"), F.lit(""))).alias("fingerprint")
+    )
+
+
+CHUNK_SIZE = 64  # tokens per chunk
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+_CHUNK_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+grid AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0,
+             CAST(floor(greatest(len(toks) - 1, 0) / {CHUNK_STRIDE}) AS INT))) AS i
+  FROM t WHERE len(toks) > 0
+),
+chunks AS (
+  SELECT doc_id, i AS chunk_idx,
+         array_to_string(toks[i * {CHUNK_STRIDE} + 1 :
+                              i * {CHUNK_STRIDE} + {CHUNK_SIZE}], ' ') AS chunk,
+         len(toks[i * {CHUNK_STRIDE} + 1 :
+                  i * {CHUNK_STRIDE} + {CHUNK_SIZE}]) AS n_tokens
+  FROM grid
+  WHERE i * {CHUNK_STRIDE} < len(toks)
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, chunk,
+       CAST(n_tokens AS BIGINT) AS n_tokens
+FROM chunks
+"""
+
+
+@register("text_chunk_windows", _CHUNK_ORACLE)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token chunks, 16-token
+    overlap) — the RAG/pretraining chunker. Pure array expressions:
+    sequence() generates the chunk grid per row, slice() cuts each window,
+    one explode emits chunks — everything fuses into the scan, no UDF.
+    sri_spark.text.chunker has the Python-UDTF twin of this operator for
+    the cases that genuinely need per-row Python; the pytest proves both
+    produce identical chunks."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    n = F.size(toks)
+    n_chunks = F.floor((F.greatest(n - 1, F.lit(0))) / CHUNK_STRIDE).cast("int") + 1
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_idx"),
+            F.array_join(
+                F.slice(toks, i * CHUNK_STRIDE + 1, CHUNK_SIZE), " "
+            ).alias("chunk"),
+            F.size(F.slice(toks, i * CHUNK_STRIDE + 1, CHUNK_SIZE))
+            .cast("long")
+            .alias("n_tokens"),
+        ),
+    )
+    return (
+        docs.filter(n > 0)
+        .select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.chunk").alias("chunk"),
+            F.col("c.n_tokens").alias("n_tokens"),
+        )
     )
