@@ -675,3 +675,55 @@ def metrics_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
+
+
+SKEW_TOP_N = 10
+
+
+@register(
+    "diag_join_key_skew",
+    f"""
+    WITH freq AS (
+      SELECT l_suppkey AS key, count(*) AS n FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT sum(n) AS total, count(*) AS n_keys,
+                   max(n) AS max_n, avg(n) AS avg_n FROM freq),
+    top AS (
+      SELECT key, n, row_number() OVER (ORDER BY n DESC, key) AS rk FROM freq
+    )
+    SELECT t.rk, t.key, t.n,
+           round(t.n / tot.total, 6) AS share,
+           round(tot.max_n / tot.avg_n, 6) AS skew_factor,
+           CAST(tot.n_keys AS BIGINT) AS n_keys
+    FROM top t CROSS JOIN tot
+    WHERE t.rk <= {SKEW_TOP_N}
+    """,
+)
+def diag_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic: top-{SKEW_TOP_N} heaviest keys with their
+    row share, plus the max/mean skew factor — the report that decides
+    whether a join needs salting (operators/skew.py) or AQE's skew split
+    suffices. One hash aggregate over the key; everything after is
+    key-cardinality-sized. A skew_factor near 1 means uniform keys; >>1
+    marks the hot-key join hazard."""
+    li = load_table(spark, sf_dir, "lineitem")
+    freq = li.groupBy(F.col("l_suppkey").alias("key")).agg(F.count("*").alias("n"))
+    tot = freq.agg(
+        F.sum("n").alias("total"),
+        F.count("*").alias("n_keys"),
+        F.max("n").alias("max_n"),
+        F.avg("n").alias("avg_n"),
+    )
+    from pyspark.sql import Window
+
+    top = freq.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("n"), F.asc("key"))).cast("long")
+    ).filter(F.col("rk") <= SKEW_TOP_N)
+    return top.join(tot).select(
+        "rk",
+        "key",
+        "n",
+        F.round(F.col("n") / F.col("total"), 6).alias("share"),
+        F.round(F.col("max_n") / F.col("avg_n"), 6).alias("skew_factor"),
+        F.col("n_keys").cast("long").alias("n_keys"),
+    )
