@@ -541,3 +541,66 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(ae), 6).alias("mean_abs_err"),
         F.round(F.max(ae), 6).alias("max_abs_err"),
     )
+
+
+@register(
+    "corpus_source_overlap",
+    f"""
+    WITH {_SHINGLE_CTES},
+    src_sh AS (
+      SELECT DISTINCT d.source, s.shingle
+      FROM sh s JOIN documents d USING (doc_id)
+    ),
+    sizes AS (SELECT source, count(*) AS ns FROM src_sh GROUP BY 1),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+      FROM src_sh a JOIN src_sh b
+        ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_shared,
+           round(n_shared / least(sa.ns, sb.ns), 6) AS overlap
+    FROM inter
+    JOIN sizes sa ON inter.source_a = sa.source
+    JOIN sizes sb ON inter.source_b = sb.source
+    """,
+)
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: distinct-shingle containment
+    between every source pair — the corpus-level view the per-document
+    decontamination check (corpus_decontaminate) rolls up to. Distinct
+    (source, shingle) first, so the shingle self-join is bounded by
+    |sources|² per shingle (20 sources → ≤190 pairs per shared shingle)
+    no matter how many documents repeat it; shuffles move 8-byte hashes +
+    source ids."""
+    from sri_spark.dedup.shingles import shingle_hashes_df
+    from sri_spark.operators.caching import scoped_persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_hashes_df(docs, "text", "doc_id", 3)
+    src_sh = scoped_persist(
+        sh.join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "shingle_h")
+        .distinct()
+    )
+    sizes = src_sh.groupBy("source").agg(F.count("*").alias("ns"))
+    a = src_sh.select(F.col("source").alias("source_a"), "shingle_h")
+    b = src_sh.select(F.col("source").alias("source_b"), "shingle_h")
+    inter = (
+        a.join(b, "shingle_h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("ns").alias("na"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("ns").alias("nb"))
+    return (
+        inter.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(F.col("n_shared") / F.least("na", "nb"), 6).alias("overlap"),
+        )
+    )

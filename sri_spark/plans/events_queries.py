@@ -556,3 +556,41 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.col("n_total"), 6).alias("p"),
     )
+
+
+_VALUE_FN_ORACLE = """
+SELECT user_id, event_id,
+       round(first_value(value) OVER w, 6) AS first_v,
+       round(last_value(value) OVER
+         (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 6) AS last_v,
+       round(nth_value(value, 3) OVER
+         (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 6) AS third_v,
+       round(value - first_value(value) OVER w, 6) AS delta_from_first
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+"""
+
+
+@register("window_value_functions", _VALUE_FN_ORACLE)
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The window VALUE-function family (first_value / last_value /
+    nth_value) next to the rank family (window_rank_family): per-user
+    baseline, final, and third reading plus delta-from-baseline. The
+    last/nth calls pin an explicit unbounded-both-ways frame — the classic
+    footgun is last_value over the DEFAULT frame (unbounded-preceding..
+    current row), which just returns the current row."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.first("value").over(w), 6).alias("first_v"),
+        F.round(F.last("value").over(w_full), 6).alias("last_v"),
+        F.round(F.nth_value("value", 3).over(w_full), 6).alias("third_v"),
+        F.round(F.col("value") - F.first("value").over(w), 6).alias(
+            "delta_from_first"
+        ),
+    )
