@@ -594,3 +594,69 @@ def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "delta_from_first"
         ),
     )
+
+
+ATTR_WINDOW_US = 24 * 3600 * 1_000_000  # attribute purchases to clicks <=24h prior
+
+_MULTITOUCH_ORACLE = f"""
+WITH purchases AS (
+  SELECT event_id AS purchase_id, user_id, ts AS p_ts, value
+  FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT event_id AS click_id, user_id, ts AS c_ts
+  FROM events WHERE event_type = 'click'
+),
+touches AS (
+  SELECT p.purchase_id, p.user_id, p.value, c.click_id,
+         count(*) OVER (PARTITION BY p.purchase_id) AS n_touches
+  FROM purchases p JOIN clicks c
+    ON p.user_id = c.user_id
+   AND c.c_ts <= p.p_ts
+   AND epoch_us(p.p_ts) - epoch_us(c.c_ts) <= {ATTR_WINDOW_US}
+)
+SELECT click_id,
+       count(*) AS n_purchases,
+       round(sum(value / n_touches), 6) AS attributed_value
+FROM touches
+GROUP BY click_id
+"""
+
+
+@register("events_attribution_multitouch", _MULTITOUCH_ORACLE)
+def events_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value splits equally
+    across the user's clicks in the preceding 24 h (the marketing model
+    next to join_asof_attribution's last-touch). The time-band join keys
+    on user_id (never a cross join); the per-purchase touch count is a
+    window over the join output, so credit normalization adds no second
+    join."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    touches = purchases.join(
+        clicks,
+        (purchases["user_id"] == clicks["c_user"])
+        & (clicks["c_ts"] <= purchases["p_ts"])
+        & (
+            F.unix_micros(purchases["p_ts"]) - F.unix_micros(clicks["c_ts"])
+            <= ATTR_WINDOW_US
+        ),
+    ).withColumn(
+        "n_touches", F.count("*").over(Window.partitionBy("purchase_id"))
+    )
+    return touches.groupBy("click_id").agg(
+        F.count("*").alias("n_purchases"),
+        F.round(F.sum(F.col("value") / F.col("n_touches")), 6).alias(
+            "attributed_value"
+        ),
+    )

@@ -4,7 +4,7 @@ offer: semi/anti joins, exact percentiles, the string-function family."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sri_spark.plans.registry import register
@@ -726,4 +726,65 @@ def diag_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n") / F.col("total"), 6).alias("share"),
         F.round(F.col("max_n") / F.col("avg_n"), 6).alias("skew_factor"),
         F.col("n_keys").cast("long").alias("n_keys"),
+    )
+
+
+@register(
+    "orders_pareto_deciles",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT revenue,
+             ntile(10) OVER (ORDER BY revenue DESC, o_custkey) AS decile
+      FROM per_cust
+    ),
+    tot AS (SELECT sum(revenue) AS total FROM per_cust)
+    SELECT decile,
+           count(*) AS n_customers,
+           round(sum(revenue), 2) AS revenue,
+           round(sum(revenue) / tot.total, 6) AS share,
+           round(sum(sum(revenue) / tot.total)
+                 OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING), 6) AS cum_share
+    FROM ranked CROSS JOIN tot
+    GROUP BY decile, tot.total
+    """,
+)
+def orders_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Pareto) by customer decile: share and
+    cumulative share per top-revenue tenth — the 80/20 report. The global
+    ntile runs on the CUSTOMERS-sized rollup (dimension cardinality), the
+    decile aggregate is 10 rows, and the cumulative window is over those
+    10 — corpus-sized work is one hash aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    ranked = per_cust.select(
+        "revenue",
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("revenue"), F.asc("o_custkey")))
+        .alias("decile"),
+    )
+    tot = per_cust.agg(F.sum("revenue").alias("total"))
+    deciles = (
+        ranked.join(tot)
+        .groupBy("decile", "total")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("revenue"), 2).alias("revenue"),
+        )
+        .withColumn("share", F.round(F.col("revenue") / F.col("total"), 6))
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return deciles.select(
+        F.col("decile").cast("long").alias("decile"),
+        "n_customers",
+        "revenue",
+        "share",
+        F.round(F.sum(F.col("revenue") / F.col("total")).over(w), 6).alias(
+            "cum_share"
+        ),
     )
