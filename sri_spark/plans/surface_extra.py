@@ -788,3 +788,79 @@ def orders_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_share"
         ),
     )
+
+
+@register(
+    "expr_not_in_null_pitfall",
+    """
+    WITH probe AS (
+      SELECT o_custkey FROM orders
+      UNION ALL SELECT NULL
+    )
+    SELECT
+      (SELECT count(*) FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM probe)) AS not_in_count,
+      (SELECT count(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM probe p
+                          WHERE p.o_custkey = c.c_custkey)) AS not_exists_count,
+      (SELECT count(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey)) AS true_no_orders
+    """,
+)
+def expr_not_in_null_pitfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN null pitfall, pinned as a regression test in both
+    engines: one NULL in the subquery makes `x NOT IN (...)` UNKNOWN for
+    every row (three-valued logic), so not_in_count is 0 while the
+    NOT EXISTS formulation — which compiles to the scale-safe left-anti
+    join — still returns the customers without orders. Ship NOT EXISTS;
+    this query exists so the difference is executable documentation."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH probe AS (
+          SELECT o_custkey FROM orders
+          UNION ALL SELECT CAST(NULL AS BIGINT)
+        )
+        SELECT
+          (SELECT count(*) FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM probe)) AS not_in_count,
+          (SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM probe p
+                              WHERE p.o_custkey = c.c_custkey)) AS not_exists_count,
+          (SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey)) AS true_no_orders
+        """
+    )
+
+
+FUZZY_MAX_DIST = 4
+
+
+@register(
+    "expr_fuzzy_brand_pairs",
+    f"""
+    WITH brands AS (SELECT DISTINCT p_brand FROM part)
+    SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+           CAST(levenshtein(a.p_brand, b.p_brand) AS BIGINT) AS edit_dist
+    FROM brands a JOIN brands b ON a.p_brand < b.p_brand
+    WHERE levenshtein(a.p_brand, b.p_brand) <= {FUZZY_MAX_DIST}
+    """,
+)
+def expr_fuzzy_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching over the DISTINCT brand values — the
+    entity-resolution primitive. The pairwise comparison runs on the
+    deduplicated value domain (|brands|², tiny), never the raw table: the
+    same cardinality discipline as every pair operator here — at scale
+    you block first (fingerprint/LSH), then edit-distance only within
+    blocks."""
+    brands = load_table(spark, sf_dir, "part").select("p_brand").distinct()
+    a = brands.select(F.col("p_brand").alias("brand_a"))
+    b = brands.select(F.col("p_brand").alias("brand_b"))
+    dist = F.levenshtein("brand_a", "brand_b")
+    return (
+        a.join(b, F.col("brand_a") < F.col("brand_b"))
+        .filter(dist <= FUZZY_MAX_DIST)
+        .select("brand_a", "brand_b", dist.cast("long").alias("edit_dist"))
+    )
