@@ -48,6 +48,22 @@ HEADLINE = [
 ]
 
 
+# round-3 additions benched separately: EXTENDED changes as operators land,
+# so its queries never pollute the cross-round-comparable headline total
+EXTENDED = [
+    "graph_pagerank_trade",
+    "dedup_corpus_end_to_end",
+    "text_chunk_windows",
+    "text_bigram_lm_score",
+    "corpus_curation_funnel",
+    "events_ewma",
+    "events_anomaly_mad",
+    "metrics_pricing_summary",
+    "orders_basket_pairs",
+    "corpus_source_overlap",
+]
+
+
 def sri_etl_replay(spark) -> dict:
     """BASELINE.md's one reference-derived target: the full 5-table star
     build over a production-scale SRI-shaped CSV (460,550 rows, vehicle-code
@@ -117,6 +133,17 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
         unpersist_all()  # release per-query scoped caches (dedup shingles etc.)
 
+    ext_names = [n for n in EXTENDED if n in queries]
+    for name in ext_names:  # warm-up, as for the headline set
+        queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        unpersist_all()
+    ext_timings: dict[str, float] = {}
+    for name in ext_names:
+        t0 = time.perf_counter()
+        queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        ext_timings[name] = round(time.perf_counter() - t0, 4)
+        unpersist_all()
+
     # production-scale ETL replay (BASELINE.md's reference-derived target);
     # runs after the timed query pass so it never contends with it. Kept out
     # of the headline total so `value` stays comparable across rounds.
@@ -142,6 +169,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "sri_etl_replay": replay,
+                "extended_queries": ext_timings,
                 "calibration": {"range_sum_500m_sec": round(calib, 4)},
             }
         )

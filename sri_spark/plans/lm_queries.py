@@ -117,7 +117,13 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     design — add-k smoothing only shifts scores when train != score
     corpus)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_col(F.col("text"))
+    # materialize the token array as a COLUMN before the lambda references
+    # it: Catalyst does not common-subexpression-eliminate inside lambda
+    # functions, so element_at(tokens_col(text), i) re-tokenizes the whole
+    # document per element — O(tokens²) regex splits per doc (measured 2x+
+    # on this query)
+    with_toks = docs.select("doc_id", tokens_col(F.col("text")).alias("__toks"))
+    toks = F.col("__toks")
     n = F.size(toks)
     pairs = F.when(
         n >= 2,
@@ -129,8 +135,15 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    grams = docs.select("doc_id", F.explode(pairs).alias("g")).select(
-        "doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2")
+    from sri_spark.operators.caching import scoped_persist
+
+    # grams feeds three consumers (bigram counts, unigram derivation via
+    # those counts, and the scoring join) — persist so the tokenize +
+    # explode pass over the corpus runs once, not once per consumer
+    grams = scoped_persist(
+        with_toks.select("doc_id", F.explode(pairs).alias("g")).select(
+            "doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2")
+        )
     )
     big_cnt = grams.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     uni_cnt = big_cnt.groupBy("w1").agg(F.sum("c2").alias("c1"))

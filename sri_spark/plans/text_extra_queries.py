@@ -205,7 +205,11 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k lands in TakeOrderedAndProject via the tie-broken window +
     filter."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_col(F.col("text"))
+    # token array materialized as a column BEFORE the lambda: Catalyst does
+    # no CSE inside lambda functions, so element_at(tokens_col(text), i)
+    # would re-tokenize the document per element — O(tokens²) splits
+    with_toks = docs.select(tokens_col(F.col("text")).alias("__toks"))
+    toks = F.col("__toks")
     n = F.size(toks)
     grams = F.when(
         n >= 2,
@@ -217,7 +221,7 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     counts = (
-        docs.select(F.explode(grams).alias("bigram"))
+        with_toks.select(F.explode(grams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("cnt"))
     )

@@ -270,7 +270,10 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cases that genuinely need per-row Python; the pytest proves both
     produce identical chunks."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_col(F.col("text"))
+    # token array as a column first — no CSE inside lambdas, so slice() on
+    # tokens_col(text) would re-tokenize the doc once per chunk
+    docs = docs.select("doc_id", tokens_col(F.col("text")).alias("__toks"))
+    toks = F.col("__toks")
     n = F.size(toks)
     n_chunks = F.floor((F.greatest(n - 1, F.lit(0))) / CHUNK_STRIDE).cast("int") + 1
     chunks = F.transform(
