@@ -154,8 +154,10 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition signals (Gopher-style filters:
     most-common-word fraction, duplicate 2/3-gram fractions) — per-row
     array expressions, no shuffle, no explode."""
-    docs = load_table(spark, sf_dir, "documents")
-    feats = repetition_features(F.col("text"))
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", tokens_col(F.col("text")).alias("__toks")
+    )
+    feats = repetition_features(F.col("text"), toks=F.col("__toks"))
     return docs.select("doc_id", *[c.alias(n) for n, c in feats.items()])
 
 

@@ -116,14 +116,22 @@ def language_id(text: Column) -> Column:
     )
 
 
-def repetition_features(text: Column) -> dict[str, Column]:
+def repetition_features(
+    text: Column, *, toks: Column | None = None
+) -> dict[str, Column]:
     """Within-document repetition signals (Gopher-style quality rules):
     most-common-word fraction and duplicate word-2/3-gram fractions. All
     higher-order array expressions over the token array — per-row compute
     bounded by document length, zero shuffles, whole-stage codegen.
     Fractions use integer numerators ((total - distinct) / total) so the
-    DuckDB oracle divides the exact same integers."""
-    toks = tokens_col(text)
+    DuckDB oracle divides the exact same integers.
+
+    Pass `toks` as a MATERIALIZED column (select tokens_col(...) first)
+    whenever the input is non-trivial: the top-frequency and n-gram
+    expressions reference the token array inside lambda bodies, and
+    Catalyst does no CSE inside lambdas — with the default derivation the
+    document would re-tokenize once per distinct token."""
+    toks = toks if toks is not None else tokens_col(text)
     n = F.size(toks).cast("long")
     top_freq = F.when(
         n > 0,
