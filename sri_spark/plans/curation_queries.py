@@ -37,12 +37,16 @@ def corpus_select_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-corpus selection: English, quality >= 0.7, first copy of
     each exact-duplicate group. Language/quality are pure projections; the
     survivorship rank is one window over the content hash."""
-    docs = load_table(spark, sf_dir, "documents")
+    from sri_spark.text.analysis import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", tokens_col(F.col("text")).alias("__toks")
+    )
     scored = docs.select(
         "doc_id",
         "text",
-        language_id(F.col("text")).alias("pred_lang"),
-        quality_score(F.col("text")).alias("quality"),
+        language_id(F.col("text"), toks=F.col("__toks")).alias("pred_lang"),
+        quality_score(F.col("text"), toks=F.col("__toks")).alias("quality"),
     )
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     return (

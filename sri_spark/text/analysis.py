@@ -56,10 +56,16 @@ def _count_matches(text: Column, pattern: str) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(pattern), 0)).cast("long")
 
 
-def quality_features(text: Column) -> dict[str, Column]:
+def quality_features(
+    text: Column, *, toks: Column | None = None
+) -> dict[str, Column]:
     """Length / punctuation / digit / stopword-density features used for
-    document quality scoring. All ratios rounded for cross-engine equality."""
-    toks = tokens_col(text)
+    document quality scoring. All ratios rounded for cross-engine equality.
+    Pass a materialized `toks` column to avoid re-deriving the token split
+    per consuming expression (a constant-factor cost, not the lambda-CSE
+    quadratic — the lambdas here never reference the array in their
+    bodies)."""
+    toks = toks if toks is not None else tokens_col(text)
     n_chars = F.length(text).cast("long")
     n_tokens = F.size(toks).cast("long")
     en_hits = F.size(
@@ -80,10 +86,10 @@ def quality_features(text: Column) -> dict[str, Column]:
     }
 
 
-def quality_score(text: Column) -> Column:
+def quality_score(text: Column, *, toks: Column | None = None) -> Column:
     """Composite [0,1] quality score: rewards mid-length docs with low
     punctuation/digit density (heuristic, deterministic)."""
-    f = quality_features(text)
+    f = quality_features(text, toks=toks)
     length_term = F.least(f["n_tokens"] / F.lit(100.0), F.lit(1.0))
     return F.round(
         0.5 * length_term + 0.3 * (1 - f["punct_ratio"]) + 0.2 * (1 - f["digit_ratio"]),
@@ -95,14 +101,14 @@ def _lang_hits(toks: Column, lang: str) -> Column:
     return F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS[lang]))).cast("long")
 
 
-def language_id(text: Column) -> Column:
+def language_id(text: Column, *, toks: Column | None = None) -> Column:
     """Stopword-lexicon language ID with a CJK-ratio branch for zh.
 
     Decision: zh if CJK chars > 10% of length; else the lexicon with the most
     token hits in fixed preference order en > es > fr > de; 'unknown' if no
     lexicon hits.
     """
-    toks = tokens_col(text)
+    toks = toks if toks is not None else tokens_col(text)
     cjk = _count_matches(text, CJK_PATTERN)
     n_chars = F.greatest(F.length(text).cast("long"), F.lit(1))
     en, es, fr, de = (_lang_hits(toks, lang) for lang in ("en", "es", "fr", "de"))
