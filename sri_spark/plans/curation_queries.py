@@ -498,3 +498,62 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_out").cast("long").alias("n_out"),
         (F.col("n_in") - F.col("n_out")).cast("long").alias("n_dropped"),
     )
+
+
+TOKEN_BUDGET_PER_LANG = 4000  # tokens per language in the assembled mix
+
+_BUDGET_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x != ''))::BIGINT AS n_tokens,
+         round(0.5 * least(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                           x -> x != '')) / 100.0, 1.0)
+             + 0.3 * (1 - round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                                / greatest(length(text), 1), 6))
+             + 0.2 * (1 - round(len(regexp_extract_all(text, '[0-9]'))
+                                / greatest(length(text), 1), 6)), 6) AS quality
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, lang, n_tokens, quality,
+         sum(n_tokens) OVER (PARTITION BY lang
+                             ORDER BY quality DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM scored
+)
+SELECT doc_id, lang, n_tokens, quality,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM ranked WHERE cum_tokens <= {TOKEN_BUDGET_PER_LANG}
+"""
+
+
+@register("corpus_token_budget_select", _BUDGET_ORACLE)
+def corpus_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained corpus assembly: per language, take documents in
+    descending quality order until the token budget fills (greedy knapsack
+    by density — the standard mix-assembly heuristic). The cumulative-sum
+    window partitions BY LANGUAGE, so each sort is per-stratum — the
+    global-budget variant would need one total order and is exactly the
+    kind of single-partition window this catalog avoids (run this shape
+    per stratum, then reconcile budgets driver-side)."""
+    from sri_spark.text.analysis import quality_score, tokens_col
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", tokens_col(F.col("text")).alias("__toks")
+    )
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.size("__toks").cast("long").alias("n_tokens"),
+        quality_score(F.col("text"), toks=F.col("__toks")).alias("quality"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("quality"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET_PER_LANG)
+    )

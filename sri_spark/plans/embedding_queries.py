@@ -137,3 +137,60 @@ def embeddings_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.array_min(as_d), 6).alias("min_v"),
         F.exists(vec, lambda x: x < -0.5).alias("has_large_neg"),
     )
+
+
+_CENTROID_CLS_ORACLE = """
+WITH exploded AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+centroids AS (
+  SELECT label AS c_label, dim, avg(v) AS c FROM exploded GROUP BY 1, 2
+),
+dists AS (
+  SELECT e.vec_id, e.label, c.c_label,
+         sum((e.v - c.c) * (e.v - c.c)) AS d2
+  FROM exploded e JOIN centroids c USING (dim)
+  GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT vec_id, label, c_label AS pred_label
+  FROM (SELECT dists.*, row_number() OVER
+          (PARTITION BY vec_id ORDER BY d2, c_label) AS rk FROM dists)
+  WHERE rk = 1
+)
+SELECT label, pred_label, count(*) AS n
+FROM pred GROUP BY 1, 2
+"""
+
+
+@register("embeddings_centroid_confusion", _CENTROID_CLS_ORACLE)
+def embeddings_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification eval: per-label mean vectors, assign
+    every embedding to its closest centroid (squared L2, label tie-break),
+    emit the confusion matrix — the cheapest embedding-space quality probe
+    (high diagonal mass = labels are linearly separated in the space).
+
+    Shape: one posexplode + (label, dim) aggregate builds the centroids;
+    the distance computation joins on `dim` — vectors × |labels| partial
+    products flowing through a hash aggregate, never a per-row UDF loop —
+    and argmin is one more aggregate with a deterministic tie-break."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    centroids = exploded.groupBy(
+        F.col("label").alias("c_label"), "dim"
+    ).agg(F.avg("v").alias("c"))
+    dists = (
+        exploded.join(centroids, "dim")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias("d2"))
+    )
+    pred = dists.groupBy("vec_id", "label").agg(
+        F.min_by("c_label", F.struct(F.col("d2"), F.col("c_label"))).alias(
+            "pred_label"
+        )
+    )
+    return pred.groupBy("label", "pred_label").agg(F.count("*").alias("n"))
