@@ -660,3 +660,100 @@ def events_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame
             "attributed_value"
         ),
     )
+
+
+SLI_ERROR_BUDGET = 0.25  # flag windows whose error share exceeds this
+
+_SLI_ORACLE = f"""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_errors,
+       round(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+             / count(*), 6) AS error_rate,
+       (sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        / count(*) > {SLI_ERROR_BUDGET}) AS budget_burned
+FROM events
+GROUP BY 1
+"""
+
+
+@register("events_error_rate_sli", _SLI_ORACLE)
+def events_error_rate_sli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly error-rate SLI with an error-budget flag — the monitoring
+    rollup every event pipeline publishes. One windowed hash aggregate
+    (conditional sums ride the same pass as the counts); the streaming
+    twin is the same expression under a watermark (streaming.jobs
+    windowed shape)."""
+    ev = load_table(spark, sf_dir, "events")
+    is_err = F.when(F.col("event_type") == "error", 1).otherwise(0)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(is_err).alias("n_errors"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n_events",
+            "n_errors",
+            F.round(F.col("n_errors") / F.col("n_events"), 6).alias("error_rate"),
+            (F.col("n_errors") / F.col("n_events") > SLI_ERROR_BUDGET).alias(
+                "budget_burned"
+            ),
+        )
+    )
+
+
+_DAU_WAU_ORACLE = """
+WITH du AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+),
+dau AS (SELECT day, count(*) AS dau FROM du GROUP BY 1),
+spread AS (
+  SELECT du.day + (i * INTERVAL 1 DAY) AS target_day, du.user_id
+  FROM du, (SELECT unnest(generate_series(0, 6)) AS i)
+),
+wau AS (
+  SELECT target_day AS day, count(DISTINCT user_id) AS wau
+  FROM spread GROUP BY 1
+)
+SELECT strftime(d.day, '%Y-%m-%d') AS day,
+       d.dau, w.wau,
+       round(d.dau / w.wau, 6) AS stickiness
+FROM dau d JOIN wau w USING (day)
+"""
+
+
+@register("events_dau_wau", _DAU_WAU_ORACLE)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day — the product-metrics
+    staple. Sliding DISTINCT cannot ride an ordinary window frame (distinct
+    state isn't mergeable across frame slides), so each (day, user) row
+    spreads to the 7 target days it keeps active — a bounded ×7 explode on
+    the DEDUPLICATED day-user table, then two hash aggregates. At extreme
+    scale swap the exact distinct for HLL sketches (agg_hll_sketch_merge
+    shows the mergeable path) and union 7 daily sketches per target day."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    dau = du.groupBy("day").agg(F.count("*").alias("dau"))
+    spread = du.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(6)),
+                lambda i: F.col("day") + i.cast("int") * F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+        "user_id",
+    )
+    wau = spread.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+    return dau.join(wau, "day").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "dau",
+        "wau",
+        F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+    )

@@ -864,3 +864,47 @@ def expr_fuzzy_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dist <= FUZZY_MAX_DIST)
         .select("brand_a", "brand_b", dist.cast("long").alias("edit_dist"))
     )
+
+
+@register(
+    "supplier_concentration_hhi",
+    """
+    WITH flows AS (
+      SELECT p.p_brand, l.l_suppkey,
+             sum(l.l_extendedprice) AS amount
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT p_brand, sum(amount) AS total FROM flows GROUP BY 1)
+    SELECT f.p_brand,
+           count(*) AS n_suppliers,
+           round(sum(pow(f.amount / t.total, 2)), 6) AS hhi
+    FROM flows f JOIN tot t USING (p_brand)
+    GROUP BY f.p_brand
+    """,
+)
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply concentration per brand: the Herfindahl-Hirschman index over
+    supplier revenue shares (1/n = perfectly spread, →1 = single-supplier
+    risk). Two hash aggregates + one join on the (brand, supplier)-sized
+    rollup; the corpus-sized work is the lineitem⋈part join, which AQE
+    plans from real sizes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    flows = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "l_suppkey")
+        .agg(F.sum("l_extendedprice").alias("amount"))
+    )
+    tot = flows.groupBy(F.col("p_brand").alias("tb")).agg(
+        F.sum("amount").alias("total")
+    )
+    share = F.col("amount") / F.col("total")
+    return (
+        flows.join(tot, flows["p_brand"] == tot["tb"])
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum(share * share), 6).alias("hhi"),
+        )
+    )
