@@ -908,3 +908,83 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(share * share), 6).alias("hhi"),
         )
     )
+
+
+@register(
+    "orders_lead_time",
+    """
+    SELECT o.o_orderpriority AS prioridad,
+           count(*) AS n_lineas,
+           round(avg(date_diff('day', o.o_orderdate, l.l_shipdate)), 4)
+             AS lead_avg_d,
+           round(median(date_diff('day', o.o_orderdate, l.l_shipdate)), 4)
+             AS lead_med_d,
+           CAST(max(date_diff('day', o.o_orderdate, l.l_shipdate)) AS BIGINT)
+             AS lead_max_d
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= o.o_orderdate
+    GROUP BY 1
+    """,
+)
+def orders_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lead time by priority (avg/median/max days) — the
+    fulfillment-ops rollup. One join + one grouped aggregate; the datediff
+    is a pure projection feeding map-side partials."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lead = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .groupBy(F.col("o_orderpriority").alias("prioridad"))
+        .agg(
+            F.count("*").alias("n_lineas"),
+            F.round(F.avg(lead), 4).alias("lead_avg_d"),
+            F.round(F.median(lead.cast("double")), 4).alias("lead_med_d"),
+            F.max(lead).cast("long").alias("lead_max_d"),
+        )
+    )
+
+
+POWER_USER_PCT = 0.95
+
+
+@register(
+    "events_power_users",
+    f"""
+    WITH per_user AS (
+      SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+      FROM events GROUP BY 1
+    ),
+    cut AS (SELECT quantile_cont(n_events, {POWER_USER_PCT}) AS p95 FROM per_user)
+    SELECT u.user_id, u.n_events, u.total_value,
+           round(c.p95, 4) AS p95_cutoff
+    FROM per_user u CROSS JOIN cut c
+    WHERE u.n_events > c.p95
+    """,
+)
+def events_power_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-user segmentation: users above the p95 activity percentile,
+    with the cutoff carried in the output for auditability. The percentile
+    computes on the USERS-sized rollup (one 1-row aggregate joined back,
+    no second scan of events)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    cut = per_user.agg(
+        F.percentile(F.col("n_events").cast("double"), F.lit(POWER_USER_PCT)).alias(
+            "p95"
+        )
+    )
+    return (
+        per_user.join(cut)
+        .filter(F.col("n_events") > F.col("p95"))
+        .select(
+            "user_id",
+            "n_events",
+            "total_value",
+            F.round("p95", 4).alias("p95_cutoff"),
+        )
+    )

@@ -300,3 +300,30 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c.n_tokens").alias("n_tokens"),
         )
     )
+
+
+_LANG_CONFUSION_ORACLE = f"""
+WITH pred AS ({_LANG_ORACLE})
+SELECT d.lang AS true_lang, p.pred_lang, count(*) AS n
+FROM documents d JOIN pred p USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
+@register("text_language_confusion", _LANG_CONFUSION_ORACLE)
+def text_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation: confusion matrix of the stored lang label vs
+    the heuristic's prediction — the operator-quality report that turns the
+    classifier into something measurable (diagonal mass = accuracy). Pure
+    projection + one hash aggregate."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", tokens_col(F.col("text")).alias("__toks")
+    )
+    return (
+        docs.select(
+            F.col("lang").alias("true_lang"),
+            language_id(F.col("text"), toks=F.col("__toks")).alias("pred_lang"),
+        )
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
