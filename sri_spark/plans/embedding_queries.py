@@ -194,3 +194,63 @@ def embeddings_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return pred.groupBy("label", "pred_label").agg(F.count("*").alias("n"))
+
+
+_DRIFT_ORACLE = """
+WITH exploded AS (
+  SELECT vec_id % 2 AS half, label, generate_subscripts(embedding, 1) AS dim,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT half, label, dim, avg(v) AS c FROM exploded GROUP BY 1, 2, 3
+),
+paired AS (
+  SELECT a.label, a.dim, a.c AS c0, b.c AS c1
+  FROM cent a JOIN cent b
+    ON a.label = b.label AND a.dim = b.dim AND a.half = 0 AND b.half = 1
+)
+SELECT label,
+       round(sum(c0 * c1) / (sqrt(sum(c0 * c0)) * sqrt(sum(c1 * c1))), 6)
+         AS centroid_cosine,
+       round(sqrt(sum((c0 - c1) * (c0 - c1))), 6) AS centroid_l2_shift
+FROM paired GROUP BY label
+"""
+
+
+@register("embeddings_drift_check", _DRIFT_ORACLE)
+def embeddings_drift_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor: split the corpus into two deterministic
+    halves (vec_id parity standing in for 'yesterday vs today'), compare
+    per-label centroids by cosine and L2 shift — the check that catches a
+    silently retrained/renormalized encoder before it poisons an ANN
+    index. One explode + (half, label, dim) aggregate; the comparison runs
+    on centroid-sized data."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        (F.col("vec_id") % 2).alias("half"),
+        "label",
+        F.posexplode("embedding").alias("dim", "v"),
+    ).withColumn("v", F.col("v").cast("double"))
+    cent = exploded.groupBy("half", "label", "dim").agg(F.avg("v").alias("c"))
+    a = cent.filter(F.col("half") == 0).select(
+        "label", "dim", F.col("c").alias("c0")
+    )
+    b = cent.filter(F.col("half") == 1).select(
+        F.col("label").alias("lb"), F.col("dim").alias("db"), F.col("c").alias("c1")
+    )
+    paired = a.join(b, (a["label"] == b["lb"]) & (a["dim"] == b["db"]))
+    return paired.groupBy("label").agg(
+        F.round(
+            F.sum(F.col("c0") * F.col("c1"))
+            / (
+                F.sqrt(F.sum(F.col("c0") * F.col("c0")))
+                * F.sqrt(F.sum(F.col("c1") * F.col("c1")))
+            ),
+            6,
+        ).alias("centroid_cosine"),
+        F.round(
+            F.sqrt(F.sum((F.col("c0") - F.col("c1")) * (F.col("c0") - F.col("c1")))),
+            6,
+        ).alias("centroid_l2_shift"),
+    )

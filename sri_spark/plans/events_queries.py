@@ -757,3 +757,44 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wau",
         F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
     )
+
+
+BOT_BURST_THRESHOLD = 5  # events within one minute
+
+_BOT_ORACLE = f"""
+WITH per_min AS (
+  SELECT user_id, date_trunc('minute', ts) AS minute, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+per_user AS (
+  SELECT user_id, max(n) AS max_per_min,
+         round(avg(n), 4) AS avg_per_min,
+         count(*) AS active_minutes
+  FROM per_min GROUP BY 1
+)
+SELECT user_id, CAST(max_per_min AS BIGINT) AS max_per_min,
+       avg_per_min, active_minutes,
+       (max_per_min >= {BOT_BURST_THRESHOLD}) AS burst_flag
+FROM per_user
+"""
+
+
+@register("events_bot_burst_flags", _BOT_ORACLE)
+def events_bot_burst_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst-based bot heuristics: per-user peak events-per-minute, average
+    rate, active minutes, and a burst flag — the first-line abuse filter.
+    Two stacked hash aggregates keyed on (user, minute) then user; no
+    windows, no self-joins."""
+    ev = load_table(spark, sf_dir, "events")
+    per_min = ev.groupBy(
+        "user_id", F.date_trunc("minute", "ts").alias("minute")
+    ).agg(F.count("*").alias("n"))
+    return (
+        per_min.groupBy("user_id")
+        .agg(
+            F.max("n").cast("long").alias("max_per_min"),
+            F.round(F.avg("n"), 4).alias("avg_per_min"),
+            F.count("*").alias("active_minutes"),
+        )
+        .withColumn("burst_flag", F.col("max_per_min") >= BOT_BURST_THRESHOLD)
+    )

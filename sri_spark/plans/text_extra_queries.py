@@ -320,3 +320,50 @@ def text_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= SPARSE_COS_THRESHOLD)
         .select("doc_a", "doc_b", F.round(cos, 6).alias("cosine"))
     )
+
+
+_DATASHEET_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, source,
+         len({_TOKS}) AS n_tokens, length(text) AS n_chars, md5(text) AS h
+  FROM documents
+)
+SELECT count(*) AS n_docs,
+       count(DISTINCT lang) AS n_langs,
+       count(DISTINCT source) AS n_sources,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(n_tokens), 4) AS mean_tokens,
+       round(median(n_tokens), 4) AS median_tokens,
+       round(avg(n_chars), 4) AS mean_chars,
+       CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_exact_dups
+FROM t
+"""
+
+
+@register("corpus_datasheet", _DATASHEET_ORACLE)
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row corpus datasheet (dataset-card numbers): doc/lang/source
+    counts, token totals and length distribution, exact-dup count — the
+    summary every released dataset publishes. Single aggregate pass; the
+    distinct counts are the only memory carriers and each is bounded
+    (langs/sources) or swappable for HLL (content hashes) at extreme
+    scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(tokens_col(F.col("text")))
+    t = docs.select(
+        "lang",
+        "source",
+        n_tokens.alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.md5("text").alias("h"),
+    )
+    return t.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("mean_tokens"),
+        F.round(F.median(F.col("n_tokens").cast("double")), 4).alias("median_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("mean_chars"),
+        (F.count("*") - F.countDistinct("h")).cast("long").alias("n_exact_dups"),
+    )
