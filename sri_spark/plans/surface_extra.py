@@ -988,3 +988,81 @@ def events_power_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("p95", 4).alias("p95_cutoff"),
         )
     )
+
+
+_BACKLOG_ORACLE = """
+WITH closes AS (
+  SELECT l_orderkey, max(l_shipdate) AS close_date FROM lineitem GROUP BY 1
+),
+deltas AS (
+  SELECT o_orderdate AS day, 1 AS delta FROM orders
+  UNION ALL
+  SELECT c.close_date, -1 FROM closes c
+),
+daily AS (SELECT day, sum(delta) AS net FROM deltas GROUP BY 1)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(net AS BIGINT) AS net_change,
+       CAST(sum(net) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS open_orders
+FROM daily
+"""
+
+
+@register("orders_backlog_sweepline", _BACKLOG_ORACLE)
+def orders_backlog_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog over time by sweep-line: +1 at order placement,
+    -1 at final shipment, daily net, cumulative sum — interval counting
+    WITHOUT expanding intervals into their covered days (the expansion is
+    O(days × orders); the sweep is O(orders) + a day-cardinality window).
+    The cumulative window is global but runs over the DAY GRID (thousands
+    of rows at any scale), not over orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    closes = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("close_date"))
+    deltas = orders.select(
+        F.col("o_orderdate").alias("day"), F.lit(1).alias("delta")
+    ).unionByName(
+        closes.select(F.col("close_date").alias("day"), F.lit(-1).alias("delta"))
+    )
+    daily = deltas.groupBy("day").agg(F.sum("delta").alias("net"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("net").cast("long").alias("net_change"),
+        F.sum("net").over(w).cast("long").alias("open_orders"),
+    )
+
+
+@register(
+    "orders_revenue_7d_ma",
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS day, round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, revenue,
+           round(avg(revenue) OVER
+             (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+             AS ma_7d,
+           CAST(count(*) OVER
+             (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_days_in_window
+    FROM daily
+    """,
+)
+def orders_revenue_7d_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average of daily revenue — the reporting smoother.
+    The corpus-sized work is one hash aggregate to the day grid; the
+    moving window then runs over days only (global ordering is safe at
+    day cardinality — same argument as the sweep-line backlog)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "revenue",
+        F.round(F.avg("revenue").over(w), 4).alias("ma_7d"),
+        F.count("*").over(w).cast("long").alias("n_days_in_window"),
+    )
