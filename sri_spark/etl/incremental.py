@@ -122,7 +122,9 @@ def apply_increment(
         .drop("__max")
     )
     fact = old_fact.unionByName(shifted).persist()
-    return {**dims, "fact_registro_vehiculos": fact}
+    # __fact_increment carries ONLY the new rows, so publishers can append
+    # them instead of rewriting the whole fact (publish_increment)
+    return {**dims, "fact_registro_vehiculos": fact, "__fact_increment": shifted}
 
 
 def read_star(spark: SparkSession, star_dir: str) -> dict[str, DataFrame]:
@@ -148,3 +150,53 @@ def read_star(spark: SparkSession, star_dir: str) -> dict[str, DataFrame]:
     if layout_cols:
         tables["fact_registro_vehiculos"] = fact.drop(*layout_cols)
     return tables
+
+
+def publish_increment(
+    spark: SparkSession,
+    star_dir: str,
+    source: str | DataFrame,
+    cfg: EtlConfig | None = None,
+) -> dict[str, DataFrame]:
+    """End-to-end incremental publish against a star directory: read the
+    existing star, apply the increment, APPEND only the new fact rows to
+    the partitioned fact layout and overwrite the (small) dims.
+
+    This is the cost model the module docstring promises made physical:
+    the existing fact's files are never rewritten — the append touches the
+    year partitions the increment lands in, and partition pruning keeps
+    serving queries on the combined table. Dims are dimension-sized, so
+    truncate-writing them stays cheap at any fact scale."""
+    import os
+
+    from pyspark.sql import functions as F  # noqa: F811 — local alias
+
+    cfg = cfg or EtlConfig(mode="fixed")
+    existing = read_star(spark, star_dir)
+    updated = apply_increment(spark, existing, source, cfg)
+    delta = updated.pop("__fact_increment")
+
+    # ORDER MATTERS: every lazy plan in `updated`/`delta` reads the
+    # CURRENT on-disk dims, so (1) append the fact delta while those
+    # directories are intact, (2) stage-write each dim (also reads the old
+    # dir) and swap, (3) hand back FRESH reads of the published layout —
+    # the in-memory plans are stale the moment the swaps happen.
+    anio = updated["dim_tiempo"].select("ID_Tiempo", "Anio")
+    (
+        delta.join(F.broadcast(anio), "ID_Tiempo", "left")
+        .na.fill({"Anio": 0})
+        .write.mode("append")
+        .partitionBy("Anio")
+        .parquet(os.path.join(star_dir, "fact_registro_vehiculos"))
+    )
+
+    import shutil
+
+    for name in ("dim_vehiculo", "dim_transaccion", "dim_ubicacion", "dim_tiempo"):
+        out = os.path.join(star_dir, name)
+        staging = out + ".staging"
+        updated[name].write.mode("overwrite").parquet(staging)
+        shutil.rmtree(out)
+        os.rename(staging, out)
+
+    return read_star(spark, star_dir)

@@ -123,3 +123,46 @@ def test_parity_mode_rejected(spark, split_csvs):
     tables = run_pipeline(spark, base, EtlConfig(mode="fixed"))
     with pytest.raises(ValueError, match="parity"):
         apply_increment(spark, tables, incr, EtlConfig(mode="parity"))
+
+
+def test_publish_increment_appends_fact_partitions(spark, split_csvs, tmp_path):
+    """publish_increment must leave the base fact files untouched (append,
+    not rewrite) and the published star must equal the in-memory result."""
+    import glob
+    import os
+
+    from sri_spark.etl.incremental import publish_increment
+    from sri_spark.etl.pipeline import write_star
+
+    _, base, incr = split_csvs
+    cfg = EtlConfig(mode="fixed")
+    base_tables = run_pipeline(spark, base, cfg)
+    out = str(tmp_path / "star_pub")
+    write_star(base_tables, out)
+
+    fact_dir = os.path.join(out, "fact_registro_vehiculos")
+    before_files = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(f"{fact_dir}/**/part-*.parquet", recursive=True)
+    }
+    assert before_files
+
+    published = publish_increment(spark, out, incr, cfg)
+
+    # every pre-existing fact file survives byte-stable (append semantics)
+    for p, mtime in before_files.items():
+        assert os.path.exists(p), f"{p} was rewritten"
+        assert os.path.getmtime(p) == mtime
+    # and new files exist
+    after = set(glob.glob(f"{fact_dir}/**/part-*.parquet", recursive=True))
+    assert after - set(before_files)
+
+    # published star (read back) == in-memory increment result
+    from sri_spark.etl.incremental import apply_increment, read_star
+
+    in_memory = apply_increment(spark, base_tables, incr, cfg)
+    disk = read_star(spark, out)
+    assert _fact_business_rows(disk) == _fact_business_rows(in_memory)
+    assert disk["fact_registro_vehiculos"].count() == published[
+        "fact_registro_vehiculos"
+    ].count()
