@@ -798,3 +798,30 @@ def events_bot_burst_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("burst_flag", F.col("max_per_min") >= BOT_BURST_THRESHOLD)
     )
+
+
+_HEATMAP_ORACLE = """
+SELECT CAST(isodow(ts) AS BIGINT) AS dia_iso,
+       CAST(hour(ts) AS BIGINT) AS hora,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("events_weekday_hour_heatmap", _HEATMAP_ORACLE)
+def events_weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity heatmap feed: events and distinct users per (ISO weekday,
+    hour) cell — 168 output rows from one hash aggregate at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.dayofweek(F.date_sub(F.to_date("ts"), 1)).cast("long").alias("dia_iso"),
+            F.hour("ts").cast("long").alias("hora"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

@@ -1066,3 +1066,27 @@ def orders_revenue_7d_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("revenue").over(w), 4).alias("ma_7d"),
         F.count("*").over(w).cast("long").alias("n_days_in_window"),
     )
+
+
+@register(
+    "orders_size_histogram",
+    """
+    WITH sizes AS (
+      SELECT l_orderkey, count(*) AS n_lines FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(n_lines AS BIGINT) AS n_lines,
+           count(*) AS n_orders
+    FROM sizes GROUP BY 1
+    """,
+)
+def orders_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-size distribution (lines per order): two stacked hash
+    aggregates — the degree histogram that feeds the basket-pair degree
+    cap (orders_basket_pairs.BASKET_MAX_ITEMS should dominate this
+    distribution's tail)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sizes = li.groupBy("l_orderkey").agg(F.count("*").alias("n_lines"))
+    return (
+        sizes.groupBy(F.col("n_lines").cast("long").alias("n_lines"))
+        .agg(F.count("*").alias("n_orders"))
+    )
