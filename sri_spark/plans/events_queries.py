@@ -825,3 +825,62 @@ def events_weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+_FUNNEL_TIMING_ORACLE = """
+WITH firsts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY 1
+),
+laps AS (
+  SELECT user_id,
+         (epoch_us(t_click) - epoch_us(t_signup)) / 1000000.0 AS signup_to_click_s,
+         (epoch_us(t_purchase) - epoch_us(t_click)) / 1000000.0 AS click_to_purchase_s
+  FROM firsts
+  WHERE t_signup IS NOT NULL AND t_click IS NOT NULL AND t_purchase IS NOT NULL
+    AND t_click >= t_signup AND t_purchase >= t_click
+)
+SELECT count(*) AS n_users,
+       round(median(signup_to_click_s), 4) AS med_signup_to_click_s,
+       round(median(click_to_purchase_s), 4) AS med_click_to_purchase_s,
+       round(avg(signup_to_click_s), 4) AS avg_signup_to_click_s,
+       round(avg(click_to_purchase_s), 4) AS avg_click_to_purchase_s
+FROM laps
+"""
+
+
+@register("events_funnel_timing", _FUNNEL_TIMING_ORACLE)
+def events_funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel STEP LATENCIES (events_funnel counts conversions; this times
+    them): per user, first occurrence of each step via conditional min —
+    one hash aggregate, no joins between steps — then median/mean lap
+    times over users whose steps occur in order."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_of(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    firsts = ev.groupBy("user_id").agg(
+        first_of("signup").alias("t_signup"),
+        first_of("click").alias("t_click"),
+        first_of("purchase").alias("t_purchase"),
+    )
+    lap1 = (F.unix_micros("t_click") - F.unix_micros("t_signup")) / 1_000_000.0
+    lap2 = (F.unix_micros("t_purchase") - F.unix_micros("t_click")) / 1_000_000.0
+    laps = firsts.filter(
+        F.col("t_signup").isNotNull()
+        & F.col("t_click").isNotNull()
+        & F.col("t_purchase").isNotNull()
+        & (F.col("t_click") >= F.col("t_signup"))
+        & (F.col("t_purchase") >= F.col("t_click"))
+    ).select(lap1.alias("s1"), lap2.alias("s2"))
+    return laps.agg(
+        F.count("*").alias("n_users"),
+        F.round(F.median("s1"), 4).alias("med_signup_to_click_s"),
+        F.round(F.median("s2"), 4).alias("med_click_to_purchase_s"),
+        F.round(F.avg("s1"), 4).alias("avg_signup_to_click_s"),
+        F.round(F.avg("s2"), 4).alias("avg_click_to_purchase_s"),
+    )

@@ -1090,3 +1090,52 @@ def orders_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         sizes.groupBy(F.col("n_lines").cast("long").alias("n_lines"))
         .agg(F.count("*").alias("n_orders"))
     )
+
+
+@register(
+    "orders_priority_mix_shift",
+    """
+    WITH yearly AS (
+      SELECT year(o_orderdate) AS anio, o_orderpriority AS prioridad,
+             count(*) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    shares AS (
+      SELECT anio, prioridad, n,
+             round(n / sum(n) OVER (PARTITION BY anio), 6) AS share
+      FROM yearly
+    )
+    SELECT CAST(anio AS BIGINT) AS anio, prioridad,
+           CAST(n AS BIGINT) AS n, share,
+           round(share - lag(share) OVER
+             (PARTITION BY prioridad ORDER BY anio), 6) AS share_shift
+    FROM shares
+    """,
+)
+def orders_priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mix-shift report: each priority's share of orders per year and its
+    delta vs the previous year — the composition-drift view behind every
+    'why did the average move' question. All windows run on the
+    (year x priority)-sized grid."""
+    orders = load_table(spark, sf_dir, "orders")
+    yearly = orders.groupBy(
+        F.year("o_orderdate").cast("long").alias("anio"),
+        F.col("o_orderpriority").alias("prioridad"),
+    ).agg(F.count("*").alias("n"))
+    w_year = Window.partitionBy("anio")
+    shares = yearly.select(
+        "anio",
+        "prioridad",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w_year), 6).alias("share"),
+    )
+    w_prio = Window.partitionBy("prioridad").orderBy("anio")
+    return shares.select(
+        "anio",
+        "prioridad",
+        "n",
+        "share",
+        F.round(F.col("share") - F.lag("share").over(w_prio), 6).alias(
+            "share_shift"
+        ),
+    )
