@@ -884,3 +884,46 @@ def events_funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("s1"), 4).alias("avg_signup_to_click_s"),
         F.round(F.avg("s2"), 4).alias("avg_click_to_purchase_s"),
     )
+
+
+_NEW_RETURNING_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, min(date_trunc('day', ts)) AS first_day FROM events GROUP BY 1
+)
+SELECT strftime(date_trunc('day', e.ts), '%Y-%m-%d') AS day,
+       CAST(sum(CASE WHEN date_trunc('day', e.ts) = f.first_day
+                     THEN 1 ELSE 0 END) AS BIGINT) AS eventos_nuevos,
+       CAST(sum(CASE WHEN date_trunc('day', e.ts) != f.first_day
+                     THEN 1 ELSE 0 END) AS BIGINT) AS eventos_recurrentes,
+       count(DISTINCT CASE WHEN date_trunc('day', e.ts) = f.first_day
+                           THEN e.user_id END) AS usuarios_nuevos
+FROM events e JOIN firsts f USING (user_id)
+GROUP BY 1
+"""
+
+
+@register("events_new_vs_returning", _NEW_RETURNING_ORACLE)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning split (growth accounting): a user's first-ever
+    active day classifies that day's events as 'new'. One per-user min
+    aggregate joined back on user_id (both sides share the partitioning),
+    then a daily conditional rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("first_day")
+    )
+    day = F.date_trunc("day", "ts")
+    is_new = day == F.col("first_day")
+    return (
+        ev.join(firsts, "user_id")
+        .groupBy(F.date_format(day, "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.sum(F.when(is_new, 1).otherwise(0)).cast("long").alias("eventos_nuevos"),
+            F.sum(F.when(~is_new, 1).otherwise(0))
+            .cast("long")
+            .alias("eventos_recurrentes"),
+            F.countDistinct(F.when(is_new, F.col("user_id"))).alias(
+                "usuarios_nuevos"
+            ),
+        )
+    )

@@ -1139,3 +1139,70 @@ def orders_priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_shift"
         ),
     )
+
+
+@register(
+    "customer_rolling_ltv",
+    """
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS fecha,
+           round(sum(o_totalprice) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS UNBOUNDED PRECEDING), 2) AS ltv_acumulado,
+           CAST(row_number() OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+             AS n_pedido
+    FROM orders
+    """,
+)
+def customer_rolling_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling lifetime value: cumulative revenue per customer over their
+    order sequence, with the order ordinal — the LTV-curve feed. One
+    per-customer window (partition-local sorts)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("fecha"),
+        F.round(
+            F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+            2,
+        ).alias("ltv_acumulado"),
+        F.row_number().over(w).cast("long").alias("n_pedido"),
+    )
+
+
+@register(
+    "part_price_spread",
+    """
+    SELECT l_partkey,
+           count(*) AS n_ventas,
+           round(sum(l_extendedprice), 2) AS precio_total,
+           round(stddev_samp(l_extendedprice), 2) AS precio_desv,
+           round(max(l_extendedprice) - min(l_extendedprice), 2) AS rango
+    FROM lineitem
+    GROUP BY 1 HAVING count(*) >= 5
+    """,
+)
+def part_price_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-part price dispersion (total / sample stddev / range over
+    sale lines, min 5 observations) — the pricing-consistency audit.
+    stddev_samp partial-aggregates (sum, sum-of-squares, count), so this
+    stays one map-combinable pass. The SUM is emitted rather than the
+    mean: 2-decimal inputs summed in double are exact, while sum/n lands
+    on .005 midpoints where the engines' rounding rules disagree (found
+    by the oracle gate — consumers derive mean = total/n)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(
+            F.count("*").alias("n_ventas"),
+            F.round(F.sum("l_extendedprice"), 2).alias("precio_total"),
+            F.round(F.stddev_samp("l_extendedprice"), 2).alias("precio_desv"),
+            F.round(F.max("l_extendedprice") - F.min("l_extendedprice"), 2).alias(
+                "rango"
+            ),
+        )
+        .filter(F.col("n_ventas") >= 5)
+    )
