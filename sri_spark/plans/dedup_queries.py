@@ -604,3 +604,61 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_shared") / F.least("na", "nb"), 6).alias("overlap"),
         )
     )
+
+
+_SAVINGS_FP = """list_reduce(
+               list_prepend(0::BIGINT,
+                 list_transform(
+                   list_slice(
+                     list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'),
+                                 x -> x != ''),
+                     1, 16),
+                   t -> (('0x' || substr(md5(t), 1, 15))::BIGINT) % 1000003)),
+               (a, b) -> (a * 131 + b) % 1000000007
+             )"""
+
+_SAVINGS_ORACLE = f"""
+WITH fp AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x != ''))::BIGINT AS n_tokens,
+         row_number() OVER (PARTITION BY {_SAVINGS_FP} ORDER BY doc_id) AS rk
+  FROM documents
+)
+SELECT count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+       CAST(sum(CASE WHEN rk = 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+         AS tokens_kept,
+       CAST(sum(CASE WHEN rk > 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+         AS tokens_dropped,
+       round(sum(CASE WHEN rk > 1 THEN n_tokens ELSE 0 END)
+             / sum(n_tokens), 6) AS savings_ratio
+FROM fp
+"""
+
+
+@register("dedup_savings_report", _SAVINGS_ORACLE)
+def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup ROI in TOKENS (the unit the training budget is priced in):
+    corpus totals vs the tokens kept after fingerprint-keeper dedup — the
+    before/after accounting every dedup run should publish. One window
+    over the fingerprint blocks + one aggregate."""
+    from sri_spark.text.analysis import doc_fingerprint, tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(
+        doc_fingerprint(F.coalesce(F.col("text"), F.lit("")), prefix=16)
+    ).orderBy("doc_id")
+    fp = docs.select(
+        F.size(tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+        F.row_number().over(w).alias("rk"),
+    )
+    dropped = F.when(F.col("rk") > 1, F.col("n_tokens")).otherwise(0)
+    kept = F.when(F.col("rk") == 1, F.col("n_tokens")).otherwise(0)
+    return fp.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("tokens_total"),
+        F.sum(kept).cast("long").alias("tokens_kept"),
+        F.sum(dropped).cast("long").alias("tokens_dropped"),
+        F.round(F.sum(dropped) / F.sum("n_tokens"), 6).alias("savings_ratio"),
+    )

@@ -1206,3 +1206,43 @@ def part_price_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_ventas") >= 5)
     )
+
+
+FILL_RATE_DAYS = 30
+
+
+@register(
+    "supplier_fill_rate",
+    f"""
+    SELECT l.l_suppkey,
+           count(*) AS n_lineas,
+           CAST(sum(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate)
+                              <= {FILL_RATE_DAYS} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_a_tiempo,
+           round(sum(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate)
+                               <= {FILL_RATE_DAYS} THEN 1 ELSE 0 END)
+                 / count(*), 6) AS fill_rate
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= o.o_orderdate
+    GROUP BY 1
+    """,
+)
+def supplier_fill_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier service level: share of lines shipped within 30 days of the
+    order — the vendor-scorecard metric. One join + one conditional
+    aggregate; the datediff predicate rides the same pass as the counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    on_time = F.when(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) <= FILL_RATE_DAYS, 1
+    ).otherwise(0)
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.count("*").alias("n_lineas"),
+            F.sum(on_time).cast("long").alias("n_a_tiempo"),
+            F.round(F.sum(on_time) / F.count("*"), 6).alias("fill_rate"),
+        )
+    )
