@@ -1246,3 +1246,63 @@ def supplier_fill_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(on_time) / F.count("*"), 6).alias("fill_rate"),
         )
     )
+
+
+@register(
+    "region_trade_matrix",
+    """
+    SELECT rc.r_name AS region_cliente, rs.r_name AS region_proveedor,
+           count(*) AS n_lineas,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS ingresos
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+    JOIN region rc ON nc.n_regionkey = rc.r_regionkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+    JOIN region rs ON ns.n_regionkey = rs.r_regionkey
+    GROUP BY 1, 2
+    """,
+)
+def region_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-region trade flows (customer region × supplier region revenue
+    matrix) — the TPC-H Q5/Q7 family shape: a 7-table snowflake join
+    collapsing to |regions|² output. nation/region are fixed-size (25/5
+    rows — broadcast-safe forever); customer/supplier join shuffled or
+    broadcast at AQE's discretion; the aggregate is map-combinable to 25
+    groups."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    nc = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cr_key")
+    )
+    rc = region.select(
+        F.col("r_regionkey").alias("cr_key"), F.col("r_name").alias("region_cliente")
+    )
+    ns = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_regionkey").alias("sr_key")
+    )
+    rs = region.select(
+        F.col("r_regionkey").alias("sr_key"), F.col("r_name").alias("region_proveedor")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nc), cust["c_nationkey"] == F.col("cn_key"))
+        .join(F.broadcast(rc), "cr_key")
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(ns), supp["s_nationkey"] == F.col("sn_key"))
+        .join(F.broadcast(rs), "sr_key")
+        .groupBy("region_cliente", "region_proveedor")
+        .agg(
+            F.count("*").alias("n_lineas"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("ingresos"),
+        )
+    )

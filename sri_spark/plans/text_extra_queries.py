@@ -367,3 +367,58 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n_chars"), 4).alias("mean_chars"),
         (F.count("*") - F.countDistinct("h")).cast("long").alias("n_exact_dups"),
     )
+
+
+VOCAB_CURVE_TOP = 30
+
+
+@register(
+    "text_vocab_coverage_curve",
+    f"""
+    WITH counts AS (
+      SELECT tok AS token, count(*) AS cnt
+      FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT token, cnt,
+             row_number() OVER (ORDER BY cnt DESC, token) AS rk,
+             sum(cnt) OVER () AS total
+      FROM counts
+    )
+    SELECT CAST(rk AS BIGINT) AS rk, token, cnt,
+           round(sum(cnt) OVER (ORDER BY rk ROWS UNBOUNDED PRECEDING)
+                 / total, 6) AS coverage
+    FROM ranked
+    WHERE rk <= {VOCAB_CURVE_TOP}
+    """,
+)
+def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: cumulative corpus-token share of the
+    top-k types — the OOV-budget planner (how big a vocab buys how much
+    coverage). Corpus-sized work is one explode + hash aggregate; both
+    windows run on the vocabulary-sized ranking."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w_rank = Window.orderBy(F.col("cnt").desc(), "token")
+    w_all = Window.partitionBy()
+    ranked = counts.select(
+        "token",
+        "cnt",
+        F.row_number().over(w_rank).cast("long").alias("rk"),
+        F.sum("cnt").over(w_all).alias("total"),
+    )
+    w_cum = Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        ranked.filter(F.col("rk") <= VOCAB_CURVE_TOP)
+        .select(
+            "rk",
+            "token",
+            "cnt",
+            F.round(F.sum("cnt").over(w_cum) / F.col("total"), 6).alias("coverage"),
+        )
+    )
