@@ -662,3 +662,49 @@ def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dropped).cast("long").alias("tokens_dropped"),
         F.round(F.sum(dropped) / F.sum("n_tokens"), 6).alias("savings_ratio"),
     )
+
+
+_HIST_EXTRA = """,
+    clusters AS (SELECT s AS doc_id, min(t) AS cluster_id FROM reach GROUP BY s),
+    assigned AS (
+      SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN clusters c USING (doc_id)
+    ),
+    sizes2 AS (SELECT cluster_id, count(*) AS cluster_size FROM assigned GROUP BY 1)"""
+
+_HIST_FINAL = """
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           count(*) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+    FROM sizes2 GROUP BY cluster_size"""
+
+
+@register("dedup_cluster_size_histogram", _clusters_oracle(_HIST_EXTRA, _HIST_FINAL))
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution (singletons included) — the
+    shape every dedup run reports: a heavy tail here means boilerplate
+    families, a spike at 2 means mirrored pages. Two aggregates on top of
+    the end-to-end cluster assignment."""
+    from sri_spark.dedup.components import connected_components_star
+    from sri_spark.dedup.minhash import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=JACCARD_THRESHOLD)
+    clusters = connected_components_star(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    assigned = (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"))
+    )
+    sizes = assigned.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy(F.col("cluster_size").cast("long").alias("cluster_size"))
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).cast("long").alias("n_docs"),
+        )
+    )

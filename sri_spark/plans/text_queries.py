@@ -327,3 +327,47 @@ def text_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("true_lang", "pred_lang")
         .agg(F.count("*").alias("n"))
     )
+
+
+_ENTROPY_ORACLE = """
+WITH chars AS (
+  SELECT doc_id, lower(text) AS t,
+         string_split_regex(lower(text), '') AS cs
+  FROM documents WHERE length(text) > 0
+),
+freq AS (
+  SELECT doc_id,
+         list_transform(
+           list_distinct(cs),
+           c -> len(list_filter(cs, x -> x = c)) / len(cs)::DOUBLE
+         ) AS ps
+  FROM chars
+)
+SELECT doc_id,
+       round(-list_sum(list_transform(ps, p -> p * ln(p))), 6) AS char_entropy
+FROM freq
+"""
+
+
+@register("text_char_entropy", _ENTROPY_ORACLE)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy (nats) — the cheapest
+    gibberish/compression-quality signal (natural text sits ~3; runs of
+    one character near 0; uniform noise near ln(alphabet)). Per-row array
+    expressions over the character array, MATERIALIZED as a column first
+    (no CSE inside lambdas — the per-distinct-character count references
+    the array in its body); alphabet size bounds the quadratic factor."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    with_chars = docs.select(
+        "doc_id", F.split(F.lower("text"), "").alias("__cs")
+    )
+    cs = F.col("__cs")
+    n = F.size(cs).cast("double")
+    ps = F.transform(
+        F.array_distinct(cs),
+        lambda c: F.size(F.filter(cs, lambda x: x == c)) / n,
+    )
+    entropy = -F.aggregate(
+        F.transform(ps, lambda p: p * F.log(p)), F.lit(0.0), lambda a, x: a + x
+    )
+    return with_chars.select("doc_id", F.round(entropy, 6).alias("char_entropy"))
