@@ -157,3 +157,70 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("lp"), 6).alias("avg_logprob"),
         F.round(F.exp(-F.avg("lp")), 6).alias("perplexity"),
     )
+
+
+_JSD_ORACLE = f"""
+WITH tok AS (
+  SELECT source, unnest({_TOKS}) AS token FROM documents
+),
+src_cnt AS (SELECT source, token, count(*) AS n FROM tok GROUP BY 1, 2),
+src_tot AS (SELECT source, sum(n) AS nt FROM src_cnt GROUP BY 1),
+corp_cnt AS (SELECT token, sum(n) AS n FROM src_cnt GROUP BY 1),
+corp_tot AS (SELECT sum(n) AS nt FROM corp_cnt),
+-- P = source distribution, Q = corpus distribution, M = (P+Q)/2; token
+-- universe = corpus vocabulary, so Q covers every term (q > 0 always)
+terms AS (
+  SELECT s.source,
+         coalesce(sc.n, 0) / st.nt AS p,
+         cc.n / ct.nt AS q
+  FROM (SELECT DISTINCT source FROM documents) s
+  CROSS JOIN corp_cnt cc
+  CROSS JOIN corp_tot ct
+  JOIN src_tot st ON st.source = s.source
+  LEFT JOIN src_cnt sc ON sc.source = s.source AND sc.token = cc.token
+),
+contrib AS (
+  SELECT source,
+         CASE WHEN p > 0 THEN 0.5 * p * ln(2 * p / (p + q)) ELSE 0 END
+         + 0.5 * q * ln(2 * q / (p + q)) AS c
+  FROM terms
+)
+SELECT source, round(sum(c), 6) AS jsd_nats
+FROM contrib GROUP BY source
+"""
+
+
+@register("text_source_jsd", _JSD_ORACLE)
+def text_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's unigram distribution from
+    the corpus distribution — the distribution-shift score behind mixture
+    rebalancing (a source with high JSD is the one dragging the mixture;
+    0 = indistinguishable, ln 2 = disjoint). All hash aggregates and one
+    (source × vocabulary) join — the cross join is |sources| × |vocab|,
+    the size of the probability table itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokens_col(F.col("text"))).alias("token"))
+    src_cnt = tok.groupBy("source", "token").agg(F.count("*").alias("n"))
+    src_tot = src_cnt.groupBy("source").agg(F.sum("n").alias("nt"))
+    corp_cnt = src_cnt.groupBy("token").agg(F.sum("n").alias("cn"))
+    corp_tot = corp_cnt.agg(F.sum("cn").alias("ct"))
+    sources = docs.select("source").distinct()
+    terms = (
+        sources.join(corp_cnt)
+        .join(corp_tot)
+        .join(src_tot, "source")
+        .join(src_cnt, ["source", "token"], "left")
+        .select(
+            "source",
+            (F.coalesce(F.col("n"), F.lit(0)) / F.col("nt")).alias("p"),
+            (F.col("cn") / F.col("ct")).alias("q"),
+        )
+    )
+    p, q = F.col("p"), F.col("q")
+    c = (
+        F.when(p > 0, 0.5 * p * F.log(2 * p / (p + q))).otherwise(F.lit(0.0))
+        + 0.5 * q * F.log(2 * q / (p + q))
+    )
+    return terms.select("source", c.alias("c")).groupBy("source").agg(
+        F.round(F.sum("c"), 6).alias("jsd_nats")
+    )

@@ -1306,3 +1306,46 @@ def region_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ingresos"),
         )
     )
+
+
+@register(
+    "orders_reorder_interval",
+    """
+    WITH gaps AS (
+      SELECT o_custkey,
+             date_diff('day',
+                       lag(o_orderdate) OVER
+                         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                       o_orderdate) AS gap_d
+      FROM orders
+    )
+    SELECT o_custkey,
+           count(gap_d) AS n_reordenes,
+           round(avg(gap_d), 4) AS gap_medio_d,
+           round(median(gap_d), 4) AS gap_mediano_d,
+           CAST(max(gap_d) AS BIGINT) AS gap_max_d
+    FROM gaps WHERE gap_d IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def orders_reorder_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reorder cadence per customer (days between consecutive orders:
+    mean/median/max) — the churn-model feature and the inter-arrival
+    pattern (events_interarrival_stats) applied to commerce. One per-key
+    lag window + one grouped aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap = F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+    return (
+        orders.select("o_custkey", gap.alias("gap_d"))
+        .filter(F.col("gap_d").isNotNull())
+        .groupBy("o_custkey")
+        .agg(
+            F.count("gap_d").alias("n_reordenes"),
+            F.round(F.avg("gap_d"), 4).alias("gap_medio_d"),
+            F.round(F.median(F.col("gap_d").cast("double")), 4).alias(
+                "gap_mediano_d"
+            ),
+            F.max("gap_d").cast("long").alias("gap_max_d"),
+        )
+    )
