@@ -927,3 +927,45 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+CHURN_DORMANT_DAYS = 7
+
+_CHURN_ORACLE = f"""
+WITH bounds AS (SELECT max(ts) AS corpus_end FROM events),
+last_seen AS (
+  SELECT user_id, max(ts) AS last_ts, count(*) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT l.user_id,
+       strftime(l.last_ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+       l.n_events,
+       round((epoch_us(b.corpus_end) - epoch_us(l.last_ts)) / 86400000000.0, 4)
+         AS dias_inactivo,
+       ((epoch_us(b.corpus_end) - epoch_us(l.last_ts)) / 86400000000.0
+        > {CHURN_DORMANT_DAYS}) AS dormant_flag
+FROM last_seen l CROSS JOIN bounds b
+"""
+
+
+@register("events_churn_risk_flags", _CHURN_ORACLE)
+def events_churn_risk_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dormancy / churn-risk flags: per-user recency against the corpus
+    horizon (inactive > {CHURN_DORMANT_DAYS} days = dormant). One per-user
+    aggregate + a 1-row horizon cross join — the recency feature of the
+    RFM family computed event-side."""
+    ev = load_table(spark, sf_dir, "events")
+    last_seen = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"), F.count("*").alias("n_events")
+    )
+    bounds = ev.agg(F.max("ts").alias("corpus_end"))
+    inactive_d = (
+        F.unix_micros("corpus_end") - F.unix_micros("last_ts")
+    ) / 86_400_000_000.0
+    return last_seen.join(bounds).select(
+        "user_id",
+        F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        "n_events",
+        F.round(inactive_d, 4).alias("dias_inactivo"),
+        (inactive_d > CHURN_DORMANT_DAYS).alias("dormant_flag"),
+    )

@@ -1349,3 +1349,75 @@ def orders_reorder_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("gap_d").cast("long").alias("gap_max_d"),
         )
     )
+
+
+LIFT_MIN_SUPPORT = 10
+
+
+@register(
+    "part_type_affinity_lift",
+    f"""
+    WITH order_types AS (
+      SELECT DISTINCT l.l_orderkey, p.p_type
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n_orders AS (SELECT count(DISTINCT l_orderkey) AS n FROM order_types),
+    type_freq AS (SELECT p_type, count(*) AS n FROM order_types GROUP BY 1),
+    pair_freq AS (
+      SELECT a.p_type AS type_a, b.p_type AS type_b, count(*) AS n_ab
+      FROM order_types a JOIN order_types b
+        ON a.l_orderkey = b.l_orderkey AND a.p_type < b.p_type
+      GROUP BY 1, 2 HAVING count(*) >= {LIFT_MIN_SUPPORT}
+    )
+    SELECT pf.type_a, pf.type_b, pf.n_ab,
+           round((pf.n_ab::DOUBLE * no.n) / (fa.n::DOUBLE * fb.n), 6) AS lift
+    FROM pair_freq pf
+    JOIN type_freq fa ON pf.type_a = fa.p_type
+    JOIN type_freq fb ON pf.type_b = fb.p_type
+    CROSS JOIN n_orders no
+    """,
+)
+def part_type_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association LIFT between part types co-purchased in one order:
+    P(A,B)/(P(A)·P(B)) with a support floor — the statistical layer above
+    raw pair counts (orders_basket_pairs); lift > 1 = genuine affinity,
+    < 1 = substitution. The self-join runs on the TYPE domain per order
+    (|types| is a bounded vocabulary), and all probabilities derive from
+    three hash aggregates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    order_types = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .select("l_orderkey", "p_type")
+        .distinct()
+    )
+    n_orders = order_types.agg(
+        F.countDistinct("l_orderkey").alias("n_total")
+    )
+    type_freq = order_types.groupBy("p_type").agg(F.count("*").alias("n"))
+    a = order_types.select("l_orderkey", F.col("p_type").alias("type_a"))
+    b = order_types.select("l_orderkey", F.col("p_type").alias("type_b"))
+    pair_freq = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= LIFT_MIN_SUPPORT)
+    )
+    fa = type_freq.select(F.col("p_type").alias("type_a"), F.col("n").alias("na"))
+    fb = type_freq.select(F.col("p_type").alias("type_b"), F.col("n").alias("nb"))
+    return (
+        pair_freq.join(fa, "type_a")
+        .join(fb, "type_b")
+        .join(n_orders)
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            F.round(
+                (F.col("n_ab").cast("double") * F.col("n_total"))
+                / (F.col("na").cast("double") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+    )
