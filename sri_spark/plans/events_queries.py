@@ -969,3 +969,59 @@ def events_churn_risk_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(inactive_d, 4).alias("dias_inactivo"),
         (inactive_d > CHURN_DORMANT_DAYS).alias("dormant_flag"),
     )
+
+
+_SEQ_VIOLATION_ORACLE = """
+WITH firsts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click
+  FROM events GROUP BY 1
+)
+SELECT
+  count(*) AS n_users,
+  CAST(sum(CASE WHEN t_purchase IS NOT NULL AND t_signup IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS purchase_sin_signup,
+  CAST(sum(CASE WHEN t_purchase < t_signup THEN 1 ELSE 0 END) AS BIGINT)
+    AS purchase_antes_de_signup,
+  CAST(sum(CASE WHEN t_click < t_signup THEN 1 ELSE 0 END) AS BIGINT)
+    AS click_antes_de_signup
+FROM firsts
+"""
+
+
+@register("events_sequence_violations", _SEQ_VIOLATION_ORACLE)
+def events_sequence_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-integrity audit: users whose event order violates the
+    expected lifecycle (purchases without/before signup, clicks before
+    signup) — the data-quality check that catches id-stitching and
+    clock-skew bugs upstream. One conditional-min aggregate + one scalar
+    rollup; NULL-safe by three-valued logic (comparisons with missing
+    steps contribute 0)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_of(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    firsts = ev.groupBy("user_id").agg(
+        first_of("signup").alias("t_signup"),
+        first_of("purchase").alias("t_purchase"),
+        first_of("click").alias("t_click"),
+    )
+    return firsts.agg(
+        F.count("*").alias("n_users"),
+        F.sum(
+            F.when(
+                F.col("t_purchase").isNotNull() & F.col("t_signup").isNull(), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("purchase_sin_signup"),
+        F.sum(F.when(F.col("t_purchase") < F.col("t_signup"), 1).otherwise(0))
+        .cast("long")
+        .alias("purchase_antes_de_signup"),
+        F.sum(F.when(F.col("t_click") < F.col("t_signup"), 1).otherwise(0))
+        .cast("long")
+        .alias("click_antes_de_signup"),
+    )

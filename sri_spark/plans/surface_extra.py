@@ -1421,3 +1421,32 @@ def part_type_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "part_qty_price_correlation",
+    """
+    SELECT p.p_type,
+           count(*) AS n,
+           round(corr(l.l_quantity, l.l_extendedprice), 6) AS qty_price_corr
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1 HAVING count(*) >= 30
+    """,
+)
+def part_qty_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of quantity vs line price per part type (min 30
+    observations) — corr() is partial-aggregatable (co-moment sums), one
+    map-combinable pass over the join output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "qty_price_corr"
+            ),
+        )
+        .filter(F.col("n") >= 30)
+    )

@@ -422,3 +422,52 @@ def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("cnt").over(w_cum) / F.col("total"), 6).alias("coverage"),
         )
     )
+
+
+@register(
+    "text_oov_rate",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+    ),
+    vocab AS (
+      SELECT token FROM tok GROUP BY token HAVING count(*) >= {VOCAB_MIN_COUNT}
+    )
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           round(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                 / count(*), 6) AS oov_rate
+    FROM tok t LEFT JOIN vocab v USING (token)
+    GROUP BY t.doc_id
+    """,
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the min-count vocabulary
+    (text_vocabulary_build's cutoff) — the tokenizer-budget signal: docs
+    with high OOV under the planned vocab either need a bigger vocab or
+    are noise. One explode feeds both the vocabulary aggregate and the
+    scoring join (shuffles keyed on the token)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from sri_spark.operators.caching import scoped_persist
+
+    tok = scoped_persist(
+        docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("token"))
+    )
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= VOCAB_MIN_COUNT)
+        .select("token", F.lit(1).alias("__in_vocab"))
+    )
+    oov = F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+    return (
+        tok.join(vocab, "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(oov).cast("long").alias("n_oov"),
+            F.round(F.sum(oov) / F.count("*"), 6).alias("oov_rate"),
+        )
+    )
