@@ -1025,3 +1025,37 @@ def events_sequence_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("click_antes_de_signup"),
     )
+
+
+_BOXPLOT_ORACLE = """
+SELECT event_type,
+       count(*) AS n,
+       round(min(value), 6) AS v_min,
+       round(quantile_cont(value, 0.25), 6) AS q1,
+       round(median(value), 6) AS mediana,
+       round(quantile_cont(value, 0.75), 6) AS q3,
+       round(max(value), 6) AS v_max,
+       round(quantile_cont(value, 0.75) - quantile_cont(value, 0.25), 6) AS iqr
+FROM events
+GROUP BY 1
+"""
+
+
+@register("events_value_boxplot", _BOXPLOT_ORACLE)
+def events_value_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-number summary (+IQR) of event values per type — the boxplot
+    feed and the input to IQR-fence outlier rules. Exact grouped
+    percentiles at per-type cardinality; approx_percentile is the
+    documented swap at extreme group sizes."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("double")
+    q = lambda p: F.percentile(v, F.lit(p))
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("value"), 6).alias("v_min"),
+        F.round(q(0.25), 6).alias("q1"),
+        F.round(q(0.5), 6).alias("mediana"),
+        F.round(q(0.75), 6).alias("q3"),
+        F.round(F.max("value"), 6).alias("v_max"),
+        F.round(q(0.75) - q(0.25), 6).alias("iqr"),
+    )

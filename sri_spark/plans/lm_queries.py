@@ -224,3 +224,42 @@ def text_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.select("source", c.alias("c")).groupBy("source").agg(
         F.round(F.sum("c"), 6).alias("jsd_nats")
     )
+
+
+_LEN_QUALITY_ORACLE = f"""
+WITH scored AS (
+  SELECT lang,
+         len({_TOKS})::DOUBLE AS n_tokens,
+         round(0.5 * least(len({_TOKS}) / 100.0, 1.0)
+             + 0.3 * (1 - round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                                / greatest(length(text), 1), 6))
+             + 0.2 * (1 - round(len(regexp_extract_all(text, '[0-9]'))
+                                / greatest(length(text), 1), 6)), 6) AS quality
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       round(corr(n_tokens, quality), 6) AS len_quality_corr
+FROM scored GROUP BY 1
+"""
+
+
+@register("text_length_quality_corr", _LEN_QUALITY_ORACLE)
+def text_length_quality_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation of document length with the quality score per language —
+    the bias audit for any length-dependent quality heuristic (a corr near
+    1 means the 'quality' filter is secretly a length filter). corr() is
+    co-moment partial-aggregatable: one pass."""
+    from sri_spark.text.analysis import quality_score
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "text", tokens_col(F.col("text")).alias("__toks")
+    )
+    scored = docs.select(
+        "lang",
+        F.size("__toks").cast("double").alias("n_tokens"),
+        quality_score(F.col("text"), toks=F.col("__toks")).alias("quality"),
+    )
+    return scored.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.corr("n_tokens", "quality"), 6).alias("len_quality_corr"),
+    )

@@ -1450,3 +1450,37 @@ def part_qty_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n") >= 30)
     )
+
+
+@register(
+    "supplier_part_coverage",
+    """
+    WITH cat AS (SELECT count(*) AS n_parts FROM part)
+    SELECT l_suppkey,
+           count(DISTINCT l_partkey) AS n_parts_servidos,
+           round(count(DISTINCT l_partkey) / cat.n_parts, 6) AS cobertura
+    FROM lineitem CROSS JOIN cat
+    GROUP BY l_suppkey, cat.n_parts
+    """,
+)
+def supplier_part_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog coverage per supplier: distinct parts shipped and the share
+    of the whole part catalog — the assortment-breadth metric. One
+    distinct aggregate + a 1-row catalog size carried through the group
+    keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    n_parts = load_table(spark, sf_dir, "part").agg(
+        F.count("*").alias("n_parts")
+    )
+    return (
+        li.join(n_parts)
+        .groupBy("l_suppkey", "n_parts")
+        .agg(F.countDistinct("l_partkey").alias("n_parts_servidos"))
+        .select(
+            "l_suppkey",
+            "n_parts_servidos",
+            F.round(F.col("n_parts_servidos") / F.col("n_parts"), 6).alias(
+                "cobertura"
+            ),
+        )
+    )
