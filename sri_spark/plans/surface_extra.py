@@ -1484,3 +1484,86 @@ def supplier_part_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "nation_top_customer",
+    """
+    WITH rev AS (
+      SELECT c.c_custkey, c.c_name, n.n_name,
+             round(sum(o.o_totalprice), 2) AS revenue
+      FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2, 3
+    )
+    SELECT nacion, mejor_cliente, mejor_ingreso, n_clientes FROM (
+      SELECT n_name AS nacion, c_name AS mejor_cliente,
+             round(revenue, 2) AS mejor_ingreso,
+             count(*) OVER (PARTITION BY n_name) AS n_clientes,
+             row_number() OVER (PARTITION BY n_name
+                                ORDER BY revenue DESC, c_custkey) AS rk
+      FROM rev
+    ) WHERE rk = 1
+    """,
+)
+def nation_top_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation top customer by revenue via max_by/arg_max — the
+    argmax-aggregate family (one pass; the window-rank formulation costs a
+    per-key sort this avoids). Tie-break: lowest custkey wins, encoded in
+    the comparator so both engines agree."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    rev = (
+        cust.join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(orders, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    return rev.groupBy(F.col("n_name").alias("nacion")).agg(
+        F.max_by(
+            "c_name", F.struct(F.col("revenue"), (-F.col("c_custkey")).alias("nk"))
+        ).alias("mejor_cliente"),
+        F.round(F.max("revenue"), 2).alias("mejor_ingreso"),
+        F.count("*").alias("n_clientes"),
+    )
+
+
+@register(
+    "part_size_price_bands",
+    """
+    SELECT p_size,
+           count(*) AS n_parts,
+           round(min(p_retailprice), 2) AS precio_min,
+           round(avg(p_retailprice), 4) AS precio_medio,
+           round(max(p_retailprice), 2) AS precio_max,
+           round(avg(p_retailprice) - lag(round(avg(p_retailprice), 4))
+                 OVER (ORDER BY p_size), 4) AS delta_vs_menor
+    FROM part
+    GROUP BY p_size
+    """,
+)
+def part_size_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retail price structure by part size with the step vs the next size
+    down — aggregate-then-window on the |sizes|-cardinality grid (the
+    window's lag argument reuses the rounded aggregate so both engines
+    difference identical values)."""
+    part = load_table(spark, sf_dir, "part")
+    agg = part.groupBy("p_size").agg(
+        F.count("*").alias("n_parts"),
+        F.round(F.min("p_retailprice"), 2).alias("precio_min"),
+        F.avg("p_retailprice").alias("__avg"),
+        F.round(F.max("p_retailprice"), 2).alias("precio_max"),
+    )
+    w = Window.orderBy("p_size")
+    return agg.select(
+        "p_size",
+        "n_parts",
+        "precio_min",
+        F.round("__avg", 4).alias("precio_medio"),
+        "precio_max",
+        F.round(
+            F.col("__avg") - F.lag(F.round(F.col("__avg"), 4)).over(w), 4
+        ).alias("delta_vs_menor"),
+    )
