@@ -1567,3 +1567,93 @@ def part_size_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__avg") - F.lag(F.round(F.col("__avg"), 4)).over(w), 4
         ).alias("delta_vs_menor"),
     )
+
+
+@register(
+    "customer_balance_activity",
+    """
+    WITH act AS (
+      SELECT c.c_custkey, c.c_acctbal,
+             count(o.o_orderkey) AS n_orders,
+             round(coalesce(sum(o.o_totalprice), 0), 2) AS revenue
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    deciled AS (
+      SELECT *, ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS balance_decile
+      FROM act
+    )
+    SELECT CAST(balance_decile AS BIGINT) AS balance_decile,
+           count(*) AS n_customers,
+           round(avg(c_acctbal), 4) AS avg_balance,
+           round(avg(n_orders), 4) AS avg_orders,
+           round(sum(revenue), 2) AS revenue
+    FROM deciled GROUP BY 1
+    """,
+)
+def customer_balance_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does account balance predict activity? Customers deciled by balance
+    (tie-broken ntile on the customers-sized rollup) vs their order count
+    and revenue — the segmentation cross-tab. LEFT join keeps zero-order
+    customers (their absence would bias every decile)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    act = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+    deciled = act.withColumn(
+        "balance_decile",
+        F.ntile(10).over(Window.orderBy("c_acctbal", "c_custkey")).cast("long"),
+    )
+    return deciled.groupBy("balance_decile").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_balance"),
+        F.round(F.avg("n_orders"), 4).alias("avg_orders"),
+        F.round(F.sum("revenue"), 2).alias("revenue"),
+    )
+
+
+@register(
+    "supplier_balance_health",
+    """
+    WITH stats AS (
+      SELECT avg(s_acctbal) AS mu, stddev_samp(s_acctbal) AS sigma
+      FROM supplier
+    )
+    SELECT s.s_suppkey, round(s.s_acctbal, 2) AS acctbal,
+           round((s.s_acctbal - st.mu) / st.sigma, 4) AS balance_z,
+           (s.s_acctbal < 0) AS en_deuda
+    FROM supplier s CROSS JOIN stats st
+    WHERE s.s_acctbal < 0 OR abs(s.s_acctbal - st.mu) > 2 * st.sigma
+    """,
+)
+def supplier_balance_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier financial-health screen: negative balances plus 2-sigma
+    outliers against the population — the vendor-risk shortlist. The
+    population stats are one 1-row aggregate joined back (no second
+    scan)."""
+    supp = load_table(spark, sf_dir, "supplier")
+    stats = supp.agg(
+        F.avg("s_acctbal").alias("mu"), F.stddev_samp("s_acctbal").alias("sigma")
+    )
+    z = (F.col("s_acctbal") - F.col("mu")) / F.col("sigma")
+    return (
+        supp.join(stats)
+        .filter(
+            (F.col("s_acctbal") < 0)
+            | (F.abs(F.col("s_acctbal") - F.col("mu")) > 2 * F.col("sigma"))
+        )
+        .select(
+            "s_suppkey",
+            F.round("s_acctbal", 2).alias("acctbal"),
+            F.round(z, 4).alias("balance_z"),
+            (F.col("s_acctbal") < 0).alias("en_deuda"),
+        )
+    )
