@@ -84,6 +84,21 @@ def main() -> None:
     fc = (floor.get("calibration") or {}).get("range_sum_500m_sec")
     if nc and fc:
         host = nc / fc
+    else:
+        # floors recorded before the calibration field existed: estimate the
+        # host factor as the MEDIAN per-query ratio — robust, because a
+        # uniform host slowdown moves the median while a genuine single-query
+        # regression cannot. Only applied when the shift is clearly
+        # host-shaped (median ratio > 1.1 across >= 10 common queries).
+        import statistics
+
+        ratios = [
+            nq[k] / fq[k] for k in nq.keys() & fq.keys() if fq.get(k)
+        ]
+        if len(ratios) >= 10:
+            med = statistics.median(ratios)
+            if med > 1.1:
+                host = med
 
     regressions, improved, added = [], [], []
     for name, t in sorted(nq.items()):
