@@ -1657,3 +1657,116 @@ def supplier_balance_health(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("s_acctbal") < 0).alias("en_deuda"),
         )
     )
+
+
+@register(
+    "region_revenue_share_trend",
+    """
+    WITH yearly AS (
+      SELECT year(o.o_orderdate) AS anio, r.r_name AS region,
+             sum(o.o_totalprice) AS revenue
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    )
+    , shares AS (
+      SELECT anio, region, revenue,
+             revenue / sum(revenue) OVER (PARTITION BY anio) AS share
+      FROM yearly
+    )
+    SELECT CAST(anio AS BIGINT) AS anio, region,
+           round(revenue, 2) AS revenue,
+           round(share, 6) AS share,
+           round(share - lag(share) OVER
+             (PARTITION BY region ORDER BY anio), 6) AS share_shift
+    FROM shares
+    """,
+)
+def region_revenue_share_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regional revenue share per year with the year-over-year shift — the
+    geographic mix-drift view (orders_priority_mix_shift's pattern on the
+    snowflake join). Windows run on the (year x region) grid."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    yearly = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy(
+            F.year("o_orderdate").cast("long").alias("anio"),
+            F.col("r_name").alias("region"),
+        )
+        .agg(F.sum("o_totalprice").alias("__rev"))
+    )
+    w_year = Window.partitionBy("anio")
+    share = F.col("__rev") / F.sum("__rev").over(w_year)
+    w_reg = Window.partitionBy("region").orderBy("anio")
+    return yearly.select(
+        "anio",
+        "region",
+        F.round("__rev", 2).alias("revenue"),
+        F.round(share, 6).alias("share"),
+        F.round(share - F.lag(share).over(w_reg), 6).alias("share_shift"),
+    )
+
+
+@register(
+    "orders_weekday_seasonality",
+    """
+    SELECT CAST(isodow(o_orderdate) AS BIGINT) AS dia_iso,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue,
+           round(count(*) / (sum(count(*)) OVER () / 7.0), 6) AS indice
+    FROM orders GROUP BY 1
+    """,
+)
+def orders_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonality index: order volume per ISO weekday against the
+    uniform expectation (1.0 = no weekly pattern). One hash aggregate +
+    windows over 7 rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.groupBy(
+        F.dayofweek(F.date_sub("o_orderdate", 1)).cast("long").alias("dia_iso")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        "dia_iso",
+        "n_orders",
+        "revenue",
+        F.round(F.col("n_orders") / (F.sum("n_orders").over(w) / 7.0), 6).alias(
+            "indice"
+        ),
+    )
+
+
+@register(
+    "lineitem_effective_tax",
+    """
+    SELECT year(l_shipdate) AS anio,
+           round(sum(l_extendedprice * (1 - l_discount) * l_tax), 2)
+             AS impuestos,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS base,
+           round(sum(l_extendedprice * (1 - l_discount) * l_tax)
+                 / sum(l_extendedprice * (1 - l_discount)), 6) AS tasa_efectiva
+    FROM lineitem GROUP BY 1
+    """,
+)
+def lineitem_effective_tax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective tax rate per ship year (tax collected over the discounted
+    base) — one scan, one aggregate; the SRI domain's fiscal rollup
+    expressed on the TPC-H columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    tax = base * F.col("l_tax")
+    return li.groupBy(F.year("l_shipdate").alias("anio")).agg(
+        F.round(F.sum(tax), 2).alias("impuestos"),
+        F.round(F.sum(base), 2).alias("base"),
+        F.round(F.sum(tax) / F.sum(base), 6).alias("tasa_efectiva"),
+    )
