@@ -1770,3 +1770,42 @@ def lineitem_effective_tax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(base), 2).alias("base"),
         F.round(F.sum(tax) / F.sum(base), 6).alias("tasa_efectiva"),
     )
+
+
+@register(
+    "orders_monthly_anomalies",
+    """
+    WITH monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS mes,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1
+    ),
+    stats AS (
+      SELECT avg(revenue) AS mu, stddev_samp(revenue) AS sigma FROM monthly
+    )
+    SELECT strftime(m.mes, '%Y-%m') AS mes, m.revenue,
+           round((m.revenue - s.mu) / s.sigma, 4) AS z,
+           (abs(m.revenue - s.mu) > 2 * s.sigma) AS anomalo
+    FROM monthly m CROSS JOIN stats s
+    """,
+)
+def orders_monthly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue z-scores with 2-sigma anomaly flags — the business
+    series health check. Corpus work is one aggregate to the month grid;
+    the stats are a 1-row cross join back (no second scan)."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("mes")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    stats = monthly.agg(
+        F.avg("revenue").alias("mu"), F.stddev_samp("revenue").alias("sigma")
+    )
+    z = (F.col("revenue") - F.col("mu")) / F.col("sigma")
+    return monthly.join(stats).select(
+        F.date_format("mes", "yyyy-MM").alias("mes"),
+        "revenue",
+        F.round(z, 4).alias("z"),
+        (F.abs(F.col("revenue") - F.col("mu")) > 2 * F.col("sigma")).alias(
+            "anomalo"
+        ),
+    )

@@ -471,3 +471,67 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(oov) / F.count("*"), 6).alias("oov_rate"),
         )
     )
+
+
+BURSTY_TOP = 20
+
+
+@register(
+    "text_token_burstiness",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+    ),
+    per_doc AS (SELECT token, doc_id, count(*) AS c FROM tok GROUP BY 1, 2),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    stats AS (
+      SELECT token,
+             sum(c) AS total,
+             sum(c * c) AS total_sq,
+             count(*) AS n_docs_with
+      FROM per_doc GROUP BY token
+    ),
+    scored AS (
+      SELECT s.token, s.total, s.n_docs_with,
+             (s.total_sq / nd.n_docs - pow(s.total / nd.n_docs, 2))
+               / (s.total / nd.n_docs) AS vmr,
+             row_number() OVER (ORDER BY s.total DESC, s.token) AS rk
+      FROM stats s CROSS JOIN nd
+    )
+    SELECT CAST(rk AS BIGINT) AS rk, token,
+           CAST(total AS BIGINT) AS total,
+           n_docs_with,
+           round(vmr, 6) AS burstiness_vmr
+    FROM scored WHERE rk <= {BURSTY_TOP}
+    """,
+)
+def text_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token burstiness (variance-to-mean ratio of per-document counts,
+    zeros included — Church & Gale's term clumping statistic): VMR ≈ 1 is
+    Poisson background vocabulary, VMR >> 1 marks topical/bursty terms
+    that TF-IDF should reward and boilerplate detectors should watch. The
+    absent-doc zeros enter through the moments (E[x], E[x²] computed from
+    totals over ALL docs), so no dense doc × token expansion exists
+    anywhere — two hash aggregates and a vocabulary-sized ranking."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("token"))
+    per_doc = tok.groupBy("token", "doc_id").agg(F.count("*").alias("c"))
+    n_docs = docs.count()
+    stats = per_doc.groupBy("token").agg(
+        F.sum("c").alias("total"),
+        F.sum(F.col("c") * F.col("c")).alias("total_sq"),
+        F.count("*").alias("n_docs_with"),
+    )
+    mean = F.col("total") / n_docs
+    vmr = (F.col("total_sq") / n_docs - mean * mean) / mean
+    w = Window.orderBy(F.col("total").desc(), "token")
+    return (
+        stats.select(
+            F.row_number().over(w).cast("long").alias("rk"),
+            "token",
+            F.col("total").cast("long").alias("total"),
+            "n_docs_with",
+            F.round(vmr, 6).alias("burstiness_vmr"),
+        )
+        .filter(F.col("rk") <= BURSTY_TOP)
+    )
