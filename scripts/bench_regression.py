@@ -62,6 +62,9 @@ def load(path: str) -> dict:
                 out = cand
     if out is None:
         raise SystemExit(f"{path}: no JSON bench line found")
+    # r4+ artifacts merge the former extended set into `queries`; merge here
+    # too so r1-r3 floors compare per-query instead of reporting NEW rows
+    out["queries"] = {**out["queries"], **out.get("extended_queries", {})}
     return out
 
 
@@ -98,7 +101,20 @@ def main() -> None:
         if len(ratios) >= 10:
             med = statistics.median(ratios)
             if med > 1.1:
-                host = med
+                # CAP the inferred factor: an uncapped median would also
+                # normalize away a genuine broad code regression (e.g. a
+                # session-wide config change slowing most queries ~1.2x).
+                # Calibrated artifacts (r3+) never take this branch.
+                MEDIAN_CAP = 2.5
+                host = min(med, MEDIAN_CAP)
+                over = sum(1 for r in ratios if r > RATIO_LIMIT)
+                print(
+                    f"WARNING: no calibration in floor — applying MEDIAN "
+                    f"per-query ratio {med:.2f}x (capped at {MEDIAN_CAP}x) as "
+                    f"host factor; {over}/{len(ratios)} common queries exceed "
+                    f"the {RATIO_LIMIT}x limit PRE-normalization. If this is "
+                    f"not a known slow host, treat as a broad regression."
+                )
 
     regressions, improved, added = [], [], []
     for name, t in sorted(nq.items()):

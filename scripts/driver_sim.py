@@ -42,6 +42,17 @@ fails = []
 for name in sorted(only or qs):
     try:
         sdf = qs[name](spark, SF)
+        # Driver-harness parity: the real driver canonicalizes via pandas
+        # sort_values, which raises "unhashable type" on array/map/struct
+        # cells. Flag such schemas as errors here so the full sweep catches
+        # them before the driver does (round-3 verdict item 8).
+        complex_cols = [c for c, t in sdf.dtypes
+                        if t.startswith(("array", "map", "struct"))]
+        if complex_cols:
+            raise TypeError(
+                f"driver-uncanonicalizable output columns {complex_cols}: "
+                "the driver's pandas harness cannot sort/hash list cells; "
+                "serialize to scalars (concat_ws/to_json)")
         scols = sorted(sdf.columns)
         srows = sorted(tuple(norm(r[c]) for c in scols) for r in sdf.collect())
         if name not in os_:

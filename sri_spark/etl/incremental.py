@@ -65,12 +65,23 @@ def extend_dim(
     attribute tuples (anti-join on the full grain) receive keys, continuing
     from the existing maximum so no existing key ever changes."""
     attrs = [c for c in existing.columns if c != id_col]
-    new_rows = increment_built.select(*attrs).join(
-        existing.select(*attrs), attrs, "left_anti"
-    )
+    # The grain comparison must be NULL-SAFE: the builders dedup with
+    # dropDuplicates/groupBy (null-safe), and fixed-mode dim attributes can
+    # be null ("nulls stay null"). A name-list anti-join uses null-unsafe
+    # equality, so a tuple containing NULL would never match itself and be
+    # re-inserted with a fresh key on every increment.
+    inc = increment_built.select(*attrs).alias("__inc")
+    ex = existing.select(*attrs).alias("__ex")
+    cond = F.lit(True)
+    for c in attrs:
+        cond = cond & inc[c].eqNullSafe(ex[c])
+    new_rows = inc.join(ex, cond, "left_anti")
     # max over a dimension-sized table: 1-row aggregate, joined (not
-    # collected) so the plan stays fully lazy
-    max_id = existing.agg(F.max(id_col).alias("__max"))
+    # collected) so the plan stays fully lazy; coalesce so an empty
+    # existing dim bootstraps keys from 1 instead of NULL
+    max_id = existing.agg(
+        F.coalesce(F.max(id_col), F.lit(0).cast("long")).alias("__max")
+    )
     w = Window.orderBy(*[F.col(f"`{c}`") for c in attrs])
     keyed = (
         new_rows.withColumn("__rn", F.row_number().over(w).cast("long"))
@@ -115,7 +126,9 @@ def apply_increment(
         cfg,
     )
     old_fact = existing["fact_registro_vehiculos"]
-    max_reg = old_fact.agg(F.max("ID_Registro").alias("__max"))
+    max_reg = old_fact.agg(
+        F.coalesce(F.max("ID_Registro"), F.lit(0).cast("long")).alias("__max")
+    )
     shifted = (
         incr_fact.join(max_reg)
         .withColumn("ID_Registro", F.col("ID_Registro") + F.col("__max"))
@@ -171,7 +184,19 @@ def publish_increment(
 
     from pyspark.sql import functions as F  # noqa: F811 — local alias
 
+    import shutil
+
     cfg = cfg or EtlConfig(mode="fixed")
+    _DIMS = ("dim_vehiculo", "dim_transaccion", "dim_ubicacion", "dim_tiempo")
+    # Recovery guard: a publish interrupted between the two swap renames
+    # leaves `out` missing with `out.old` intact — restore it before
+    # reading, and drop stale staging dirs from the failed attempt.
+    for name in _DIMS:
+        out = os.path.join(star_dir, name)
+        if not os.path.exists(out) and os.path.exists(out + ".old"):
+            os.rename(out + ".old", out)
+        if os.path.exists(out + ".staging"):
+            shutil.rmtree(out + ".staging")
     existing = read_star(spark, star_dir)
     updated = apply_increment(spark, existing, source, cfg)
     delta = updated.pop("__fact_increment")
@@ -190,13 +215,21 @@ def publish_increment(
         .parquet(os.path.join(star_dir, "fact_registro_vehiculos"))
     )
 
-    import shutil
-
-    for name in ("dim_vehiculo", "dim_transaccion", "dim_ubicacion", "dim_tiempo"):
+    # Crash-safe dim swap: write staging, rename the live dir ASIDE
+    # (out -> out.old), rename staging into place, delete the backup last.
+    # A failure between the two renames leaves out.old intact; the recovery
+    # guard above restores it on the next publish. (A failure AFTER the
+    # fact append but before all dim swaps still needs the appended fact
+    # partitions rolled back or the publish re-run — the fact delta append
+    # is idempotent only if the caller dedupes on ID_Registro.)
+    for name in _DIMS:
         out = os.path.join(star_dir, name)
-        staging = out + ".staging"
+        staging, backup = out + ".staging", out + ".old"
         updated[name].write.mode("overwrite").parquet(staging)
-        shutil.rmtree(out)
+        if os.path.exists(backup):
+            shutil.rmtree(backup)
+        os.rename(out, backup)
         os.rename(staging, out)
+        shutil.rmtree(backup)
 
     return read_star(spark, star_dir)

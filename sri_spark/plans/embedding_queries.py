@@ -101,8 +101,9 @@ def embeddings_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embeddings_array_ops",
     """
     SELECT vec_id,
-           list_transform(list_slice(embedding, 1, 4),
-                          x -> round(x::DOUBLE, 6)) AS head4,
+           array_to_string(list_transform(list_slice(embedding, 1, 4),
+               x -> CAST(CAST(round(x::DOUBLE * 1000000) AS BIGINT) AS VARCHAR)),
+               ',') AS head4,
            CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
            round(list_sum(list_transform(embedding, x -> abs(x::DOUBLE))), 6)
                AS l1_norm,
@@ -120,15 +121,25 @@ def embeddings_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     Everything is a per-row Column expression that fuses into the parquet
     scan — this is the idiom that keeps vector feature-engineering out of
     Python at 100 TB (the UDF-shaped alternative pays a serialization tax
-    per row)."""
+    per row).
+
+    head4 is serialized to a comma-joined string of micro-scaled integers
+    (round(x*1e6) as bigint) rather than emitted as array<double>: the
+    driver's pandas-based canonicalizer cannot sort/hash list cells, so
+    every catalog query must emit scalar columns only (round-3 verdict
+    item 1)."""
     emb = load_table(spark, sf_dir, "embeddings")
     vec = F.col("embedding")
     as_d = F.transform(vec, lambda x: x.cast("double"))
     return emb.select(
         "vec_id",
-        F.transform(F.slice(vec, 1, 4), lambda x: F.round(x.cast("double"), 6)).alias(
-            "head4"
-        ),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(vec, 1, 4),
+                lambda x: F.round(x.cast("double") * 1000000).cast("long").cast("string"),
+            ),
+        ).alias("head4"),
         F.size(F.filter(vec, lambda x: x > 0)).cast("long").alias("n_pos"),
         F.round(
             F.aggregate(as_d, F.lit(0.0), lambda acc, x: acc + F.abs(x)), 6

@@ -51,7 +51,10 @@ def _lloyd(pts, k: int, seed: int, iters: int = 20):
         if total <= 0:
             centers.append(pts[rng.randint(n)])
             continue
-        centers.append(pts[np.searchsorted(np.cumsum(d2 / total), rng.rand())])
+        # clamp: fp rounding can leave cumsum[-1] < rand(), which would
+        # index one past the end on an otherwise valid input
+        idx = min(np.searchsorted(np.cumsum(d2 / total), rng.rand()), n - 1)
+        centers.append(pts[idx])
     C = np.array(centers)
     for _ in range(iters):
         d2 = ((pts[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)

@@ -118,6 +118,77 @@ def test_increment_roundtrips_through_star_dir(spark, split_csvs, tmp_path):
     assert _fact_business_rows(from_disk) == _fact_business_rows(in_memory)
 
 
+def test_null_attribute_tuples_not_reinserted(spark):
+    """ADVICE r3 (medium): the grain anti-join must be null-safe — a dim
+    tuple containing NULL must match itself on re-increment instead of
+    being appended again with a fresh key on every run."""
+    from sri_spark.etl.incremental import extend_dim
+
+    existing = spark.createDataFrame(
+        [(1, "A", None), (2, None, "x"), (3, "B", "y")],
+        "ID_Vehiculo long, Marca string, Clase string",
+    )
+    # increment re-derives the exact same attribute tuples (plus one new)
+    built = spark.createDataFrame(
+        [(1, "A", None), (2, None, "x"), (3, "B", "y"), (4, "C", None)],
+        "ID_Vehiculo long, Marca string, Clase string",
+    )
+    out = extend_dim(existing, built, "ID_Vehiculo")
+    rows = {tuple(r) for r in out.collect()}
+    assert rows == {
+        (1, "A", None),
+        (2, None, "x"),
+        (3, "B", "y"),
+        (4, "C", None),  # only the genuinely new tuple, keyed max+1
+    }
+    # idempotence: a second identical increment adds nothing
+    again = extend_dim(out, built, "ID_Vehiculo")
+    assert again.count() == 4
+
+
+def test_extend_dim_bootstraps_from_empty(spark):
+    """ADVICE r3 (low): max over an empty dim is NULL — keys must still
+    start at 1, not become NULL."""
+    from sri_spark.etl.incremental import extend_dim
+
+    schema = "ID_Vehiculo long, Marca string"
+    empty = spark.createDataFrame([], schema)
+    built = spark.createDataFrame([(1, "A"), (2, "B")], schema)
+    out = extend_dim(empty, built, "ID_Vehiculo")
+    rows = sorted(tuple(r) for r in out.collect())
+    assert rows == [(1, "A"), (2, "B")]
+
+
+def test_publish_recovers_interrupted_swap(spark, split_csvs, tmp_path):
+    """ADVICE r3 (low): simulate a crash between the two swap renames
+    (live dir gone, .old intact, stale .staging present) — the next
+    publish must restore the dim and complete cleanly."""
+    import os
+    import shutil
+
+    from sri_spark.etl.incremental import publish_increment, read_star
+    from sri_spark.etl.pipeline import write_star
+
+    _, base, incr = split_csvs
+    cfg = EtlConfig(mode="fixed")
+    base_tables = run_pipeline(spark, base, cfg)
+    out = str(tmp_path / "star_crash")
+    write_star(base_tables, out)
+
+    dim = os.path.join(out, "dim_vehiculo")
+    os.rename(dim, dim + ".old")  # crash state: live dir missing
+    os.makedirs(dim + ".staging")  # stale staging from the failed attempt
+
+    published = publish_increment(spark, out, incr, cfg)
+    assert not os.path.exists(dim + ".old")
+    assert not os.path.exists(dim + ".staging")
+    in_memory = apply_increment(spark, base_tables, incr, cfg)
+    assert _fact_business_rows(read_star(spark, out)) == _fact_business_rows(
+        in_memory
+    )
+    assert published["dim_vehiculo"].count() > 0
+
+
 def test_parity_mode_rejected(spark, split_csvs):
     _, base, incr = split_csvs
     tables = run_pipeline(spark, base, EtlConfig(mode="fixed"))
