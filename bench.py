@@ -151,11 +151,9 @@ def ann_recall(spark) -> dict:
     brute-force cosine truth, averaged over a fixed 5-query panel, with
     wall time per path — so the recall/latency tradeoff is tracked in the
     bench artifact every round, not just asserted once in pytest."""
-    from pyspark.sql import functions as F
-
-    from sri_spark.similarity.cosine import _as_double, _dot, _norm, cosine_topk
-    from sri_spark.similarity.ivf import ivf_topk
-    from sri_spark.similarity.lsh import rp_bucket_col
+    from sri_spark.similarity.cosine import cosine_topk
+    from sri_spark.similarity.ivf import build_ivf_index, ivf_probe
+    from sri_spark.similarity.lsh import N_PLANES, rp_ann_topk
     from sri_spark.sources.testdata import load_table
 
     emb = load_table(spark, SF_DIR, "embeddings").persist()
@@ -163,56 +161,64 @@ def ann_recall(spark) -> dict:
     qids = [ids[(i * len(ids)) // 5] for i in range(5)]
     K = 10
 
-    def lsh_topk(qid: int):
-        be = emb.select(
-            "vec_id",
-            _as_double(F.col("embedding")).alias("__e"),
-            rp_bucket_col(F.col("embedding")).alias("__bucket"),
-        )
-        q = be.filter(F.col("vec_id") == qid).select(
-            F.col("__e").alias("__q"), F.col("__bucket").alias("__qb")
-        )
-        return (
-            be.join(F.broadcast(q), be["__bucket"] == F.col("__qb"))
-            .filter(F.col("vec_id") != qid)
-            .select(
-                "vec_id",
-                (
-                    _dot(F.col("__e"), F.col("__q"))
-                    / (_norm(F.col("__e")) * _norm(F.col("__q")))
-                ).alias("cosine"),
-            )
-            .orderBy(F.desc("cosine"), F.asc("vec_id"))
-            .limit(K)
-        )
-
     truth: dict[int, set] = {}
     t0 = time.perf_counter()
     for qid in qids:
         truth[qid] = {r["vec_id"] for r in cosine_topk(emb, qid, k=K).collect()}
     brute_sec = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    lsh_hits = sum(
-        len({r["vec_id"] for r in lsh_topk(qid).collect()} & truth[qid])
-        for qid in qids
-    )
-    lsh_sec = time.perf_counter() - t0
+    # multi-probe LSH recall/scan-fraction CURVE (hamming = probe radius,
+    # the recall knob documented in similarity/lsh.py). The fixture's true
+    # top-10 cosines are only ~0.3-0.4 (near-random neighbors), so recall
+    # at small scan fractions is intrinsically bounded — the curve, not a
+    # single point, is the honest tradeoff record.
+    import math
 
+    lsh_curve = {}
+    for hamming in (1, 2, 3):
+        t0 = time.perf_counter()
+        hits = sum(
+            len(
+                {
+                    r["vec_id"]
+                    for r in rp_ann_topk(emb, qid, k=K, hamming=hamming).collect()
+                }
+                & truth[qid]
+            )
+            for qid in qids
+        )
+        n_buckets = sum(math.comb(N_PLANES, d) for d in range(hamming + 1))
+        lsh_curve[f"hamming_{hamming}"] = {
+            "recall": round(hits / (K * len(qids)), 4),
+            "sec": round(time.perf_counter() - t0, 4),
+            "scan_fraction": round(n_buckets / 2**N_PLANES, 4),
+        }
+
+    # IVF in the amortized serving shape: ONE index build, many probes —
+    # build cost reported separately from per-query probe cost
+    t0 = time.perf_counter()
+    model, indexed = build_ivf_index(emb, n_lists=16)
+    indexed = indexed.persist()
+    centroids = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    indexed.count()  # materialize the build
+    ivf_build_sec = time.perf_counter() - t0
     t0 = time.perf_counter()
     ivf_hits = sum(
         len(
             {
                 r["vec_id"]
-                for r in ivf_topk(
-                    emb, qid, k=K, n_lists=16, n_probe=4
+                for r in ivf_probe(
+                    indexed, centroids, qid, k=K, n_probe=4
                 ).collect()
             }
             & truth[qid]
         )
         for qid in qids
     )
-    ivf_sec = time.perf_counter() - t0
+    ivf_probe_sec = time.perf_counter() - t0
+    indexed.unpersist()
     emb.unpersist()
 
     denom = K * len(qids)
@@ -220,10 +226,11 @@ def ann_recall(spark) -> dict:
         "k": K,
         "n_queries": len(qids),
         "brute_sec": round(brute_sec, 4),
-        "lsh": {"recall": round(lsh_hits / denom, 4), "sec": round(lsh_sec, 4)},
+        "lsh": lsh_curve,
         "ivf": {
             "recall": round(ivf_hits / denom, 4),
-            "sec": round(ivf_sec, 4),
+            "build_sec": round(ivf_build_sec, 4),
+            "probe_sec": round(ivf_probe_sec, 4),
             "n_lists": 16,
             "n_probe": 4,
         },
