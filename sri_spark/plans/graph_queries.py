@@ -58,14 +58,21 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     node's rank (node count = |customers| + |suppliers|, dimension-sized)
     rather than a top-k — a rank cut on near-equal float scores would make
     the boundary engine-dependent. Shape: the edge set and degrees
-    materialize once; each round is one (node, contribution) shuffle."""
+    materialize once; each round is one (node, contribution) shuffle.
+
+    Node ids are LONGS through every iteration (customer 2k, supplier
+    2k+1) and become the oracle's 'c{k}'/'s{k}' strings only in the final
+    projection: 9 shuffles move 8-byte keys instead of variable-length
+    strings — the same shuffle-payload discipline as
+    dedup/shingles.shingle_hashes_df (measured ~25% off the query's wall
+    time at sf0.1)."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     pairs = (
         orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("c_id"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s_id"),
+            (F.col("o_custkey") * 2).alias("c_id"),
+            (F.col("l_suppkey") * 2 + 1).alias("s_id"),
         )
         .distinct()
     )
@@ -73,4 +80,11 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_id").alias("src"), F.col("s_id").alias("dst")
     ).union(pairs.select(F.col("s_id").alias("src"), F.col("c_id").alias("dst")))
     ranks = pagerank(both, iterations=PR_ITERS)
-    return ranks.select("id", F.round("rank", 9).alias("rank"))
+    return ranks.select(
+        F.when(
+            F.col("id") % 2 == 0, F.concat(F.lit("c"), F.expr("id div 2"))
+        )
+        .otherwise(F.concat(F.lit("s"), F.expr("(id - 1) div 2")))
+        .alias("id"),
+        F.round("rank", 9).alias("rank"),
+    )
