@@ -202,3 +202,33 @@ def similarity_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+def _ann_multiprobe_oracle() -> str:
+    return f"""
+    WITH be AS (
+      SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings
+    ),
+    q AS (SELECT embedding AS qe, bucket AS qb FROM be WHERE vec_id = 0)
+    SELECT e.vec_id, {_cos_sql('e.embedding', 'q.qe')} AS cosine
+    FROM be e, q
+    WHERE bit_count(xor(e.bucket, q.qb)) <= 1 AND e.vec_id != 0
+    ORDER BY cosine DESC, e.vec_id
+    LIMIT 10
+    """
+
+
+@register("similarity_ann_multiprobe_topk", _ann_multiprobe_oracle())
+def similarity_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe ANN top-k (similarity/lsh.py rp_ann_topk, hamming=1):
+    probe the query's bucket plus its 8 Hamming-1 neighbours, exact-cosine
+    re-rank the union. The oracle checks the SAME probe set via
+    bit_count(xor(bucket, qb)) <= 1 — so the recall-recovering probe
+    expansion (measured 0.06 -> 0.14 recall@10 at sf0.1 over single-probe)
+    is value-verified cross-engine, not just pytest-asserted. Scanned
+    fraction (1+H)/2^H ≈ 3.5%; the Spark side enumerates probe buckets
+    driver-side and prunes with an IN-list on the bucket column."""
+    from sri_spark.similarity.lsh import rp_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return rp_ann_topk(emb, 0, k=10, hamming=1)
