@@ -24,6 +24,9 @@ QUERIES = [
     "graph_pagerank_trade",
     "events_user_trend",
     "orders_basket_pairs",
+    "text_gopher_gate",
+    "events_watermark_lateness",
+    "similarity_ann_multiprobe_topk",
 ]
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 

@@ -176,3 +176,42 @@ def test_q6_predicates_reach_the_scan(spark, sf_dir):
     read_schema = plan.split("ReadSchema")[1][:400]
     assert "l_extendedprice" in read_schema
     assert "l_returnflag" not in read_schema, "column pruning failed"
+
+
+NO_CARTESIAN_R4 = [
+    "text_ngram_novelty",       # distinct-shingle LEFT join on the shingle key
+    "corpus_version_diff",      # fingerprint full-outer join on the hash
+    "similarity_ann_multiprobe_topk",  # IN-list bucket prune + broadcast query row
+]
+
+
+@pytest.mark.parametrize("name", NO_CARTESIAN_R4)
+def test_round4_ops_have_no_cartesian(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, name
+
+
+def test_gopher_gate_prunes_scan_and_aggregates_once(spark, sf_dir):
+    """The quality gate claims 'one scan, one hash aggregate': the parquet
+    read must prune to (source, text) — not drag lang/n_chars through a
+    100 TB scan — and the only exchange is the per-source aggregate's."""
+    df = all_queries()["text_gopher_gate"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan[:1500]
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"source", "text"}, cols
+    assert plan.count("Exchange") == 1, plan[:2000]
+
+
+def test_watermark_lateness_partitions_by_minute(spark, sf_dir):
+    """The lateness window must be PARTITIONED (by arrival minute) — a
+    global single-partition running max is the plan that dies at scale."""
+    df = all_queries()["events_watermark_lateness"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "date_trunc" in plan
+    # a Window with an empty partition spec logs/plans as a single
+    # partition; partitioning on the minute keys the exchange instead
+    assert "SinglePartition" not in plan, plan[:2000]
