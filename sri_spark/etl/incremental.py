@@ -165,6 +165,21 @@ def read_star(spark: SparkSession, star_dir: str) -> dict[str, DataFrame]:
     return tables
 
 
+# test seam: set to True to simulate a crash between the fact-delta append
+# and the dim swaps (tests/test_incremental_etl.py exercises the recovery)
+_CRASH_AFTER_FACT_APPEND = False
+
+
+def _fact_files(fact_dir: str) -> set[str]:
+    import os
+
+    return {
+        os.path.relpath(os.path.join(dp, f), fact_dir)
+        for dp, _dns, fs in os.walk(fact_dir)
+        for f in fs
+    }
+
+
 def publish_increment(
     spark: SparkSession,
     star_dir: str,
@@ -179,27 +194,58 @@ def publish_increment(
     the existing fact's files are never rewritten — the append touches the
     year partitions the increment lands in, and partition pruning keeps
     serving queries on the combined table. Dims are dimension-sized, so
-    truncate-writing them stays cheap at any fact scale."""
+    truncate-writing them stays cheap at any fact scale.
+
+    Crash safety (single-writer): a write-ahead manifest snapshots the
+    fact's file listing BEFORE the append; the manifest is deleted only
+    after every dim swap lands (the commit point). If a publish dies at
+    any intermediate point, the next publish (a) rolls the fact back by
+    deleting files absent from the snapshot, (b) restores any
+    half-swapped dim from its `.old` backup. Dims are append-only with
+    stable keys, so a crash AFTER some dim swaps rolls back only the fact
+    and re-running the same increment converges to the same final state
+    (the grain anti-join re-inserts nothing; ID_Registro continues from
+    the rolled-back maximum). The file-listing snapshot is metadata-sized;
+    object-store deployments would swap it for the transaction log their
+    table format provides (Delta/Iceberg)."""
+    import json
     import os
+    import shutil
 
     from pyspark.sql import functions as F  # noqa: F811 — local alias
 
-    import shutil
-
     cfg = cfg or EtlConfig(mode="fixed")
     _DIMS = ("dim_vehiculo", "dim_transaccion", "dim_ubicacion", "dim_tiempo")
-    # Recovery guard: a publish interrupted between the two swap renames
-    # leaves `out` missing with `out.old` intact — restore it before
-    # reading, and drop stale staging dirs from the failed attempt.
+    fact_dir = os.path.join(star_dir, "fact_registro_vehiculos")
+    manifest = os.path.join(star_dir, "_publish_manifest.json")
+
+    # --- recovery from a previously interrupted publish ---------------
+    # (1) uncommitted manifest -> roll the fact back to its snapshot
+    if os.path.exists(manifest):
+        with open(manifest) as fh:
+            snap = set(json.load(fh)["fact_files"])
+        for rel in _fact_files(fact_dir) - snap:
+            os.remove(os.path.join(fact_dir, rel))
+        for dp, _dns, _fs in os.walk(fact_dir, topdown=False):
+            if dp != fact_dir and not os.listdir(dp):
+                os.rmdir(dp)  # prune partition dirs the rollback emptied
+        os.remove(manifest)
+    # (2) dim swap interrupted between renames -> restore from backup
     for name in _DIMS:
         out = os.path.join(star_dir, name)
         if not os.path.exists(out) and os.path.exists(out + ".old"):
             os.rename(out + ".old", out)
         if os.path.exists(out + ".staging"):
             shutil.rmtree(out + ".staging")
+
     existing = read_star(spark, star_dir)
     updated = apply_increment(spark, existing, source, cfg)
     delta = updated.pop("__fact_increment")
+
+    # write-ahead snapshot of the fact BEFORE appending: anything beyond
+    # this listing is delta debris if the publish dies before commit
+    with open(manifest, "w") as fh:
+        json.dump({"fact_files": sorted(_fact_files(fact_dir))}, fh)
 
     # ORDER MATTERS: every lazy plan in `updated`/`delta` reads the
     # CURRENT on-disk dims, so (1) append the fact delta while those
@@ -212,16 +258,13 @@ def publish_increment(
         .na.fill({"Anio": 0})
         .write.mode("append")
         .partitionBy("Anio")
-        .parquet(os.path.join(star_dir, "fact_registro_vehiculos"))
+        .parquet(fact_dir)
     )
+    if _CRASH_AFTER_FACT_APPEND:
+        raise RuntimeError("simulated crash after fact append")
 
     # Crash-safe dim swap: write staging, rename the live dir ASIDE
     # (out -> out.old), rename staging into place, delete the backup last.
-    # A failure between the two renames leaves out.old intact; the recovery
-    # guard above restores it on the next publish. (A failure AFTER the
-    # fact append but before all dim swaps still needs the appended fact
-    # partitions rolled back or the publish re-run — the fact delta append
-    # is idempotent only if the caller dedupes on ID_Registro.)
     for name in _DIMS:
         out = os.path.join(star_dir, name)
         staging, backup = out + ".staging", out + ".old"
@@ -232,4 +275,5 @@ def publish_increment(
         os.rename(staging, out)
         shutil.rmtree(backup)
 
+    os.remove(manifest)  # commit point — the increment is fully published
     return read_star(spark, star_dir)

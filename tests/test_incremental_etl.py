@@ -189,6 +189,56 @@ def test_publish_recovers_interrupted_swap(spark, split_csvs, tmp_path):
     assert published["dim_vehiculo"].count() > 0
 
 
+def test_publish_rolls_back_fact_after_crash(spark, split_csvs, tmp_path):
+    """Write-ahead manifest contract: a publish that dies AFTER the fact
+    delta append but BEFORE the dim swaps must (a) leave a manifest, (b)
+    be rolled back and re-applied by the next publish, converging to the
+    same state as a never-crashed publish."""
+    import os
+
+    from sri_spark.etl import incremental
+    from sri_spark.etl.incremental import publish_increment, read_star
+    from sri_spark.etl.pipeline import write_star
+
+    _, base, incr = split_csvs
+    cfg = EtlConfig(mode="fixed")
+    base_tables = run_pipeline(spark, base, cfg)
+
+    # reference: a clean publish
+    clean = str(tmp_path / "star_clean")
+    write_star(base_tables, clean)
+    publish_increment(spark, clean, incr, cfg)
+    clean_state = _fact_business_rows(read_star(spark, clean))
+    clean_fact_n = read_star(spark, clean)["fact_registro_vehiculos"].count()
+
+    # crashing publish
+    out = str(tmp_path / "star_crashy")
+    write_star(base_tables, out)
+    base_fact_n = read_star(spark, out)["fact_registro_vehiculos"].count()
+    incremental._CRASH_AFTER_FACT_APPEND = True
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            publish_increment(spark, out, incr, cfg)
+    finally:
+        incremental._CRASH_AFTER_FACT_APPEND = False
+
+    manifest = os.path.join(out, "_publish_manifest.json")
+    assert os.path.exists(manifest), "crash must leave the manifest behind"
+    # delta rows really landed (the crash state is dirty, not a no-op)
+    assert (
+        spark.read.parquet(os.path.join(out, "fact_registro_vehiculos")).count()
+        > base_fact_n
+    )
+
+    # retry: rollback + re-apply must converge to the clean-publish state
+    publish_increment(spark, out, incr, cfg)
+    assert not os.path.exists(manifest)
+    assert _fact_business_rows(read_star(spark, out)) == clean_state
+    assert (
+        read_star(spark, out)["fact_registro_vehiculos"].count() == clean_fact_n
+    ), "crash-retry double-appended the fact delta"
+
+
 def test_parity_mode_rejected(spark, split_csvs):
     _, base, incr = split_csvs
     tables = run_pipeline(spark, base, EtlConfig(mode="fixed"))
