@@ -708,3 +708,101 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cluster_size") * F.col("n_clusters")).cast("long").alias("n_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Span-grain exact substring dedup (Lee et al. 2022-style, relational)
+
+_SPAN_K = 8
+
+_SPAN_CTES = f"""
+toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x != '') AS t
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, source, t,
+         unnest(generate_series(0, CAST(ceil(len(t) / {_SPAN_K}.0) AS BIGINT) - 1)) AS i
+  FROM toks WHERE len(t) > 0
+),
+spans AS (
+  SELECT doc_id, source, i AS span_idx,
+         array_to_string(list_slice(t, i * {_SPAN_K} + 1, i * {_SPAN_K} + {_SPAN_K}), ' ') AS span,
+         len(list_slice(t, i * {_SPAN_K} + 1, i * {_SPAN_K} + {_SPAN_K})) AS span_tokens
+  FROM idx
+)"""
+
+
+@register(
+    "dedup_span_exact",
+    f"""
+    WITH {_SPAN_CTES},
+    ranked AS (
+      SELECT source, span_tokens,
+             row_number() OVER (PARTITION BY span ORDER BY doc_id, span_idx) AS rn
+      FROM spans
+    )
+    SELECT source,
+           count(*) AS total_spans,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
+           CAST(sum(CASE WHEN rn > 1 THEN span_tokens ELSE 0 END) AS BIGINT)
+               AS tokens_removed,
+           round(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) * 100.0 / count(*), 4)
+               AS pct_dup
+    FROM ranked GROUP BY source
+    """,
+)
+def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring (span-grain) dedup report per source: cut every
+    document into 8-token windows, keep the globally-first occurrence of
+    each window, and count what the removal saves. This is the relational
+    re-expression of Lee et al. 2022's repeated-substring removal (see
+    sri_spark/dedup/spans.py for the 100 TB shape: one hash shuffle on the
+    span key, narrow everywhere else)."""
+    from sri_spark.dedup.spans import explode_spans, mark_duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    marked = mark_duplicate_spans(explode_spans(docs, k=_SPAN_K))
+    dup = F.when(F.col("is_dup"), 1).otherwise(0)
+    return marked.groupBy("source").agg(
+        F.count("*").alias("total_spans"),
+        F.sum(dup).cast("long").alias("dup_spans"),
+        F.sum(F.when(F.col("is_dup"), F.col("span_tokens")).otherwise(0))
+        .cast("long")
+        .alias("tokens_removed"),
+        F.round(F.sum(dup) * 100.0 / F.count("*"), 4).alias("pct_dup"),
+    )
+
+
+@register(
+    "dedup_span_hot",
+    f"""
+    WITH {_SPAN_CTES}
+    SELECT span,
+           CAST(count(*) AS BIGINT) AS n_occ,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM spans
+    GROUP BY span HAVING count(*) > 1
+    ORDER BY n_occ DESC, span LIMIT 15
+    """,
+)
+def dedup_span_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top repeated spans — the boilerplate leaderboard a corpus audit
+    prints before committing to substring dedup (license headers and
+    templated chrome dominate real corpora). Aggregate + top-k with a
+    total tie-broken order (TakeOrderedAndProject, no global sort)."""
+    from sri_spark.dedup.spans import explode_spans
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return (
+        explode_spans(docs, k=_SPAN_K)
+        .groupBy("span")
+        .agg(
+            F.count("*").alias("n_occ"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_occ") > 1)
+        .orderBy(F.desc("n_occ"), "span")
+        .limit(15)
+    )

@@ -1,0 +1,126 @@
+"""Span-grain dedup (dedup/spans.py) and sketch/layout queries
+(plans/sketch_queries.py): semantics, edge cases, and plan shapes."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from sri_spark.dedup.spans import (
+    SPAN_TOKENS,
+    dedup_spans,
+    explode_spans,
+    mark_duplicate_spans,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "a", "one two three four five six seven eight nine ten"),
+        (2, "a", "one two three four five six seven eight different tail"),
+        (3, "b", ""),
+        (4, "b", "   "),
+        (5, "b", "solo"),
+        (6, "a", "one two three four five six seven eight nine ten"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "source", "text"])
+
+
+def test_explode_spans_windows_and_last_partial(spark, docs):
+    out = explode_spans(docs, k=8).orderBy("doc_id", "span_idx").collect()
+    d1 = [r for r in out if r.doc_id == 1]
+    assert [r.span_idx for r in d1] == [0, 1]
+    assert d1[0].span == "one two three four five six seven eight"
+    assert d1[1].span == "nine ten" and d1[1].span_tokens == 2
+    # empty / whitespace-only docs contribute no spans
+    assert not [r for r in out if r.doc_id in (3, 4)]
+    solo = [r for r in out if r.doc_id == 5]
+    assert len(solo) == 1 and solo[0].span == "solo" and solo[0].span_tokens == 1
+
+
+def test_mark_duplicates_first_occurrence_wins(spark, docs):
+    marked = mark_duplicate_spans(explode_spans(docs, k=8))
+    dup = {(r.doc_id, r.span_idx) for r in marked.filter("is_dup").collect()}
+    # doc 6 repeats doc 1 exactly; doc 2 shares only the first window
+    assert dup == {(2, 0), (6, 0), (6, 1)}
+
+
+def test_hash_key_variant_matches_text_key(spark, docs):
+    spans = explode_spans(docs, k=8)
+    a = {
+        (r.doc_id, r.span_idx, r.occurrence)
+        for r in mark_duplicate_spans(spans).collect()
+    }
+    b = {
+        (r.doc_id, r.span_idx, r.occurrence)
+        for r in mark_duplicate_spans(spans, hash_key=True).collect()
+    }
+    assert a == b
+
+
+def test_dedup_spans_rebuilds_text_in_order(spark, docs):
+    out = {r.doc_id: r for r in dedup_spans(docs, k=8, hash_key=False).collect()}
+    # winner doc keeps full text, loser keeps only its novel tail
+    assert out[1].text == "one two three four five six seven eight nine ten"
+    assert out[2].text == "different tail"
+    assert 6 not in out  # fully-duplicate doc vanishes
+    assert out[5].text == "solo" and out[5].kept_tokens == 1
+    assert out[1].kept_tokens == 10
+
+
+def test_default_span_width_used_by_catalog():
+    assert SPAN_TOKENS == 8
+
+
+def test_span_shuffle_is_single_exchange(spark, docs):
+    plan = mark_duplicate_spans(explode_spans(docs))._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1  # only the span-key hash shuffle
+
+
+def test_cms_heavy_hitters_properties(spark, sf_dir):
+    from sri_spark.plans.sketch_queries import agg_cms_heavy_hitters
+
+    rows = agg_cms_heavy_hitters(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 15
+    assert all(r.never_underestimates for r in rows)
+    assert all(r.cms_est >= r.exact_cnt for r in rows)
+    # sorted by exact count desc
+    cnts = [r.exact_cnt for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+
+
+def test_bitmap_distinct_matches_exact(spark, sf_dir):
+    from sri_spark.plans.sketch_queries import events_bitmap_exact_distinct
+    from sri_spark.sources.testdata import load_table
+
+    got = {
+        r.event_type: r.n_users
+        for r in events_bitmap_exact_distinct(spark, sf_dir).collect()
+    }
+    want = {
+        r.event_type: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_zorder_prunes_more_than_linear(spark, sf_dir):
+    from sri_spark.plans.sketch_queries import layout_zorder_pruning
+
+    rows = {r.layout: r for r in layout_zorder_pruning(spark, sf_dir).collect()}
+    assert rows["linear"].rows_matched == rows["zorder"].rows_matched
+    assert rows["zorder"].files_touched <= rows["linear"].files_touched
+
+
+def test_zorder_interleave_bit_exact(spark):
+    from sri_spark.plans.sketch_queries import _interleave
+
+    df = spark.createDataFrame([(3, 5)], ["x", "y"]).select(
+        _interleave(F.col("x").cast("long"), F.col("y").cast("long")).alias("z")
+    )
+    # x=0b011 -> even bits 0,2; y=0b101 -> odd bits 1,5: z=0b100111 = 39
+    assert df.collect()[0].z == 39
