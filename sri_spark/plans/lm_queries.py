@@ -263,3 +263,78 @@ def text_length_quality_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.round(F.corr("n_tokens", "quality"), 6).alias("len_quality_corr"),
     )
+
+
+_PPL_FILTER_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(toks) - 1),
+                               i -> toks[i])) AS w1,
+         unnest(list_transform(generate_series(1, len(toks) - 1),
+                               i -> toks[i + 1])) AS w2
+  FROM t
+),
+big_cnt AS (SELECT w1, w2, count(*) AS c2 FROM grams GROUP BY 1, 2),
+uni_cnt AS (SELECT w1, sum(c2) AS c1 FROM big_cnt GROUP BY 1),
+scored AS (
+  SELECT g.doc_id, ln(b.c2 / u.c1) AS lp
+  FROM grams g
+  JOIN big_cnt b ON g.w1 = b.w1 AND g.w2 = b.w2
+  JOIN uni_cnt u ON g.w1 = u.w1
+),
+ppl AS (SELECT doc_id, round(exp(-avg(lp)), 6) AS ppl FROM scored GROUP BY doc_id),
+src AS (
+  SELECT p.doc_id, d.source, p.ppl
+  FROM ppl p JOIN documents d USING (doc_id)
+),
+deciled AS (
+  SELECT source, ppl,
+         ntile(10) OVER (PARTITION BY source ORDER BY ppl, doc_id) AS dec
+  FROM src
+)
+SELECT source,
+       CASE WHEN dec <= 3 THEN 'head'
+            WHEN dec <= 7 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(ppl), 6) AS avg_ppl,
+       round(min(ppl), 6) AS min_ppl,
+       round(max(ppl), 6) AS max_ppl
+FROM deciled GROUP BY 1, 2
+"""
+
+
+@register("text_perplexity_filter", _PPL_FILTER_ORACLE)
+def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: score every document with the
+    corpus-fit bigram LM (text_bigram_lm_score), then split each source
+    into head (best 30% by perplexity), middle (40%) and tail (worst 30%)
+    — the partition CCNet uses to keep head+middle and drop or down-weight
+    the tail. Per-source ntile windows run on the doc-count-sized score
+    table (not the corpus), with (ppl, doc_id) ordering so ties are
+    deterministic. Documents shorter than two tokens have no bigrams and
+    fall out before bucketing (inner join), matching the oracle."""
+    scores = text_bigram_lm_score(spark, sf_dir).select(
+        "doc_id", F.col("perplexity").alias("ppl")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    src = scores.join(docs, "doc_id")
+    deciled = src.select(
+        "source",
+        "ppl",
+        F.ntile(10)
+        .over(Window.partitionBy("source").orderBy("ppl", "doc_id"))
+        .alias("dec"),
+    )
+    bucket = (
+        F.when(F.col("dec") <= 3, "head")
+        .when(F.col("dec") <= 7, "middle")
+        .otherwise("tail")
+    )
+    return deciled.groupBy("source", bucket.alias("bucket")).agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("ppl"), 6).alias("avg_ppl"),
+        F.round(F.min("ppl"), 6).alias("min_ppl"),
+        F.round(F.max("ppl"), 6).alias("max_ppl"),
+    )

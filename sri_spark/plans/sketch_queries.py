@@ -254,3 +254,121 @@ def layout_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join reduction
+
+BLOOM_M = 8192  # bits
+BLOOM_K = 3  # hash functions
+_BLOOM_SEGMENT = "BUILDING"
+
+
+def _bloom_pos(j, key):
+    """Bit position for hash j of `key` — md5-seeded like the CMS so the
+    oracle reproduces the filter bit-for-bit."""
+    return (
+        md5_int(F.concat_ws("-", j.cast("string"), key.cast("string"))) % BLOOM_M
+    )
+
+
+_BLOOM_POS_SQL = (
+    md5_int_sql("concat(j::VARCHAR, '-', custkey::VARCHAR)") + f" % {BLOOM_M}"
+)
+
+
+@register(
+    "join_bloom_prefilter",
+    f"""
+    WITH dim AS (
+      SELECT c_custkey AS custkey FROM customer
+      WHERE c_mktsegment = '{_BLOOM_SEGMENT}'
+    ),
+    bits AS (
+      SELECT DISTINCT {_BLOOM_POS_SQL} AS p
+      FROM (SELECT custkey, unnest(generate_series(0, {BLOOM_K - 1})) AS j FROM dim)
+    ),
+    probe AS (
+      SELECT o_orderkey, custkey, {_BLOOM_POS_SQL} AS p
+      FROM (SELECT o_orderkey, o_custkey AS custkey,
+                   unnest(generate_series(0, {BLOOM_K - 1})) AS j
+            FROM orders)
+    ),
+    passed AS (
+      SELECT o_orderkey, custkey
+      FROM probe JOIN bits USING (p)
+      GROUP BY o_orderkey, custkey
+      HAVING count(*) = {BLOOM_K}
+    ),
+    truth AS (
+      SELECT o_orderkey FROM orders JOIN dim ON o_custkey = custkey
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_orders,
+           (SELECT CAST(count(*) AS BIGINT) FROM dim) AS n_dim_keys,
+           (SELECT CAST(count(*) AS BIGINT) FROM bits) AS bits_set,
+           (SELECT CAST(count(*) AS BIGINT) FROM passed) AS n_pass_bloom,
+           (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true_match,
+           (SELECT CAST(count(*) AS BIGINT) FROM passed)
+             - (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_false_pos,
+           round(((SELECT count(*) FROM passed) - (SELECT count(*) FROM truth))
+             * 100.0 / (SELECT count(*) FROM orders), 4) AS fp_pct_of_scan
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction, made explicit and measurable: build
+    an m=8192/k=3 Bloom filter over the BUILDING-segment customer keys,
+    prefilter orders against it BEFORE the join, and report how many rows
+    pass vs truly match (false positives = wasted join input the filter
+    could not reject).
+
+    This is the mechanism behind Spark's runtime bloom-filter join pruning
+    (spark.sql.optimizer.runtime.bloomFilter.enabled — injected under a
+    shuffle join when one side is selective); building it relationally
+    documents the cost model: the bits table is <= k*|dim| rows regardless
+    of fact size, broadcasts to every probe task, and each fact row pays k
+    hashes to skip the shuffle. The md5-seeded positions make the DuckDB
+    oracle reproduce the exact same filter, so the false-positive count is
+    value-checked, not just bounded."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == _BLOOM_SEGMENT)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    seeds = F.array(*[F.lit(j) for j in range(BLOOM_K)])
+    bits = (
+        cust.select("custkey", F.explode(seeds).alias("j"))
+        .select(_bloom_pos(F.col("j"), F.col("custkey")).alias("p"))
+        .distinct()
+    )
+    probe = orders.select(
+        "o_orderkey", F.col("o_custkey").alias("custkey"), F.explode(seeds).alias("j")
+    ).select("o_orderkey", "custkey", _bloom_pos(F.col("j"), F.col("custkey")).alias("p"))
+    passed = (
+        probe.join(bits, "p")
+        .groupBy("o_orderkey", "custkey")
+        .agg(F.count("*").alias("k_hit"))
+        .filter(F.col("k_hit") == BLOOM_K)
+    )
+    truth = orders.join(cust, orders["o_custkey"] == cust["custkey"])
+    n_orders = orders.count()
+    n_dim = cust.count()
+    n_bits = bits.count()
+    n_pass = passed.count()
+    n_true = truth.count()
+    row = [
+        (
+            n_orders,
+            n_dim,
+            n_bits,
+            n_pass,
+            n_true,
+            n_pass - n_true,
+            round((n_pass - n_true) * 100.0 / n_orders, 4),
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "n_orders long, n_dim_keys long, bits_set long, n_pass_bloom long, "
+        "n_true_match long, n_false_pos long, fp_pct_of_scan double",
+    )

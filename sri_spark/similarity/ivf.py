@@ -71,6 +71,40 @@ def ivf_topk(
     )
 
 
+def rank_probe_cells(
+    indexed: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    query_id: int,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_probe: int = 4,
+) -> list[int]:
+    """The `n_probe` cell ids whose centroids are closest (cosine) to the
+    query vector. Driver-side by design: n_lists rows — an index-metadata
+    decision, not a data operation. Shared by ivf_probe and the IVF+PQ
+    pipeline so both probe the identical cell set."""
+    q_vec = indexed.filter(F.col(id_col) == query_id).select(
+        _as_double(F.col(vec_col)).alias("__q")
+    )
+    spark = indexed.sparkSession
+    cent_df = spark.createDataFrame(centroids, "cell int, centroid array<double>")
+    ranked = (
+        cent_df.join(F.broadcast(q_vec))
+        .select(
+            "cell",
+            (
+                _dot(F.col("centroid"), F.col("__q"))
+                / (_norm(F.col("centroid")) * _norm(F.col("__q")))
+            ).alias("c"),
+        )
+        .orderBy(F.desc("c"), F.asc("cell"))
+        .limit(n_probe)
+        .collect()
+    )
+    return [r["cell"] for r in ranked]
+
+
 def ivf_probe(
     indexed: DataFrame,
     centroids: list[tuple[int, list[float]]],
@@ -89,25 +123,14 @@ def ivf_probe(
     q_vec = indexed.filter(F.col(id_col) == query_id).select(
         _as_double(F.col(vec_col)).alias("__q")
     )
-
-    # rank cells by centroid cosine against the query (driver-side: n_lists
-    # rows — an index metadata decision, not a data operation)
-    spark = indexed.sparkSession
-    cent_df = spark.createDataFrame(centroids, "cell int, centroid array<double>")
-    ranked = (
-        cent_df.join(F.broadcast(q_vec))
-        .select(
-            "cell",
-            (
-                _dot(F.col("centroid"), F.col("__q"))
-                / (_norm(F.col("centroid")) * _norm(F.col("__q")))
-            ).alias("c"),
-        )
-        .orderBy(F.desc("c"))
-        .limit(n_probe)
-        .collect()
+    probe_cells = rank_probe_cells(
+        indexed,
+        centroids,
+        query_id,
+        vec_col=vec_col,
+        id_col=id_col,
+        n_probe=n_probe,
     )
-    probe_cells = [r["cell"] for r in ranked]
 
     cand = indexed.filter(F.col("__cell").isin(probe_cells)).filter(
         F.col(id_col) != query_id

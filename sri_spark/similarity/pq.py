@@ -155,13 +155,19 @@ def pq_topk(
     k_sub: int = K_SUB,
     seed: int = 42,
     rerank_mult: int = 16,
+    scan_df: DataFrame | None = None,
 ) -> DataFrame:
-    """Top-k cosine neighbours of `query_id` via PQ/ADC + exact re-rank."""
+    """Top-k cosine neighbours of `query_id` via PQ/ADC + exact re-rank.
+
+    `scan_df` restricts ADC scoring to a subset (e.g. the IVF-probed
+    cells) while codebooks still train on the full `df` — the IVF-PQ
+    composition every production ANN index (FAISS IVFPQ) uses: coarse
+    quantizer picks the cells, PQ codes rank within them."""
     books = build_pq_codebooks(
         df, vec_col=vec_col, id_col=id_col, m=m, k_sub=k_sub, seed=seed
     )
     d_sub = len(books[0][0])
-    encoded = pq_encode(df, books, vec_col=vec_col)
+    encoded = pq_encode(scan_df if scan_df is not None else df, books, vec_col=vec_col)
 
     # query subvectors: one driver-side row (index-metadata-sized)
     q = df.filter(F.col(id_col) == query_id).select(

@@ -124,3 +124,41 @@ def test_zorder_interleave_bit_exact(spark):
     )
     # x=0b011 -> even bits 0,2; y=0b101 -> odd bits 1,5: z=0b100111 = 39
     assert df.collect()[0].z == 39
+
+
+def test_bloom_prefilter_properties(spark, sf_dir):
+    from sri_spark.plans.sketch_queries import BLOOM_K, join_bloom_prefilter
+
+    r = join_bloom_prefilter(spark, sf_dir).collect()[0]
+    # a Bloom filter never drops a true match, may pass false positives
+    assert r.n_pass_bloom >= r.n_true_match
+    assert r.n_false_pos == r.n_pass_bloom - r.n_true_match
+    assert r.bits_set <= BLOOM_K * r.n_dim_keys
+    assert r.n_pass_bloom <= r.n_orders
+
+
+def test_perplexity_filter_buckets(spark, sf_dir):
+    from sri_spark.plans.lm_queries import text_perplexity_filter
+
+    rows = text_perplexity_filter(spark, sf_dir).collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r.source, {})[r.bucket] = r
+    for src, buckets in by_src.items():
+        assert set(buckets) == {"head", "middle", "tail"}
+        # head = lowest perplexity, tail = highest
+        assert buckets["head"].max_ppl <= buckets["middle"].min_ppl
+        assert buckets["middle"].max_ppl <= buckets["tail"].min_ppl
+        n = sum(b.n_docs for b in buckets.values())
+        # ntile gives the remainder to the earliest tiles, so head can
+        # exceed tail by at most its 3 tiles' worth of +1s
+        assert buckets["head"].n_docs >= buckets["tail"].n_docs
+        assert buckets["head"].n_docs - buckets["tail"].n_docs <= 3
+        assert n > 0
+
+
+def test_ivf_pq_pipeline_recall(spark, sf_dir):
+    from sri_spark.plans.similarity_queries import similarity_ivf_pq_pipeline
+
+    r = similarity_ivf_pq_pipeline(spark, sf_dir).collect()[0]
+    assert r.k == 10 and r.n_resultados == 10
