@@ -27,6 +27,11 @@ QUERIES = [
     "text_gopher_gate",
     "events_watermark_lateness",
     "similarity_ann_multiprobe_topk",
+    "dedup_span_exact",
+    "join_bloom_prefilter",
+    "layout_zorder_pruning",
+    "graph_triangle_count",
+    "agg_cms_heavy_hitters",
 ]
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 

@@ -58,3 +58,19 @@ def test_matches_networkx_free_reference(spark):
     e = _edges(spark, [("x", "y"), ("y", "x")])
     got = {r["id"]: r["rank"] for r in pagerank(e, iterations=7).collect()}
     assert abs(got["x"] - 0.5) < 1e-12 and abs(got["y"] - 0.5) < 1e-12
+
+
+def test_trade_graph_triangles_and_components(spark, sf_dir):
+    from sri_spark.plans.graph_queries import (
+        graph_components_trade,
+        graph_triangle_count,
+    )
+
+    tri = graph_triangle_count(spark, sf_dir).collect()[0]
+    assert 0 < tri.n_edges <= 30
+    assert tri.n_triangles >= 0
+    comps = graph_components_trade(spark, sf_dir).collect()
+    # intra-region edges: components never span regions -> at most 5, and
+    # every component is at most one region's 5 nations
+    assert 1 <= len(comps) <= 5
+    assert all(1 <= r.n_nodes <= 5 for r in comps)
