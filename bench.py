@@ -62,6 +62,14 @@ EXTENDED = [
     "metrics_pricing_summary",
     "orders_basket_pairs",
     "corpus_source_overlap",
+    # round-4 additions
+    "dedup_span_exact",
+    "agg_cms_heavy_hitters",
+    "join_bloom_prefilter",
+    "layout_zorder_pruning",
+    "text_perplexity_filter",
+    "graph_triangle_count",
+    "events_bitmap_exact_distinct",
 ]
 
 

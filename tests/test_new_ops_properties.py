@@ -114,3 +114,68 @@ def test_funnel_is_monotone(spark, sf_dir):
         assert cur["n_in"] == prev["n_out"]  # cumulative stages chain
     for r in rows:
         assert r["n_dropped"] == r["n_in"] - r["n_out"] >= 0
+
+
+# --- round-4 span-dedup invariants (hypothesis-driven) -----------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_word = st.text(alphabet="abcde", min_size=1, max_size=4)
+_text = st.lists(_word, min_size=0, max_size=40).map(" ".join)
+_corpus = st.lists(_text, min_size=1, max_size=12)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_corpus)
+def test_span_partition_is_lossless(spark, texts):
+    """Spans partition the token sequence: re-joining a doc's spans in
+    span_idx order reproduces its normalized token stream exactly."""
+    from sri_spark.dedup.spans import explode_spans
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    spans = explode_spans(df, k=5).collect()
+    rebuilt: dict[int, list] = {}
+    for r in sorted(spans, key=lambda r: (r.doc_id, r.span_idx)):
+        rebuilt.setdefault(r.doc_id, []).append(r.span)
+        assert r.span_tokens == len(r.span.split(" "))
+    for i, t in enumerate(texts):
+        toks = [w for w in t.lower().strip().split() if w]
+        got = " ".join(rebuilt.get(i, []))
+        assert got == " ".join(toks)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_corpus)
+def test_span_dedup_keeps_exactly_one_occurrence(spark, texts):
+    from sri_spark.dedup.spans import explode_spans, mark_duplicate_spans
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    marked = mark_duplicate_spans(explode_spans(df, k=5)).collect()
+    keepers: dict[str, int] = {}
+    for r in marked:
+        if r.occurrence == 1:
+            keepers[r.span] = keepers.get(r.span, 0) + 1
+        else:
+            assert r.is_dup
+    # one keeper per distinct span value, and the keeper is the minimal
+    # (doc_id, span_idx) occurrence
+    assert all(v == 1 for v in keepers.values())
+    firsts = {}
+    for r in marked:
+        key = r.span
+        if key not in firsts or (r.doc_id, r.span_idx) < firsts[key][:2]:
+            firsts[key] = (r.doc_id, r.span_idx, r.occurrence)
+    assert all(occ == 1 for _, _, occ in firsts.values())
