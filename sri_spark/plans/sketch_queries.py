@@ -350,12 +350,23 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("k_hit"))
         .filter(F.col("k_hit") == BLOOM_K)
     )
-    truth = orders.join(cust, orders["o_custkey"] == cust["custkey"])
+    # one pass over the survivors answers pass AND truth: left-join the
+    # (broadcast-sized) dim and count matches — the Bloom no-false-negative
+    # property makes "passed ∩ dim" identical to "orders ∩ dim", so the
+    # full orders⋈dim truth join never has to run
+    verdict = (
+        passed.join(cust.withColumn("__m", F.lit(1)), "custkey", "left")
+        .agg(
+            F.count("*").cast("long").alias("n_pass"),
+            F.sum(F.coalesce(F.col("__m"), F.lit(0))).cast("long").alias("n_true"),
+        )
+        .first()
+    )
+    n_pass, n_true = verdict["n_pass"], verdict["n_true"]
+    # metadata-sized scalars (dim rows, bit count, fact row count)
     n_orders = orders.count()
     n_dim = cust.count()
     n_bits = bits.count()
-    n_pass = passed.count()
-    n_true = truth.count()
     row = [
         (
             n_orders,
@@ -371,4 +382,62 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         row,
         "n_orders long, n_dim_keys long, bits_set long, n_pass_bloom long, "
         "n_true_match long, n_false_pos long, fp_pct_of_scan double",
+    )
+
+
+@register(
+    "part_pareto_skyline",
+    """
+    WITH per_size AS (
+      SELECT p_size,
+             round(min(p_retailprice), 2) AS best_price,
+             CAST(count(*) FILTER (WHERE p_retailprice = sz_min) AS BIGINT)
+                 AS n_parts_at_point
+      FROM (SELECT p_size, p_retailprice,
+                   min(p_retailprice) OVER (PARTITION BY p_size) AS sz_min
+            FROM part)
+      GROUP BY p_size
+    ),
+    run AS (
+      SELECT p_size, best_price, n_parts_at_point,
+             min(best_price) OVER (ORDER BY p_size DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS bigger_best
+      FROM per_size
+    )
+    SELECT p_size, best_price, n_parts_at_point
+    FROM run
+    WHERE bigger_best IS NULL OR best_price < bigger_best
+    ORDER BY p_size DESC
+    """,
+)
+def part_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto skyline (maximize size, minimize price) via the SORT-BASED
+    2D algorithm, not the quadratic NOT-EXISTS dominance join: aggregate
+    to the best price per size (one hash aggregate over the fact-sized
+    input), then a running-min over descending size keeps exactly the
+    sizes whose best price undercuts every larger size. The window runs on
+    the DISTINCT-SIZE table (50 rows here; bounded by the attribute
+    domain, not the data), so the whole operator is one shuffle + one
+    metadata-sized window — the shape that survives a 100 TB parts
+    catalog, where a dominance self-join would be O(n^2)."""
+    part = load_table(spark, sf_dir, "part")
+    sz_min = F.min("p_retailprice").over(Window.partitionBy("p_size"))
+    per_size = (
+        part.select("p_size", "p_retailprice", sz_min.alias("sz_min"))
+        .groupBy("p_size")
+        .agg(
+            F.round(F.min("p_retailprice"), 2).alias("best_price"),
+            F.sum(F.when(F.col("p_retailprice") == F.col("sz_min"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_parts_at_point"),
+        )
+    )
+    bigger_best = F.min("best_price").over(
+        Window.orderBy(F.desc("p_size")).rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        per_size.withColumn("bigger_best", bigger_best)
+        .filter(F.col("bigger_best").isNull() | (F.col("best_price") < F.col("bigger_best")))
+        .select("p_size", "best_price", "n_parts_at_point")
+        .orderBy(F.desc("p_size"))
     )

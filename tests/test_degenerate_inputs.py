@@ -140,3 +140,41 @@ def test_export_shards_empty_frame(spark, tmp_path):
     import glob as _glob
 
     assert _glob.glob(f"{out}/shard=*") == []
+
+
+def test_span_ops_on_degenerate_docs(spark, degenerate_docs):
+    from sri_spark.dedup.spans import dedup_spans, explode_spans
+
+    spans = explode_spans(degenerate_docs)
+    # null / empty / whitespace-only texts contribute no spans; short docs
+    # window into a single (partial) span
+    assert {r.doc_id for r in spans.collect()} == {2, 3, 4}
+    out = dedup_spans(degenerate_docs)
+    rebuilt = {r.doc_id: r.text for r in out.collect()}
+    assert rebuilt == {2: "one", 3: "two words", 4: "exactly three tokens"}
+
+
+def test_span_ops_on_empty_corpus(spark, empty_docs):
+    from sri_spark.dedup.spans import dedup_spans, explode_spans
+
+    assert explode_spans(empty_docs).count() == 0
+    assert dedup_spans(empty_docs).count() == 0
+
+
+def test_skyline_on_single_size(spark):
+    from sri_spark.plans.sketch_queries import part_pareto_skyline  # noqa: F401
+    from pyspark.sql import Window
+    import pyspark.sql.functions as F
+
+    # direct check of the running-min formulation on a degenerate frontier:
+    # all parts the same size -> exactly one skyline point
+    df = spark.createDataFrame(
+        [(5, 10.0), (5, 12.0), (5, 9.0)], "p_size int, p_retailprice double"
+    )
+    sz_min = F.min("p_retailprice").over(Window.partitionBy("p_size"))
+    per_size = (
+        df.select("p_size", "p_retailprice", sz_min.alias("m"))
+        .groupBy("p_size")
+        .agg(F.min("p_retailprice").alias("best_price"))
+    )
+    assert per_size.count() == 1
