@@ -215,3 +215,49 @@ def test_watermark_lateness_partitions_by_minute(spark, sf_dir):
     # a Window with an empty partition spec logs/plans as a single
     # partition; partitioning on the minute keys the exchange instead
     assert "SinglePartition" not in plan, plan[:2000]
+
+
+ROUND4_NO_CARTESIAN = [
+    "dedup_span_exact",
+    "dedup_span_hot",
+    "agg_cms_heavy_hitters",
+    "join_bloom_prefilter",
+    "graph_triangle_count",
+    # similarity_ivf_pq_pipeline is excluded: its only nested-loop join is
+    # the deliberate single-row broadcast of the query vector (a 1×N join
+    # carries no scale hazard; same shape as cosine_topk)
+]
+
+
+@pytest.mark.parametrize("name", ROUND4_NO_CARTESIAN)
+def test_round4_ops_keyed_joins_only(spark, sf_dir, name):
+    """Round-4 pair/probe operators candidate-join on keys (span text,
+    (seed, bucket), bit position, ordered edge endpoints, IVF cell) — a
+    static CartesianProduct or nested loop here is the plan that dies at
+    scale."""
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_span_dedup_two_exchanges(spark, sf_dir):
+    """dedup_span_exact = ONE span-key window shuffle + ONE per-source
+    aggregate shuffle; the window explode itself must stay narrow."""
+    plan = _plan(spark, sf_dir, "dedup_span_exact")
+    assert plan.count("Exchange") == 2, plan
+
+
+def test_skyline_is_aggregate_plus_frontier_window(spark, sf_dir):
+    """part_pareto_skyline: a hash aggregate over the input plus a window
+    on the distinct-size frontier — never a dominance self-join."""
+    plan = _plan(spark, sf_dir, "part_pareto_skyline")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") <= 3, plan
+
+
+def test_bitmap_distinct_uses_partial_aggregation(spark, sf_dir):
+    """The bitmap rollup must keep map-side partial aggregation (the whole
+    point: fixed-size bitmap state combines before the shuffle)."""
+    plan = _plan(spark, sf_dir, "events_bitmap_exact_distinct")
+    assert "bitmap_construct_agg" in plan
+    assert "HashAggregate" in plan
