@@ -226,6 +226,29 @@ def ann_recall(spark) -> dict:
         for qid in qids
     )
     ivf_probe_sec = time.perf_counter() - t0
+
+    # IVF+PQ composed pipeline (similarity_ivf_pq_pipeline's shape): the
+    # same prebuilt coarse index gates which codes ADC even scores; PQ
+    # codebooks train once corpus-wide
+    from pyspark.sql import functions as F
+
+    from sri_spark.similarity.ivf import rank_probe_cells
+    from sri_spark.similarity.pq import build_pq_codebooks, pq_topk
+
+    t0 = time.perf_counter()
+    books = build_pq_codebooks(emb)  # train ONCE, serve every query
+    ivfpq_build_sec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ivfpq_hits = 0
+    for qid in qids:
+        cells = rank_probe_cells(indexed, centroids, qid, n_probe=4)
+        subset = indexed.filter(F.col("__cell").isin(cells)).drop("__cell")
+        got = {
+            r["vec_id"]
+            for r in pq_topk(emb, qid, k=K, scan_df=subset, books=books).collect()
+        }
+        ivfpq_hits += len(got & truth[qid])
+    ivfpq_sec = time.perf_counter() - t0
     indexed.unpersist()
     emb.unpersist()
 
@@ -239,6 +262,13 @@ def ann_recall(spark) -> dict:
             "recall": round(ivf_hits / denom, 4),
             "build_sec": round(ivf_build_sec, 4),
             "probe_sec": round(ivf_probe_sec, 4),
+            "n_lists": 16,
+            "n_probe": 4,
+        },
+        "ivf_pq": {
+            "recall": round(ivfpq_hits / denom, 4),
+            "build_sec": round(ivfpq_build_sec, 4),
+            "probe_sec": round(ivfpq_sec, 4),
             "n_lists": 16,
             "n_probe": 4,
         },

@@ -156,16 +156,20 @@ def pq_topk(
     seed: int = 42,
     rerank_mult: int = 16,
     scan_df: DataFrame | None = None,
+    books: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """Top-k cosine neighbours of `query_id` via PQ/ADC + exact re-rank.
 
     `scan_df` restricts ADC scoring to a subset (e.g. the IVF-probed
     cells) while codebooks still train on the full `df` — the IVF-PQ
     composition every production ANN index (FAISS IVFPQ) uses: coarse
-    quantizer picks the cells, PQ codes rank within them."""
-    books = build_pq_codebooks(
-        df, vec_col=vec_col, id_col=id_col, m=m, k_sub=k_sub, seed=seed
-    )
+    quantizer picks the cells, PQ codes rank within them. `books` supplies
+    prebuilt codebooks (build_pq_codebooks) so a serving loop trains once
+    and amortizes across queries."""
+    if books is None:
+        books = build_pq_codebooks(
+            df, vec_col=vec_col, id_col=id_col, m=m, k_sub=k_sub, seed=seed
+        )
     d_sub = len(books[0][0])
     encoded = pq_encode(scan_df if scan_df is not None else df, books, vec_col=vec_col)
 
