@@ -806,3 +806,36 @@ def dedup_span_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occ"), "span")
         .limit(15)
     )
+
+
+@register(
+    "dedup_span_rebuild",
+    f"""
+    WITH {_SPAN_CTES},
+    ranked AS (
+      SELECT doc_id, source, span_tokens,
+             row_number() OVER (PARTITION BY span ORDER BY doc_id, span_idx) AS rn
+      FROM spans
+    ),
+    kept AS (SELECT doc_id, source, span_tokens FROM ranked WHERE rn = 1)
+    SELECT source,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS docs_kept,
+           CAST(sum(span_tokens) AS BIGINT) AS tokens_kept
+    FROM kept GROUP BY source
+    """,
+)
+def dedup_span_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rebuild half of span dedup (dedup/spans.py::dedup_spans): after
+    dropping every non-first span occurrence, how many documents still
+    contain text and how many tokens survive, per source. A document made
+    entirely of boilerplate vanishes here — the quantity a curation run
+    budgets against. Same single span-key shuffle as dedup_span_exact plus
+    the bounded per-document regroup."""
+    from sri_spark.dedup.spans import dedup_spans
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    rebuilt = dedup_spans(docs, k=_SPAN_K, hash_key=False)
+    return rebuilt.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("docs_kept"),
+        F.sum("kept_tokens").cast("long").alias("tokens_kept"),
+    )
