@@ -162,3 +162,88 @@ def test_ivf_pq_pipeline_recall(spark, sf_dir):
 
     r = similarity_ivf_pq_pipeline(spark, sf_dir).collect()[0]
     assert r.k == 10 and r.n_resultados == 10
+
+
+# --- randomized-construction invariants (hypothesis) -------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=60),
+    probes=st.lists(
+        st.integers(min_value=0, max_value=10_000), min_size=1, max_size=30
+    ),
+)
+def test_bloom_construction_never_false_negative(spark, keys, probes):
+    """Any key inserted into the relational Bloom filter must pass the
+    k-hash membership test — for arbitrary key sets, not just the fixture."""
+    from sri_spark.plans.sketch_queries import BLOOM_K, BLOOM_M, _bloom_pos
+
+    dim = spark.createDataFrame([(k,) for k in set(keys)], "custkey long")
+    seeds = F.array(*[F.lit(j) for j in range(BLOOM_K)])
+    bits = (
+        dim.select("custkey", F.explode(seeds).alias("j"))
+        .select(_bloom_pos(F.col("j"), F.col("custkey")).alias("p"))
+        .distinct()
+    )
+    probe_df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(probes)], "rid long, custkey long"
+    )
+    hits = (
+        probe_df.select("rid", "custkey", F.explode(seeds).alias("j"))
+        .select("rid", "custkey", _bloom_pos(F.col("j"), F.col("custkey")).alias("p"))
+        .join(bits, "p")
+        .groupBy("rid", "custkey")
+        .agg(F.count("*").alias("k_hit"))
+        .filter(F.col("k_hit") == BLOOM_K)
+    )
+    passed = {r.custkey for r in hits.collect()}
+    inserted = set(keys)
+    for p in probes:
+        if p in inserted:
+            assert p in passed  # a Bloom filter has NO false negatives
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=120)
+)
+def test_cms_construction_never_underestimates(spark, vals):
+    """For arbitrary key multisets, every key's CMS estimate bounds its
+    true count from above (min over depth rows of bucket counts)."""
+    from sri_spark.plans.sketch_queries import CMS_DEPTH, _cms_bucket
+
+    df = spark.createDataFrame([(v,) for v in vals], "user_id long")
+    seeds = F.array(*[F.lit(j) for j in range(CMS_DEPTH)])
+    sketch = (
+        df.select("user_id", F.explode(seeds).alias("j"))
+        .select("j", _cms_bucket(F.col("j"), F.col("user_id")).alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    est = (
+        df.distinct()
+        .select("user_id", F.explode(seeds).alias("j"))
+        .withColumn("bucket", _cms_bucket(F.col("j"), F.col("user_id")))
+        .join(sketch, ["j", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    got = {r.user_id: r.cms_est for r in est.collect()}
+    from collections import Counter
+
+    truth = Counter(vals)
+    assert set(got) == set(truth)
+    for k, c in truth.items():
+        assert got[k] >= c
