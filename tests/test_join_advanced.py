@@ -111,3 +111,27 @@ def test_bin_range_join_left_keeps_unmatched(spark):
             points, intervals, point_col="v", lo_col="lo", hi_col="hi",
             bin_width=10.0, how="full",
         )
+
+
+def test_fuzzy_blocked_equals_brute_force(spark, sf_dir):
+    """Deletion-neighborhood blocking must find EXACTLY the brute-force
+    edit-distance-1 pair set (completeness + verification correctness)."""
+    import pyspark.sql.functions as F
+
+    from sri_spark.plans.join_advanced import join_fuzzy_blocked
+    from sri_spark.sources.testdata import load_table
+
+    got = {(r.name_a, r.name_b) for r in join_fuzzy_blocked(spark, sf_dir).collect()}
+    names = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_name").alias("name"))
+        .distinct()
+    )
+    a = names.select(F.col("name").alias("name_a"))
+    b = names.select(F.col("name").alias("name_b"))
+    brute = (
+        a.join(b, F.col("name_a") < F.col("name_b"))
+        .filter(F.levenshtein("name_a", "name_b") == 1)
+    )
+    want = {(r.name_a, r.name_b) for r in brute.collect()}
+    assert got == want and got

@@ -223,6 +223,7 @@ ROUND4_NO_CARTESIAN = [
     "agg_cms_heavy_hitters",
     "join_bloom_prefilter",
     "graph_triangle_count",
+    "join_fuzzy_blocked",
     # similarity_ivf_pq_pipeline is excluded: its only nested-loop join is
     # the deliberate single-row broadcast of the query vector (a 1×N join
     # carries no scale hazard; same shape as cosine_topk)
