@@ -24,6 +24,7 @@ from sri_spark.plans import (  # noqa: E402,F401
     graph_queries,
     join_advanced,
     lm_queries,
+    multimodal_queries,
     similarity_queries,
     sketch_queries,
     surface_extra,

@@ -1809,3 +1809,58 @@ def orders_monthly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             "anomalo"
         ),
     )
+
+
+@register(
+    "expr_ansi_try_family",
+    """
+    WITH t AS (
+      SELECT c_custkey, c_name,
+             TRY_CAST(c_name AS INTEGER) AS whole_cast,
+             TRY_CAST(string_split(c_name, '#')[2] AS BIGINT) AS parsed_id,
+             1.0 / nullif(c_custkey % 7, 0) AS div7,
+             try_strptime(c_name, '%Y-%m-%d') AS bad_ts,
+             string_split(c_name, '#')[10] AS oob
+      FROM customer
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN whole_cast IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS whole_cast_nulls,
+           CAST(sum(parsed_id) AS BIGINT) AS parsed_id_sum,
+           CAST(sum(CASE WHEN div7 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS div_by_zero_nulls,
+           CAST(sum(CASE WHEN bad_ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS ts_parse_nulls,
+           CAST(sum(CASE WHEN oob IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS oob_nulls
+    FROM t
+    """,
+)
+def expr_ansi_try_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI-mode survival kit: under Spark 4's default ANSI semantics a
+    bare cast/divide/element_at on malformed data THROWS mid-job, so every
+    ingest path over dirty input uses the try_* family — try_cast (null on
+    parse failure, exercised both failing and succeeding), try_divide
+    (null on /0), try_to_timestamp, try_element_at (null out of bounds).
+    The oracle reproduces each null count with DuckDB's TRY_CAST /
+    try_strptime / NULL-on-zero division, so the null semantics themselves
+    are value-checked cross-engine. parsed_id_sum doubles as a data
+    contract: the id embedded in c_name must sum to the custkey domain."""
+    cust = load_table(spark, sf_dir, "customer")
+    parts = F.split(F.col("c_name"), "#")
+    t = cust.select(
+        F.col("c_name").try_cast("int").alias("whole_cast"),
+        F.try_element_at(parts, F.lit(2)).try_cast("long").alias("parsed_id"),
+        F.try_divide(F.lit(1.0), F.col("c_custkey") % 7).alias("div7"),
+        F.try_to_timestamp(F.col("c_name"), F.lit("yyyy-MM-dd")).alias("bad_ts"),
+        F.try_element_at(parts, F.lit(10)).alias("oob"),
+    )
+    null_cnt = lambda c: F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long")  # noqa: E731
+    return t.agg(
+        F.count("*").alias("n_rows"),
+        null_cnt("whole_cast").alias("whole_cast_nulls"),
+        F.sum("parsed_id").cast("long").alias("parsed_id_sum"),
+        null_cnt("div7").alias("div_by_zero_nulls"),
+        null_cnt("bad_ts").alias("ts_parse_nulls"),
+        null_cnt("oob").alias("oob_nulls"),
+    )

@@ -365,3 +365,99 @@ def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "long"
         ),
     )
+
+
+_Q18_MIN_QTY = 250
+
+
+@register(
+    "orders_large_volume_customers",
+    f"""
+    WITH big AS (
+      SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > {_Q18_MIN_QTY}
+    )
+    SELECT c.c_name, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           round(o.o_totalprice, 2) AS totalprice,
+           round(b.total_qty, 2) AS total_qty
+    FROM big b
+    JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY total_qty DESC, o.o_orderkey LIMIT 100
+    """,
+)
+def orders_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): aggregate lineitems to
+    per-order quantity, HAVING-filter the heavy tail, then join the
+    surviving handful back to orders and customers. The aggregate runs
+    BEFORE any join, so the two joins move only qualifying orders (~1% of
+    the fact) — the aggregate-then-semijoin discipline that keeps Q18
+    scan-bound; top-100 with a tie-broken total order compiles to
+    TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > _Q18_MIN_QTY)
+    )
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(100)
+    )
+
+
+_Q17_BRAND = "Brand#4"
+_Q17_FRACTION = 0.2
+
+
+@register(
+    "lineitem_small_order_revenue",
+    f"""
+    WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = '{_Q17_BRAND}'),
+    thresholds AS (
+      SELECT l.l_partkey, {_Q17_FRACTION} * avg(l.l_quantity) AS qty_cut
+      FROM lineitem l JOIN bp ON l.l_partkey = bp.p_partkey
+      GROUP BY l.l_partkey
+    )
+    SELECT round(coalesce(sum(l.l_extendedprice), 0) / 7.0, 2) AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_small_lineitems
+    FROM lineitem l
+    JOIN thresholds t ON l.l_partkey = t.l_partkey
+    WHERE l.l_quantity < t.qty_cut
+    """,
+)
+def lineitem_small_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    scalar subquery "quantity < 0.2 * avg(quantity) for this part"
+    decorrelated into an aggregate-then-join — per-part thresholds build in
+    one hash aggregate over just the brand's lineitems, then join back as
+    an equi-join. The relative (per-part average) threshold is scale-free,
+    so the query means the same thing at every SF."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    bp = part.filter(F.col("p_brand") == _Q17_BRAND).select("p_partkey")
+    brand_li = li.join(bp, li["l_partkey"] == bp["p_partkey"])
+    thresholds = brand_li.groupBy("l_partkey").agg(
+        (F.lit(_Q17_FRACTION) * F.avg("l_quantity")).alias("qty_cut")
+    )
+    small = li.join(thresholds, "l_partkey").filter(
+        F.col("l_quantity") < F.col("qty_cut")
+    )
+    return small.agg(
+        F.round(F.coalesce(F.sum("l_extendedprice"), F.lit(0.0)) / 7.0, 2).alias(
+            "avg_yearly"
+        ),
+        F.count("*").alias("n_small_lineitems"),
+    )
