@@ -104,3 +104,56 @@ def run_incremental_near_dup(
     if not os.path.isdir(pairs_dir) or not os.listdir(pairs_dir):
         return spark.createDataFrame([], "doc_a long, doc_b long")
     return spark.read.parquet(pairs_dir).select("doc_a", "doc_b").distinct()
+
+
+COMPACT_PARTITION = "batch_id=compacted"
+
+
+def compact_near_dup_index(
+    spark: SparkSession, index_dir: str, *, n_buckets: int = 32
+) -> int:
+    """Fold every batch partition of the bucket index into one
+    bucket-clustered partition, so the per-batch probe join reads few
+    well-organized files instead of one small file set per historical
+    batch (the streaming small-files problem).
+
+    Layout: rows repartition by (band, bucket) and sort within partitions,
+    so each compacted file covers a contiguous bucket range and the probe
+    join's scan prunes on footer stats — the same min/max-skipping
+    argument as operators/layout.zorder_layout, applied to the index.
+
+    Crash-safe swap, same discipline as the MERGE sink's staged publish
+    (streaming/jobs.py): write to a staging dir, move the old partitions
+    aside, rename staging in, delete the old last. The index is a pure
+    function of the processed batches, so a crash mid-swap at worst leaves
+    both old partitions and the compacted one — the probe join then
+    counts duplicate bucket rows, which only ADDS candidate pairs
+    (verified away by exact Jaccard downstream), never loses one; rerun
+    compaction to converge. Returns rows compacted."""
+    import shutil
+
+    if not _has_index(index_dir):
+        return 0
+    parts = [e for e in os.listdir(index_dir) if e.startswith("batch_id=")]
+    idx = spark.read.parquet(index_dir).select("doc_id", "band", "bucket")
+    n = idx.count()
+    staging = index_dir + ".compacting"
+    shutil.rmtree(staging, ignore_errors=True)
+    (
+        idx.repartition(n_buckets, "band", "bucket")
+        .sortWithinPartitions("band", "bucket")
+        .write.mode("overwrite")
+        .parquet(os.path.join(staging, COMPACT_PARTITION))
+    )
+    old = index_dir + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.makedirs(old)
+    for e in parts:
+        os.rename(os.path.join(index_dir, e), os.path.join(old, e))
+    os.rename(
+        os.path.join(staging, COMPACT_PARTITION),
+        os.path.join(index_dir, COMPACT_PARTITION),
+    )
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    return n

@@ -88,3 +88,40 @@ def test_intra_batch_pairs_and_batch_agreement(spark, tmp_path):
     )
     assert _pairs(got) == sorted((r.a, r.b) for r in want.collect())
     assert (10, 11) in _pairs(got)
+
+
+def test_compaction_preserves_detection(spark, tmp_path):
+    from sri_spark.streaming.near_dup import (
+        COMPACT_PARTITION,
+        compact_near_dup_index,
+    )
+
+    docs = str(tmp_path / "docs")
+    index = str(tmp_path / "index")
+    pairs = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_docs(spark, docs, [(1, _BASE), (2, "totally different content here")])
+    run_incremental_near_dup(spark, docs, index, pairs, ckpt)
+
+    import os
+
+    n = compact_near_dup_index(spark, index)
+    assert n > 0
+    assert os.listdir(index) == [COMPACT_PARTITION]
+
+    # the compacted index must catch a near-dup arriving AFTER compaction
+    _write_docs(spark, docs, [(3, _BASE + " trailing")])
+    got = run_incremental_near_dup(spark, docs, index, pairs, ckpt)
+    assert (1, 3) in _pairs(got)
+
+    # compaction is idempotent: rerunning folds the post-compaction batch in
+    n2 = compact_near_dup_index(spark, index)
+    assert n2 >= n
+    assert os.listdir(index) == [COMPACT_PARTITION]
+
+
+def test_compaction_on_missing_index_is_noop(spark, tmp_path):
+    from sri_spark.streaming.near_dup import compact_near_dup_index
+
+    assert compact_near_dup_index(spark, str(tmp_path / "nope")) == 0
