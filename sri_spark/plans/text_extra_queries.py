@@ -535,3 +535,57 @@ def text_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= BURSTY_TOP)
     )
+
+
+_SEARCH_A = "spark"
+_SEARCH_B = "window"
+
+
+@register(
+    "text_boolean_search",
+    f"""
+    WITH postings AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                  x -> x != '')) AS tok
+        FROM documents
+      ) WHERE tok IN ('{_SEARCH_A}', '{_SEARCH_B}')
+    )
+    SELECT CAST(sum(CASE WHEN tok = '{_SEARCH_A}' THEN 1 ELSE 0 END) AS BIGINT)
+               AS df_a,
+           CAST(sum(CASE WHEN tok = '{_SEARCH_B}' THEN 1 ELSE 0 END) AS BIGINT)
+               AS df_b,
+           CAST(sum(CASE WHEN in_both THEN 1 ELSE 0 END) / 2 AS BIGINT) AS df_and
+    FROM (
+      SELECT doc_id, tok,
+             count(*) OVER (PARTITION BY doc_id) = 2 AS in_both
+      FROM postings
+    )
+    """,
+)
+def text_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index boolean retrieval: per-term posting lists (distinct
+    (doc, term) — the explode prunes to the query terms BEFORE the
+    distinct, so only matching postings shuffle), AND answered by
+    intersecting the two lists on doc_id. Document frequencies df_a/df_b
+    and the conjunction size df_and are the numbers a query planner uses
+    to order AND-chains (intersect the rarest list first). The oracle
+    re-derives all three from a window count over the same postings."""
+    docs = load_table(spark, sf_dir, "documents")
+    from sri_spark.text.analysis import tokens_col
+
+    postings = (
+        docs.select(
+            "doc_id", F.explode(F.array_distinct(tokens_col(F.col("text")))).alias("tok")
+        )
+        .filter(F.col("tok").isin(_SEARCH_A, _SEARCH_B))
+    )
+    a = postings.filter(F.col("tok") == _SEARCH_A).select("doc_id")
+    b = postings.filter(F.col("tok") == _SEARCH_B).select("doc_id")
+    both = a.join(b, "doc_id")
+    return (
+        a.agg(F.count("*").alias("df_a"))
+        .join(b.agg(F.count("*").alias("df_b")))
+        .join(both.agg(F.count("*").alias("df_and")))
+    )

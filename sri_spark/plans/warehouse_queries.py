@@ -461,3 +461,90 @@ def lineitem_small_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n_small_lineitems"),
     )
+
+
+@register(
+    "orders_delayed_exists",
+    """
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_delayed_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """,
+)
+def orders_delayed_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (priority check via EXISTS): orders with at least one
+    lineitem shipping more than 60 days after the order date, counted by
+    priority. The EXISTS compiles to a LEFT SEMI join on the order key with
+    the cross-table date predicate evaluated inside the join — one shuffle
+    on the key, each order emitted at most once regardless of how many
+    lines qualify (the semantics a plain inner join + distinct would pay a
+    dedup shuffle to recover)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    delayed = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        delayed.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_delayed_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "customer_idle_wealthy",
+    """
+    WITH cutoff AS (
+      SELECT avg(c_acctbal) AS cut FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(c.c_acctbal), 2) AS total_balance
+    FROM customer c, cutoff
+    WHERE c.c_acctbal > cutoff.cut
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2001-01-01'
+      )
+    GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """,
+)
+def customer_idle_wealthy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-sales-opportunity): customers whose balance
+    beats the positive-balance average but who placed no RECENT order
+    (none since 2001-01-01 — the fixture's final seven months; the
+    unscoped "never ordered" version is empty on this data, where every
+    customer orders ~10 times). Two classic decorrelations in one plan:
+    the scalar aggregate subquery becomes a single-row broadcast (crossed
+    into the filter — safe at any scale, the subquery is always 1 row),
+    and NOT EXISTS becomes a LEFT ANTI join on the customer key against
+    the date-filtered orders."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    cut = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("cut")
+    )
+    wealthy = cust.join(F.broadcast(cut)).filter(F.col("c_acctbal") > F.col("cut"))
+    idle = wealthy.join(
+        orders, wealthy["c_custkey"] == orders["o_custkey"], "left_anti"
+    )
+    return (
+        idle.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        )
+        .orderBy("c_mktsegment")
+    )
