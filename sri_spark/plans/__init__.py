@@ -31,6 +31,7 @@ from sri_spark.plans import (  # noqa: E402,F401
     text_extra_queries,
     text_queries,
     timeseries_queries,
+    tpch_shapes,
     training_queries,
     warehouse_queries,
 )

@@ -262,3 +262,54 @@ def test_bitmap_distinct_uses_partial_aggregation(spark, sf_dir):
     plan = _plan(spark, sf_dir, "events_bitmap_exact_distinct")
     assert "bitmap_construct_agg" in plan
     assert "HashAggregate" in plan
+
+
+TPCH_SHAPES = [
+    "tpch_q2_min_cost_supplier",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_late_lines_priority",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_supplier_part_chain",
+    "tpch_q21_waiting_suppliers",
+]
+
+
+@pytest.mark.parametrize("name", TPCH_SHAPES)
+def test_tpch_shapes_no_cartesian(spark, sf_dir, name):
+    """The adapted TPC-H suite must never degrade to a cartesian product;
+    the only sanctioned nested-loop joins are the 1-row scalar-subquery
+    broadcasts in Q11 (threshold) and Q15 (max revenue)."""
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, name
+    if name not in ("tpch_q11_important_stock", "tpch_q15_top_supplier"):
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_tpch_q10_topk_is_take_ordered(spark, sf_dir):
+    """Q10's top-20 must be TakeOrderedAndProject, not a global sort."""
+    plan = _plan(spark, sf_dir, "tpch_q10_returned_items")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_tpch_q21_is_single_fact_aggregation(spark, sf_dir):
+    """Q21's EXISTS/NOT-EXISTS pair is re-expressed as ONE per-order
+    aggregation — the plan must contain exactly one lineitem scan (the
+    double fact-fact self-join of the literal spec translation would show
+    two more)."""
+    plan = _plan(spark, sf_dir, "tpch_q21_waiting_suppliers")
+    assert plan.count("lineitem.parquet") <= 1, plan
+
+
+def test_tpch_q19_common_residuals_pushed(spark, sf_dir):
+    """Q19's disjunction spans both join sides, but the derivable
+    single-side bounds (l_quantity <= 35, p_size <= 30) must reach the
+    scans as pushed filters."""
+    plan = _plan(spark, sf_dir, "tpch_q19_disjunctive_revenue")
+    assert "PushedFilters: [" in plan, plan
