@@ -25,6 +25,7 @@ from sri_spark.plans import (  # noqa: E402,F401
     join_advanced,
     lm_queries,
     multimodal_queries,
+    retrieval_queries,
     similarity_queries,
     sketch_queries,
     surface_extra,

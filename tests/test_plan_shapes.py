@@ -313,3 +313,28 @@ def test_tpch_q19_common_residuals_pushed(spark, sf_dir):
     scans as pushed filters."""
     plan = _plan(spark, sf_dir, "tpch_q19_disjunctive_revenue")
     assert "PushedFilters: [" in plan, plan
+
+
+def test_bm25_topk_is_take_ordered(spark, sf_dir):
+    """BM25's top-10 must compile to TakeOrderedAndProject, and the plan
+    must contain no cartesian product — the stats/df sides join as 1-row /
+    3-row broadcasts."""
+    plan = _plan(spark, sf_dir, "text_bm25_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_bpe_pairs_single_aggregation(spark, sf_dir):
+    """BPE pair counting is explode + hash aggregate: exactly one exchange
+    (the pair-count shuffle) — pair generation itself must stay narrow."""
+    plan = _plan(spark, sf_dir, "text_bpe_merge_pairs")
+    assert plan.count("Exchange") <= 1, plan
+
+
+def test_rrf_rank_windows_run_on_topn_only(spark, sf_dir):
+    """The RRF fusion's single-partition rank windows must sit above a
+    limit (top-N candidates), never above the corpus scan — the plan
+    carries TakeOrderedAndProject under each Window."""
+    plan = _plan(spark, sf_dir, "retrieval_hybrid_rrf")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
