@@ -70,6 +70,12 @@ EXTENDED = [
     "text_perplexity_filter",
     "graph_triangle_count",
     "events_bitmap_exact_distinct",
+    # round-4 late additions: TPC-H closure heavies + ranked retrieval
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q21_waiting_suppliers",
+    "text_bm25_topk",
+    "retrieval_hybrid_rrf",
 ]
 
 
