@@ -1059,3 +1059,59 @@ def events_value_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("value"), 6).alias("v_max"),
         F.round(q(0.75) - q(0.25), 6).alias("iqr"),
     )
+
+
+@register(
+    "events_pattern_cep",
+    """
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS seq
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT CAST(len(regexp_extract_all(seq, 'v[vc]*p')) AS BIGINT)
+             AS n_conversions,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM seqs
+    GROUP BY n_conversions
+    ORDER BY n_conversions
+    """,
+)
+def events_pattern_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching (the MATCH_RECOGNIZE / Flink-CEP shape,
+    relationally): encode each user's time-ordered event history as a
+    character string (one letter per event type; order fixed by
+    (ts, event_id) so the encoding is deterministic under any
+    parallelism), then count non-overlapping matches of the conversion
+    pattern `view (view|click)* purchase` — i.e. a view leading to a
+    purchase with no error/signup in between — via one regex per user.
+
+    Scale shape: ONE shuffle (the per-user collect), then the regex is a
+    narrow per-row expression. Per-user histories are bounded by session
+    behavior, not corpus size; for unbounded histories the documented
+    variant runs the same encoding per (user, day) window. This covers the
+    sequential-pattern class (A then B without C) that window functions
+    express only with per-pattern gymnastics — the string encoding makes
+    the pattern a regex literal."""
+    ev = load_table(spark, sf_dir, "events")
+    coded = ev.select(
+        "user_id",
+        F.struct(
+            F.col("ts"),
+            F.col("event_id"),
+            F.substring("event_type", 1, 1).alias("c"),
+        ).alias("s"),
+    )
+    seqs = coded.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("s")), lambda x: x["c"]), ""
+        ).alias("seq")
+    )
+    n_conv = F.size(F.regexp_extract_all("seq", F.lit("v[vc]*p"), 0)).cast("long")
+    return (
+        seqs.groupBy(n_conv.alias("n_conversions"))
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("n_conversions")
+    )
