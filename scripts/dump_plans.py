@@ -32,6 +32,10 @@ QUERIES = [
     "layout_zorder_pruning",
     "graph_triangle_count",
     "agg_cms_heavy_hitters",
+    "stats_ks_two_sample",
+    "governance_table_digest",
+    "dedup_sentence_exact",
+    "embeddings_pca_top_component",
 ]
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 

@@ -16,6 +16,7 @@ __all__ = ["QUERIES", "ORACLES", "register", "all_queries", "all_oracles"]
 # extension families are mandatory — import errors must surface, not
 # silently shrink the registry
 from sri_spark.plans import (  # noqa: E402,F401
+    audit_queries,
     embedding_queries,
     curation_queries,
     dedup_queries,
@@ -29,6 +30,7 @@ from sri_spark.plans import (  # noqa: E402,F401
     semistructured_queries,
     similarity_queries,
     sketch_queries,
+    stats_extra_queries,
     surface_extra,
     text_extra_queries,
     text_queries,

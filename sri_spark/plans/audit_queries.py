@@ -1,0 +1,504 @@
+"""Data-audit / statistics catalog queries: privacy risk (k-anonymity),
+statistical dependence (chi-square, two-sample KS), functional-dependency
+discovery, sentence-grain dedup, embedding outlier detection, and seeded
+k-hop graph reach.
+
+These extend the governance layer of a training-data build (reference has
+no analogue — additive mandate, SURVEY.md §0 scope note): before shipping
+a corpus or a warehouse extract you audit re-identification risk, verify
+distributional assumptions, and discover undocumented column dependencies.
+
+Every query is expression-only (no Python UDFs); the heavy ones are one or
+two hash aggregates on a bounded key space, so each scales as a single
+shuffle. The KS window runs over exactly 100 bin rows (bounded by
+construction, not by data size) — the binned-ECDF trick is precisely what
+makes a KS test feasible at 100 TB where a global value sort would not be.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sri_spark.plans.registry import register
+from sri_spark.sources.testdata import load_table
+
+# --------------------------------------------------------------------------
+# k-anonymity audit
+# --------------------------------------------------------------------------
+
+_K_ANON_ORACLE = """
+WITH cells AS (
+  SELECT c_mktsegment AS segmento, c_nationkey,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+         count(*) AS k
+  FROM customer GROUP BY 1, 2, 3
+)
+SELECT segmento,
+       count(*)::BIGINT AS n_cells,
+       sum(k)::BIGINT AS n_rows,
+       min(k)::BIGINT AS min_k,
+       sum(CASE WHEN k < 5 THEN k ELSE 0 END)::BIGINT AS rows_at_risk,
+       round(sum(CASE WHEN k < 5 THEN k ELSE 0 END) * 1.0 / sum(k), 6)
+         AS risk_rate
+FROM cells GROUP BY segmento
+"""
+
+
+@register("governance_k_anonymity", _K_ANON_ORACLE)
+def governance_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (market segment,
+    nation, coarse account-balance bucket): for each segment, how many
+    equivalence cells exist, the smallest cell (min k), and the share of
+    rows sitting in cells smaller than k=5 — the rows an attacker could
+    re-identify by joining public attributes.
+
+    Shape: two hash aggregates (QI tuple, then segment); the QI key space
+    is bounded (segments x nations x ~20 balance buckets) so the first
+    shuffle's map-side combine collapses 100 TB to a dimension-sized
+    frame before the exchange."""
+    cust = load_table(spark, sf_dir, "customer")
+    cells = (
+        cust.select(
+            F.col("c_mktsegment").alias("segmento"),
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_bucket"),
+        )
+        .groupBy("segmento", "c_nationkey", "bal_bucket")
+        .agg(F.count("*").alias("k"))
+    )
+    at_risk = F.sum(F.when(F.col("k") < 5, F.col("k")).otherwise(F.lit(0)))
+    return cells.groupBy("segmento").agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum("k").cast("long").alias("n_rows"),
+        F.min("k").cast("long").alias("min_k"),
+        at_risk.cast("long").alias("rows_at_risk"),
+        F.round(at_risk * 1.0 / F.sum("k"), 6).alias("risk_rate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# chi-square test of independence
+# --------------------------------------------------------------------------
+
+# Full-grid correction without materializing the grid: over all cells,
+#   sum (O-E)^2/E  =  sum_observed[(O-E)^2/E - E] + sum_all E
+# and sum_all E for a priority row equals its row total rt, since
+# sum_statuses ct = n. Missing (O=0) cells therefore need no rows at all.
+_CHI2_ORACLE = """
+WITH obs AS (
+  SELECT o_orderpriority AS prioridad, o_orderstatus AS st, count(*) AS o
+  FROM orders GROUP BY 1, 2
+),
+rowt AS (SELECT prioridad, sum(o) AS rt FROM obs GROUP BY 1),
+colt AS (SELECT st, sum(o) AS ct FROM obs GROUP BY 1),
+tot AS (SELECT sum(o) AS n FROM obs),
+contrib AS (
+  SELECT obs.prioridad,
+         (obs.o - rowt.rt * colt.ct / tot.n)
+           * (obs.o - rowt.rt * colt.ct / tot.n)
+           / (rowt.rt * colt.ct / tot.n)
+         - rowt.rt * colt.ct / tot.n AS c
+  FROM obs
+  JOIN rowt USING (prioridad)
+  JOIN colt USING (st)
+  CROSS JOIN tot
+)
+SELECT contrib.prioridad,
+       rowt.rt::BIGINT AS n_rows,
+       round(sum(contrib.c) + rowt.rt, 6) AS chi2_contrib
+FROM contrib JOIN rowt USING (prioridad)
+GROUP BY contrib.prioridad, rowt.rt
+"""
+
+
+@register("stats_chi_square_independence", _CHI2_ORACLE)
+def stats_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square contributions per order priority for the
+    (priority x status) contingency table — the independence test a
+    curation pipeline runs before trusting a stratification column.
+
+    Zero-observed cells are handled algebraically (sum_all E per priority
+    = its row total), so the plan never materializes the full grid: one
+    hash aggregate over the contingency key, two dimension-sized marginal
+    aggregates broadcast back onto it, one scalar total. At 100 TB the
+    only full-data pass is the first groupBy."""
+    orders = load_table(spark, sf_dir, "orders")
+    obs = orders.groupBy(
+        F.col("o_orderpriority").alias("prioridad"),
+        F.col("o_orderstatus").alias("st"),
+    ).agg(F.count("*").alias("o"))
+    rowt = obs.groupBy("prioridad").agg(F.sum("o").alias("rt"))
+    colt = obs.groupBy("st").agg(F.sum("o").alias("ct"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    e = F.col("rt") * F.col("ct") / F.col("n")
+    contrib = (
+        obs.join(F.broadcast(rowt), "prioridad")
+        .join(F.broadcast(colt), "st")
+        .join(F.broadcast(tot), F.lit(True))
+        .select(
+            "prioridad",
+            "rt",
+            ((F.col("o") - e) * (F.col("o") - e) / e - e).alias("c"),
+        )
+    )
+    return contrib.groupBy("prioridad", "rt").agg(
+        F.col("rt").cast("long").alias("n_rows"),
+        F.round(F.sum("c") + F.col("rt"), 6).alias("chi2_contrib"),
+    ).select("prioridad", "n_rows", "chi2_contrib")
+
+
+# --------------------------------------------------------------------------
+# two-sample Kolmogorov-Smirnov (binned ECDF)
+# --------------------------------------------------------------------------
+
+_KS_BINS = 100
+_KS_A, _KS_B = "view", "purchase"
+
+_KS_ORACLE = f"""
+WITH ev AS (
+  SELECT event_type, value FROM events
+  WHERE event_type IN ('{_KS_A}', '{_KS_B}')
+),
+stats AS (SELECT min(value) AS lo, max(value) AS hi FROM ev),
+binned AS (
+  SELECT least(CAST(floor((value - lo) / ((hi - lo) / {_KS_BINS})) AS BIGINT),
+               {_KS_BINS - 1}) AS bin,
+         sum(CASE WHEN event_type = '{_KS_A}' THEN 1 ELSE 0 END) AS na,
+         sum(CASE WHEN event_type = '{_KS_B}' THEN 1 ELSE 0 END) AS nb
+  FROM ev CROSS JOIN stats GROUP BY 1
+)
+SELECT bin,
+       round(sum(na) OVER w * 1.0 / sum(na) OVER (), 6) AS ecdf_a,
+       round(sum(nb) OVER w * 1.0 / sum(nb) OVER (), 6) AS ecdf_b,
+       round(abs(sum(na) OVER w * 1.0 / sum(na) OVER ()
+                 - sum(nb) OVER w * 1.0 / sum(nb) OVER ()), 6) AS ks_diff
+FROM binned
+WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("stats_ks_two_sample", _KS_ORACLE)
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned two-sample Kolmogorov-Smirnov curve between the '{a}' and
+    '{b}' event-value distributions: per-bin ECDFs and their absolute gap
+    (the KS statistic is the max of ks_diff). Drift detection between two
+    cohorts without a global sort: values fold into {bins} fixed-width
+    bins with one hash aggregate, and the cumulative window runs over at
+    most {bins} rows — a driver-sized frame regardless of input size,
+    which is what makes the test runnable at 100 TB.""".format(
+        a=_KS_A, b=_KS_B, bins=_KS_BINS
+    )
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(_KS_A, _KS_B))
+        .select("event_type", "value")
+    )
+    stats = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / _KS_BINS
+    binned = (
+        ev.join(F.broadcast(stats), F.lit(True))
+        .select(
+            F.least(
+                F.floor((F.col("value") - F.col("lo")) / width).cast("long"),
+                F.lit(_KS_BINS - 1),
+            ).alias("bin"),
+            F.when(F.col("event_type") == _KS_A, 1).otherwise(0).alias("ia"),
+            F.when(F.col("event_type") == _KS_B, 1).otherwise(0).alias("ib"),
+        )
+        .groupBy("bin")
+        .agg(F.sum("ia").alias("na"), F.sum("ib").alias("nb"))
+    )
+    # <=100 rows from here on: the single-partition window is bounded by
+    # construction (bin count), not by data size
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ecdf_a = F.sum("na").over(w) * 1.0 / F.sum("na").over(wall)
+    ecdf_b = F.sum("nb").over(w) * 1.0 / F.sum("nb").over(wall)
+    return binned.select(
+        "bin",
+        F.round(ecdf_a, 6).alias("ecdf_a"),
+        F.round(ecdf_b, 6).alias("ecdf_b"),
+        F.round(F.abs(ecdf_a - ecdf_b), 6).alias("ks_diff"),
+    )
+
+
+# --------------------------------------------------------------------------
+# functional-dependency audit
+# --------------------------------------------------------------------------
+
+# (name, table, lhs, rhs) — a mix of FDs that hold (keys) and that don't
+_FD_CANDIDATES = [
+    ("nation_key_region", "nation", "n_nationkey", "n_regionkey"),
+    ("part_brand_type", "part", "p_brand", "p_type"),
+    ("orders_cust_priority", "orders", "o_custkey", "o_orderpriority"),
+    ("lineitem_part_supp", "lineitem", "l_partkey", "l_suppkey"),
+    ("customer_key_segment", "customer", "c_custkey", "c_mktsegment"),
+]
+
+_FD_ORACLE = "\nUNION ALL\n".join(
+    f"""
+SELECT '{name}' AS fd,
+       count(*)::BIGINT AS n_lhs,
+       sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT AS n_violating,
+       round(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS violation_rate,
+       max(nd)::BIGINT AS worst_fanout
+FROM (SELECT {lhs}, count(DISTINCT {rhs}) AS nd FROM {table} GROUP BY 1)
+"""
+    for name, table, lhs, rhs in _FD_CANDIDATES
+)
+
+
+@register("governance_fd_audit", _FD_ORACLE)
+def governance_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit: for each candidate FD X -> Y, the
+    number of X values mapping to more than one Y (violations) and the
+    worst fan-out. Dependency discovery is how a pipeline detects that a
+    'lookup' join key is secretly m:m before it fans out a 100 TB join —
+    exactly the reference's Q4 hazard (SURVEY.md §1.3), generalized into
+    a reusable profiling operator.
+
+    Shape per candidate: one hash aggregate on the LHS (count distinct
+    RHS is a two-phase partial aggregate), one scalar rollup; candidates
+    union into a single dimension-sized report."""
+    parts = []
+    for name, table, lhs, rhs in _FD_CANDIDATES:
+        per_lhs = (
+            load_table(spark, sf_dir, table)
+            .groupBy(lhs)
+            .agg(F.countDistinct(rhs).alias("nd"))
+        )
+        viol = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+        parts.append(
+            per_lhs.agg(
+                F.lit(name).alias("fd"),
+                F.count("*").cast("long").alias("n_lhs"),
+                viol.cast("long").alias("n_violating"),
+                F.round(viol * 1.0 / F.count("*"), 6).alias("violation_rate"),
+                F.max("nd").cast("long").alias("worst_fanout"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# --------------------------------------------------------------------------
+# sentence-grain exact dedup (C4-style)
+# --------------------------------------------------------------------------
+
+_SENT_ORACLE = r"""
+WITH sent AS (
+  SELECT source, lower(trim(s)) AS s
+  FROM (SELECT source, unnest(string_split_regex(text, '[.!?]+\s+')) AS s
+        FROM documents)
+  WHERE length(lower(trim(s))) >= 20
+),
+per AS (SELECT source, s, count(*) AS n FROM sent GROUP BY 1, 2)
+SELECT source,
+       sum(n)::BIGINT AS n_sentences,
+       count(*)::BIGINT AS n_unique,
+       (sum(n) - count(*))::BIGINT AS n_dup,
+       round((sum(n) - count(*)) * 1.0 / sum(n), 6) AS dup_rate,
+       max(n)::BIGINT AS max_copies
+FROM per GROUP BY source
+"""
+
+
+@register("dedup_sentence_exact", _SENT_ORACLE)
+def dedup_sentence_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-grain exact dedup report per source (the C4 recipe dedups
+    at three-sentence grain; this is the one-sentence building block):
+    split on sentence punctuation, normalize (lower/trim), drop fragments
+    under 20 chars, count exact duplicates within each source.
+
+    Complements the catalog's other dedup grains — document
+    (dedup_exact), fixed-width span (dedup_span_exact), shingle
+    (dedup_ngram_jaccard): sentence is the linguistic grain web-corpus
+    boilerplate actually repeats at. Shape: explode + one hash aggregate
+    keyed (source, sentence) — the combine step collapses repeats
+    map-side, so the shuffle carries unique sentences, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    sent = docs.select(
+        "source",
+        F.explode(F.split(F.col("text"), r"[.!?]+\s+")).alias("raw"),
+    ).select("source", F.lower(F.trim(F.col("raw"))).alias("s"))
+    per = (
+        sent.filter(F.length("s") >= 20)
+        .groupBy("source", "s")
+        .agg(F.count("*").alias("n"))
+    )
+    return per.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_sentences"),
+        F.count("*").cast("long").alias("n_unique"),
+        (F.sum("n") - F.count("*")).cast("long").alias("n_dup"),
+        F.round((F.sum("n") - F.count("*")) * 1.0 / F.sum("n"), 6).alias(
+            "dup_rate"
+        ),
+        F.max("n").cast("long").alias("max_copies"),
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding outlier detection (distance-to-centroid z-score)
+# --------------------------------------------------------------------------
+
+_OUTLIER_ORACLE = """
+WITH exploded AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+centroids AS (
+  SELECT label, dim, avg(v) AS c FROM exploded GROUP BY 1, 2
+),
+dists AS (
+  SELECT e.vec_id, e.label, sqrt(sum((e.v - c.c) * (e.v - c.c))) AS d
+  FROM exploded e JOIN centroids c USING (label, dim)
+  GROUP BY 1, 2
+),
+lstats AS (
+  SELECT label, avg(d) AS mu, stddev_pop(d) AS sigma FROM dists GROUP BY 1
+)
+SELECT d.label,
+       count(*)::BIGINT AS n_vecs,
+       sum(CASE WHEN (d.d - s.mu) / s.sigma > 2 THEN 1 ELSE 0 END)::BIGINT
+         AS n_outliers,
+       round(max((d.d - s.mu) / s.sigma), 4) AS max_z,
+       round(s.mu, 6) AS mean_dist
+FROM dists d JOIN lstats s USING (label)
+GROUP BY d.label, s.mu
+"""
+
+
+@register("embeddings_outlier_zscore", _OUTLIER_ORACLE)
+def embeddings_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outlier report: each vector's Euclidean
+    distance to its label centroid, z-scored against the label's distance
+    distribution; vectors with z > 2 are flagged. This is the standard
+    mislabeled-example / corrupt-embedding sweep a training pipeline runs
+    before contrastive fine-tuning.
+
+    Shape: posexplode to (label, dim) for the centroid aggregate
+    (dimension-count-bounded key space), re-join on (label, dim) to score
+    distances in one more aggregate, then two label-sized rollups. Every
+    shuffle key is bounded by labels x dims — at 100 TB the vectors
+    stream through; nothing data-sized is ever collected."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("dim", "v0"),
+    ).select("vec_id", "label", "dim", F.col("v0").cast("double").alias("v"))
+    centroids = ex.groupBy("label", "dim").agg(F.avg("v").alias("c"))
+    dists = (
+        ex.join(centroids, ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sqrt(
+                F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c")))
+            ).alias("d")
+        )
+    )
+    lstats = dists.groupBy("label").agg(
+        F.avg("d").alias("mu"), F.stddev_pop("d").alias("sigma")
+    )
+    z = (F.col("d") - F.col("mu")) / F.col("sigma")
+    return (
+        dists.join(F.broadcast(lstats), "label")
+        .groupBy("label", "mu")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.sum(F.when(z > 2, 1).otherwise(0)).cast("long").alias(
+                "n_outliers"
+            ),
+            F.round(F.max(z), 4).alias("max_z"),
+            F.round(F.col("mu"), 6).alias("mean_dist"),
+        )
+        .select("label", "n_vecs", "n_outliers", "max_z", "mean_dist")
+    )
+
+
+# --------------------------------------------------------------------------
+# seeded 2-hop reach over the trade graph
+# --------------------------------------------------------------------------
+
+_KHOP_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+seeds AS (SELECT c_custkey AS seed FROM customer WHERE c_custkey % 150 = 1),
+h1 AS (
+  SELECT DISTINCT seeds.seed, pairs.s
+  FROM seeds JOIN pairs ON pairs.c = seeds.seed
+),
+h2 AS (
+  SELECT DISTINCT h1.seed, pairs.c
+  FROM h1 JOIN pairs ON pairs.s = h1.s
+  WHERE pairs.c <> h1.seed
+)
+SELECT seeds.seed,
+       coalesce(n1.n, 0)::BIGINT AS n_suppliers_1hop,
+       coalesce(n2.n, 0)::BIGINT AS n_customers_2hop
+FROM seeds
+LEFT JOIN (SELECT seed, count(*) AS n FROM h1 GROUP BY 1) n1 USING (seed)
+LEFT JOIN (SELECT seed, count(*) AS n FROM h2 GROUP BY 1) n2 USING (seed)
+"""
+
+
+@register("graph_khop_reach", _KHOP_ORACLE)
+def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop BFS reach from a deterministic seed set over the bipartite
+    customer-supplier trade graph: per seed customer, the distinct
+    suppliers one hop out and the distinct other customers two hops out
+    (customers sharing a supplier). The seeded-frontier shape is how
+    neighborhood expansion actually runs at scale — expand from the
+    entities under investigation, never all-pairs: the hop-2 join's cost
+    is bounded by (seed count x supplier degree), not degree^2 over the
+    whole graph.
+
+    Shape: distinct edge list (one shuffle, reused), two equi-joins with
+    per-hop distinct, two seed-keyed aggregates; left joins keep seeds
+    with zero trades."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    pairs = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    seeds = customer.filter(F.col("c_custkey") % 150 == 1).select(
+        F.col("c_custkey").alias("seed")
+    )
+    h1 = (
+        seeds.join(pairs, pairs.c == seeds.seed)
+        .select("seed", "s")
+        .distinct()
+    )
+    h2 = (
+        h1.join(pairs, "s")
+        .filter(F.col("c") != F.col("seed"))
+        .select("seed", "c")
+        .distinct()
+    )
+    n1 = h1.groupBy("seed").agg(F.count("*").alias("n1"))
+    n2 = h2.groupBy("seed").agg(F.count("*").alias("n2"))
+    return (
+        seeds.join(n1, "seed", "left")
+        .join(n2, "seed", "left")
+        .select(
+            "seed",
+            F.coalesce(F.col("n1"), F.lit(0))
+            .cast("long")
+            .alias("n_suppliers_1hop"),
+            F.coalesce(F.col("n2"), F.lit(0))
+            .cast("long")
+            .alias("n_customers_2hop"),
+        )
+    )

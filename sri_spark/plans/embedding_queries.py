@@ -265,3 +265,77 @@ def embeddings_drift_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("centroid_l2_shift"),
     )
+
+
+def _pca_oracle(iters: int = 4, dims: int = 64) -> str:
+    rounds = []
+    prev = "v0"
+    for k in range(1, iters + 1):
+        rounds.append(
+            f"""p{k} AS (
+  SELECT c.label, c.i, sum(c.cov * w.loading) AS raw
+  FROM cov c JOIN {prev} w ON w.label = c.label AND w.i = c.j
+  GROUP BY 1, 2
+),
+n{k} AS (SELECT label, sqrt(sum(raw * raw)) AS nrm FROM p{k} GROUP BY 1),
+v{k} AS (SELECT p{k}.label, p{k}.i, raw / nrm AS loading
+         FROM p{k} JOIN n{k} USING (label))"""
+        )
+        prev = f"v{k}"
+    joined = ",\n".join(rounds)
+    return f"""
+WITH flat AS (
+  SELECT vec_id, label,
+         generate_subscripts(embedding, 1) - 1 AS i,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+),
+exy AS (
+  SELECT a.label, a.i, b.i AS j, avg(a.x * b.x) AS exy
+  FROM flat a JOIN flat b USING (vec_id)
+  GROUP BY 1, 2, 3
+),
+means AS (SELECT label, i, avg(x) AS mu FROM flat GROUP BY 1, 2),
+cov AS (
+  SELECT e.label, e.i, e.j, e.exy - mi.mu * mj.mu AS cov
+  FROM exy e
+  JOIN means mi ON mi.label = e.label AND mi.i = e.i
+  JOIN means mj ON mj.label = e.label AND mj.i = e.j
+),
+labels AS (SELECT DISTINCT label FROM cov),
+grid AS (SELECT generate_series AS i FROM generate_series(0, {dims - 1})),
+v0 AS (SELECT label, grid.i, 1.0 / sqrt({dims}) AS loading
+       FROM labels CROSS JOIN grid),
+{joined}
+SELECT label, CAST(i AS BIGINT) AS dim, round(loading, 6) AS loading
+FROM {prev}
+"""
+
+
+@register("embeddings_pca_top_component", _pca_oracle())
+def embeddings_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label top principal component via FOUR relational power-iteration
+    rounds over the label covariance matrices (similarity/pca.py) — the
+    PageRank unrolling trick applied to dense linear algebra, so DuckDB
+    value-checks the identical fixed recurrence end to end (covariance,
+    matrix-vector products, normalizations).
+
+    The deterministic uniform start vector pins both convergence path and
+    sign. Every shuffle key is bounded by labels x dims(²); the vectors
+    stream through one explode. `similarity/pca.py::top_component_grouped`
+    is the production Arrow grouped-map twin (exact eigh per label, no
+    dim² row blowup); pytest asserts the two agree."""
+    from sri_spark.operators.caching import scoped_persist
+    from sri_spark.similarity.pca import (
+        covariance_long,
+        top_component_relational,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cov = scoped_persist(covariance_long(emb))
+    v = top_component_relational(cov, dims=64)
+    return v.select(
+        "label",
+        F.col("i").cast("long").alias("dim"),
+        F.round("loading", 6).alias("loading"),
+    )

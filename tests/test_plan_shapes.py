@@ -338,3 +338,45 @@ def test_rrf_rank_windows_run_on_topn_only(spark, sf_dir):
     plan = _plan(spark, sf_dir, "retrieval_hybrid_rrf")
     assert "TakeOrderedAndProject" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+AUDIT_KEYED_ONLY = [
+    "governance_k_anonymity",
+    "governance_fd_audit",
+    "dedup_sentence_exact",
+    "embeddings_outlier_zscore",
+    "graph_khop_reach",
+]
+
+
+@pytest.mark.parametrize("name", AUDIT_KEYED_ONLY)
+def test_audit_ops_keyed_joins_only(spark, sf_dir, name):
+    """The audit/statistics family joins only on keys (label+dim, seed,
+    FD lhs, QI tuple) — a static CartesianProduct or nested loop would be
+    the all-pairs plan these operators exist to avoid."""
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_chi_square_marginals_broadcast(spark, sf_dir):
+    """stats_chi_square_independence: the contingency aggregate is the only
+    full-data pass; both marginals and the scalar total must come back as
+    broadcasts (they are grouped frames over tiny key spaces), never as a
+    shuffle join against the observation frame."""
+    plan = _plan(spark, sf_dir, "stats_chi_square_independence")
+    assert plan.count("BroadcastExchange") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_ks_window_runs_on_binned_frame(spark, sf_dir):
+    """stats_ks_two_sample: the single-partition cumulative window must sit
+    ABOVE the bin hash-aggregate (bounded at 100 rows by construction) —
+    never over raw values, which would be a global sort of the input."""
+    plan = _plan(spark, sf_dir, "stats_ks_two_sample")
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert agg_pos != -1 and win_pos != -1, plan
+    # executedPlan prints top-down: the Window node appears before (above)
+    # the aggregate that feeds it
+    assert win_pos < agg_pos, plan
