@@ -239,22 +239,31 @@ def ann_recall(spark) -> dict:
     from pyspark.sql import functions as F
 
     from sri_spark.similarity.ivf import rank_probe_cells
-    from sri_spark.similarity.pq import build_pq_codebooks, pq_topk
+    from sri_spark.similarity.pq import build_pq_codebooks, pq_encode, pq_topk
 
     t0 = time.perf_counter()
     books = build_pq_codebooks(emb)  # train ONCE, serve every query
+    # encode ONCE at build time too: the M x K_SUB argmin expression is the
+    # expensive, query-independent half of PQ — production indexes store
+    # codes, and a serving loop that re-encodes per query measures the
+    # wrong thing (observed 5x per-query inflation)
+    codes = pq_encode(indexed, books).persist()
+    codes.count()
     ivfpq_build_sec = time.perf_counter() - t0
     t0 = time.perf_counter()
     ivfpq_hits = 0
     for qid in qids:
         cells = rank_probe_cells(indexed, centroids, qid, n_probe=4)
-        subset = indexed.filter(F.col("__cell").isin(cells)).drop("__cell")
+        subset = codes.filter(F.col("__cell").isin(cells)).drop("__cell")
         got = {
             r["vec_id"]
-            for r in pq_topk(emb, qid, k=K, scan_df=subset, books=books).collect()
+            for r in pq_topk(
+                emb, qid, k=K, books=books, encoded_df=subset
+            ).collect()
         }
         ivfpq_hits += len(got & truth[qid])
     ivfpq_sec = time.perf_counter() - t0
+    codes.unpersist()
     indexed.unpersist()
     emb.unpersist()
 

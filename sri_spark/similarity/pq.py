@@ -157,6 +157,7 @@ def pq_topk(
     rerank_mult: int = 16,
     scan_df: DataFrame | None = None,
     books: list[list[list[float]]] | None = None,
+    encoded_df: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k cosine neighbours of `query_id` via PQ/ADC + exact re-rank.
 
@@ -165,13 +166,25 @@ def pq_topk(
     composition every production ANN index (FAISS IVFPQ) uses: coarse
     quantizer picks the cells, PQ codes rank within them. `books` supplies
     prebuilt codebooks (build_pq_codebooks) so a serving loop trains once
-    and amortizes across queries."""
+    and amortizes across queries.
+
+    `encoded_df` supplies rows that ALREADY carry the `__codes` column
+    (pq_encode run once at index-build time, the production layout):
+    encoding is the expensive per-row expression (M x K_SUB centroid
+    distances + argmin — costly both to codegen and to execute), and it is
+    query-independent, so a serving loop must never pay it per query. When
+    given, `books` must be the codebooks that produced it."""
     if books is None:
         books = build_pq_codebooks(
             df, vec_col=vec_col, id_col=id_col, m=m, k_sub=k_sub, seed=seed
         )
     d_sub = len(books[0][0])
-    encoded = pq_encode(scan_df if scan_df is not None else df, books, vec_col=vec_col)
+    if encoded_df is not None:
+        encoded = encoded_df
+    else:
+        encoded = pq_encode(
+            scan_df if scan_df is not None else df, books, vec_col=vec_col
+        )
 
     # query subvectors: one driver-side row (index-metadata-sized)
     q = df.filter(F.col(id_col) == query_id).select(

@@ -68,3 +68,30 @@ def test_pq_query_excluded(spark, sf_dir):
     assert (
         pq_topk(emb, query_id=7, k=10).filter(F.col("vec_id") == 7).count() == 0
     )
+
+
+def test_prebuilt_codes_path_matches_inline_encode(spark, sf_dir):
+    """pq_topk(encoded_df=...) — the serve-from-stored-codes layout — must
+    return exactly what the inline-encode path returns for the same
+    codebooks (encoding is query-independent, so precomputing it cannot
+    change any result)."""
+    from sri_spark.similarity.pq import build_pq_codebooks, pq_encode, pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = build_pq_codebooks(emb)
+    codes = pq_encode(emb, books).persist()
+    try:
+        for qid in (0, 7):
+            inline = [
+                (r["vec_id"], r["cosine"])
+                for r in pq_topk(emb, qid, k=5, books=books).collect()
+            ]
+            stored = [
+                (r["vec_id"], r["cosine"])
+                for r in pq_topk(
+                    emb, qid, k=5, books=books, encoded_df=codes
+                ).collect()
+            ]
+            assert inline == stored, qid
+    finally:
+        codes.unpersist()
