@@ -41,7 +41,12 @@ def pagerank(
 
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    out = scoped_persist(e.join(deg, "src"))  # (src, dst, deg) — reused per round
+    # (src, dst, deg), reused per round — persisted HASH-PARTITIONED BY dst:
+    # every round's contribution aggregate groups by dst, so the partial
+    # aggregation finishes partition-locally and the per-round exchange of
+    # the (data-sized) arc table disappears; the ranks side is node-sized
+    # and AQE broadcast-joins it at runtime
+    out = scoped_persist(e.join(deg, "src").repartition(F.col("dst")))
     nodes = scoped_persist(
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
