@@ -35,7 +35,8 @@ QUERIES = [
     "stats_ks_two_sample",
     "governance_table_digest",
     "dedup_sentence_exact",
-    "embeddings_pca_top_component",
+    # embeddings_pca_top_component intentionally absent: 4 unrolled power
+    # rounds print ~2000 plan lines — SCALE.md carries its shape argument
 ]
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
