@@ -30,6 +30,7 @@ from sri_spark.plans import (  # noqa: E402,F401
     semistructured_queries,
     similarity_queries,
     sketch_queries,
+    sql_modern_queries,
     stats_extra_queries,
     surface_extra,
     text_extra_queries,

@@ -380,3 +380,23 @@ def test_ks_window_runs_on_binned_frame(spark, sf_dir):
     # executedPlan prints top-down: the Window node appears before (above)
     # the aggregate that feeds it
     assert win_pos < agg_pos, plan
+
+
+def test_lateral_topn_decorrelates_to_window(spark, sf_dir):
+    """sql_lateral_topn: the per-nation LIMIT subquery must decorrelate —
+    one scan of orders feeding a ranked window, never a nested-loop
+    re-scan per outer row."""
+    plan = _plan(spark, sf_dir, "sql_lateral_topn")
+    assert plan.count("Scan parquet") <= 3, plan  # nation+orders+customer once
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_variant_parses_once_per_row(spark, sf_dir):
+    """semi_json_variant: exactly one parse_json per row (the VARIANT
+    point) — the aggregate consumes variant_get projections, with no
+    JSON-string function anywhere in the plan."""
+    df = all_queries()["semi_json_variant"](spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("parse_json") == 1, analyzed
+    assert "get_json_object" not in analyzed, analyzed
