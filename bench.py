@@ -76,6 +76,14 @@ EXTENDED = [
     "tpch_q21_waiting_suppliers",
     "text_bm25_topk",
     "retrieval_hybrid_rrf",
+    # round-4 session-2 additions: audit/stats family + Spark 4 SQL surface
+    "dedup_sentence_exact",
+    "stats_ks_two_sample",
+    "governance_table_digest",
+    "embeddings_pca_top_component",
+    "sql_recursive_cte_chain",
+    "semi_json_variant",
+    "sql_lateral_topn",
 ]
 
 

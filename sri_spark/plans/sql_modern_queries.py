@@ -169,3 +169,53 @@ def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         """
     )
+
+
+# --------------------------------------------------------------------------
+# collation-aware grouping (Spark 4 collations)
+# --------------------------------------------------------------------------
+
+_COLLATION_ORACLE = """
+WITH mixed AS (
+  SELECT CASE WHEN p_partkey % 2 = 1 THEN lower(p_brand) ELSE p_brand END
+           AS marca
+  FROM part
+)
+SELECT lower(min(marca)) AS marca_canon,
+       count(*)::BIGINT AS n,
+       count(DISTINCT marca)::BIGINT AS n_variantes
+FROM mixed GROUP BY lower(marca)
+"""
+
+
+@register("string_collation_ci_group", _COLLATION_ORACLE)
+def string_collation_ci_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive grouping via Spark 4 collations: brand names
+    arrive in mixed case (odd partkeys lowered — a deterministic stand-in
+    for dirty source data) and group under UTF8_LCASE, so 'brand#12' and
+    'Brand#12' are ONE group without rewriting every predicate through
+    lower(). The oracle groups by lower() — proving the collation's
+    grouping semantics equal explicit normalization. Collation is
+    metadata on the comparison, not a row transform: the hash aggregate
+    keys on the collation key directly (one pass, map-side combine
+    intact), which is the 100 TB argument for collations over
+    wrap-everything-in-lower() expression soup."""
+    from pyspark.sql import functions as F
+
+    part = load_table(spark, sf_dir, "part")
+    mixed = part.select(
+        F.when(
+            F.col("p_partkey") % 2 == 1, F.lower(F.col("p_brand"))
+        )
+        .otherwise(F.col("p_brand"))
+        .alias("marca")
+    )
+    return (
+        mixed.groupBy(F.expr("collate(marca, 'UTF8_LCASE')").alias("__k"))
+        .agg(
+            F.lower(F.min("marca")).alias("marca_canon"),
+            F.count("*").cast("long").alias("n"),
+            F.countDistinct("marca").cast("long").alias("n_variantes"),
+        )
+        .select("marca_canon", "n", "n_variantes")
+    )
