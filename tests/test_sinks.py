@@ -105,3 +105,15 @@ def test_write_star_truncate_load_semantics(spark, tables, fake_bq):
             os.path.join(fake_bq.root, f"proyecto.sri_vehiculos_dw.{t}")
         ).count()
         assert again == first[t], f"{t}: truncate-load appended instead of replacing"
+
+
+def test_orc_round_trip(spark, sf_dir, tmp_path):
+    """ORC is the other columnar built-in (no extra jars): a star dim
+    written as ORC must read back bit-equal, proving the sink surface
+    isn't parquet-only."""
+    src = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    out = str(tmp_path / "nation_orc")
+    src.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert back.schema == src.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
