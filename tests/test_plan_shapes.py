@@ -400,3 +400,30 @@ def test_variant_parses_once_per_row(spark, sf_dir):
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert analyzed.count("parse_json") == 1, analyzed
     assert "get_json_object" not in analyzed, analyzed
+
+
+SESSION2_SINGLE_WIDE_SHUFFLE = [
+    # one wide shuffle (the group-by collect), everything after is narrow
+    "events_ordered_transcript",
+    "semi_nested_order_document",
+]
+
+
+@pytest.mark.parametrize("name", SESSION2_SINGLE_WIDE_SHUFFLE)
+def test_document_assembly_is_one_collect_pass(spark, sf_dir, name):
+    """Transcript/nested-document assembly: exactly one data-sized
+    exchange (the keyed collect) plus at most one dimension-sized rollup
+    exchange — a re-explode or second wide shuffle would double the cost
+    of writing nested output at scale."""
+    plan = _plan(spark, sf_dir, name)
+    assert plan.count("Exchange") <= 2, plan
+    assert "Generate" not in plan, plan  # no explode anywhere
+
+
+def test_multimodal_shard_manifest_single_window_pass(spark, sf_dir):
+    """Shard placement = one per-source window cumsum + one rollup; the
+    binary payload itself must not appear in any exchange (only its
+    length does)."""
+    plan = _plan(spark, sf_dir, "multimodal_shard_manifest")
+    assert plan.count("Window") == 1, plan
+    assert "CartesianProduct" not in plan, plan
