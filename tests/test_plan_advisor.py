@@ -1,0 +1,63 @@
+"""Plan-advisor rules fire on known-bad plan shapes and stay quiet on the
+flagship's known-good plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sri_spark.plans import all_queries
+from sri_spark.plans.advisor import advise
+
+
+def _rules(findings):
+    return {f["rule"] for f in findings}
+
+
+def test_flagship_plan_is_clean(spark, sf_dir):
+    df = all_queries()["flagship_star_rollup"](spark, sf_dir)
+    rules = _rules(advise(df))
+    assert "cartesian-product" not in rules
+    assert "row-at-a-time-python" not in rules
+    assert "single-partition-exchange" not in rules
+
+
+def test_detects_cartesian_product(spark, sf_dir):
+    a = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    b = spark.read.parquet(f"{sf_dir}/region.parquet")
+    bad = a.crossJoin(b)
+    # small sides may plan as BroadcastNestedLoopJoin instead of a true
+    # CartesianProduct — either way the all-pairs hazard must be flagged
+    assert _rules(advise(bad)) & {"cartesian-product", "nested-loop-join"}
+
+
+def test_detects_global_window(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.orderBy("o_orderkey")  # no partitionBy: global sort
+    bad = orders.select("o_orderkey", F.row_number().over(w).alias("rn"))
+    assert "single-partition-exchange" in _rules(advise(bad))
+
+
+def test_detects_forced_broadcast_of_growing_table(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    bad = orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+    assert "broadcast-of-growing-table" in _rules(advise(bad))
+
+
+def test_detects_row_at_a_time_udf(spark, sf_dir):
+    from pyspark.sql.types import DoubleType
+
+    slow = F.udf(lambda x: x * 1.1, DoubleType())
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    bad = orders.select(slow(F.col("o_totalprice")).alias("x"))
+    assert "row-at-a-time-python" in _rules(advise(bad))
+
+
+def test_ks_query_flags_its_bounded_window_honestly(spark, sf_dir):
+    """stats_ks_two_sample DOES have a single-partition window — bounded
+    at 100 bins by construction. The advisor must surface it (it is the
+    right question to ask), and the query's docstring is the answer."""
+    df = all_queries()["stats_ks_two_sample"](spark, sf_dir)
+    assert "single-partition-exchange" in _rules(advise(df))
