@@ -61,3 +61,22 @@ def test_ks_query_flags_its_bounded_window_honestly(spark, sf_dir):
     right question to ask), and the query's docstring is the answer."""
     df = all_queries()["stats_ks_two_sample"](spark, sf_dir)
     assert "single-partition-exchange" in _rules(advise(df))
+
+
+def test_entire_catalog_has_no_fatal_plans(spark, sf_dir):
+    """Catalog-wide gate: no registered query may plan a CartesianProduct
+    or row-at-a-time Python UDF — the two hazard classes with no
+    legitimate bounded-by-construction excuse. (Warn-level findings like
+    1-row nested-loop broadcasts and bounded single-partition windows are
+    allowed; their queries document why.)"""
+    fatal = {}
+    for name, fn in sorted(all_queries().items()):
+        try:
+            findings = advise(fn(spark, sf_dir))
+        except Exception as ex:  # building the plan must itself work
+            fatal[name] = f"plan build failed: {ex}"
+            continue
+        bad = [f["rule"] for f in findings if f["severity"] == "fatal"]
+        if bad:
+            fatal[name] = bad
+    assert not fatal, fatal
