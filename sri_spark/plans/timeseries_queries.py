@@ -346,3 +346,64 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("gap_s"), 6).alias("max_gap_s"),
         )
     )
+
+
+_TWAP_ORACLE = """
+WITH seg AS (
+  SELECT user_id,
+         strftime(ts, '%Y-%m-%d') AS dia,
+         value,
+         epoch_us(ts) / 1000000.0 AS t0,
+         lead(epoch_us(ts) / 1000000.0) OVER
+           (PARTITION BY user_id, strftime(ts, '%Y-%m-%d')
+            ORDER BY epoch_us(ts), event_id) AS t1
+  FROM events
+),
+weighted AS (
+  SELECT user_id, dia, value, t1 - t0 AS dur
+  FROM seg WHERE t1 IS NOT NULL
+)
+SELECT user_id, dia,
+       count(*)::BIGINT AS n_segments,
+       round(sum(value * dur) / sum(dur), 6) AS twap,
+       round(avg(value), 6) AS row_avg
+FROM weighted
+GROUP BY user_id, dia
+HAVING sum(dur) > 0
+"""
+
+
+@register("events_twap_daily", _TWAP_ORACLE)
+def events_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily TIME-weighted average value (TWAP): each observation
+    holds until the next one, so its weight is the seconds it was the
+    latest — the integral of the last-observation-carried-forward curve.
+    For irregular event spacing TWAP is the honest daily average; the
+    row_avg column sits beside it to show the sampling bias a plain
+    avg() hides (bursts over-weighted). The final segment of each day has
+    no successor and carries zero width — excluded on both engines.
+
+    Shape: one per-(user, day) lead() window + one hash aggregate — same
+    two-pass cost as any lag/lead feature; no state beyond the window
+    sort."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.unix_micros("ts") / F.lit(1_000_000.0)
+    dia = F.date_format("ts", "yyyy-MM-dd")
+    w = Window.partitionBy("user_id", dia).orderBy(sec, F.col("event_id"))
+    seg = ev.select(
+        "user_id",
+        dia.alias("dia"),
+        "value",
+        (F.lead(sec).over(w) - sec).alias("dur"),
+    ).filter(F.col("dur").isNotNull())
+    return (
+        seg.groupBy("user_id", "dia")
+        .agg(
+            F.count("*").cast("long").alias("n_segments"),
+            F.round(
+                F.sum(F.col("value") * F.col("dur")) / F.sum("dur"), 6
+            ).alias("twap"),
+            F.round(F.avg("value"), 6).alias("row_avg"),
+        )
+        .filter(F.col("twap").isNotNull())
+    )
