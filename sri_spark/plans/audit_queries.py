@@ -502,3 +502,105 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_customers_2hop"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier customer survival
+# --------------------------------------------------------------------------
+
+_KM_ORACLE = """
+WITH span AS (
+  SELECT o_custkey,
+         min(o_orderdate) AS first_d,
+         max(o_orderdate) AS last_d
+  FROM orders GROUP BY o_custkey
+),
+horizon AS (SELECT max(o_orderdate) AS maxd FROM orders),
+labeled AS (
+  SELECT CAST(floor(date_diff('day', first_d, last_d) / 30.0) AS BIGINT)
+           AS lifetime_m,
+         (date_diff('day', last_d, horizon.maxd) <= 90) AS censored
+  FROM span CROSS JOIN horizon
+),
+buckets AS (
+  SELECT lifetime_m,
+         sum(CASE WHEN censored THEN 0 ELSE 1 END) AS d,
+         sum(CASE WHEN censored THEN 1 ELSE 0 END) AS c
+  FROM labeled GROUP BY lifetime_m
+),
+risk AS (
+  SELECT lifetime_m, d, c,
+         sum(d + c) OVER (ORDER BY lifetime_m
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - (d + c) AS gone_before,
+         sum(d + c) OVER () AS total
+  FROM buckets
+)
+SELECT lifetime_m,
+       CAST(total - gone_before AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS n_churned,
+       CAST(c AS BIGINT) AS n_censored,
+       round(exp(sum(ln(1.0 - d * 1.0 / (total - gone_before)))
+                 OVER (ORDER BY lifetime_m
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             6) AS survival
+FROM risk
+"""
+
+
+@register("customers_survival_km", _KM_ORACLE)
+def customers_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier customer survival by 30-day lifetime bucket, with
+    right-censoring: customers whose last order falls within 90 days of
+    the dataset horizon are CENSORED (still alive), not churned — the
+    statistical correction naive churn rates skip. The cumulative product
+    Π(1 - d_j/n_j) is computed relationally as exp(Σ ln(...)) over an
+    ordered window, so survival analysis runs as pure DataFrame algebra.
+
+    Shape: one per-customer aggregate, one lifetime-bucket aggregate
+    (bounded key space: lifetimes in months), then windows over the
+    bucket frame only — the single-partition window runs on ~100 rows by
+    construction, the same bounded-window argument as
+    stats_ks_two_sample."""
+    orders = load_table(spark, sf_dir, "orders")
+    span = orders.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_d"),
+        F.max("o_orderdate").alias("last_d"),
+    )
+    horizon = orders.agg(F.max("o_orderdate").alias("maxd"))
+    labeled = span.join(F.broadcast(horizon), F.lit(True)).select(
+        F.floor(F.datediff("last_d", "first_d") / 30.0)
+        .cast("long")
+        .alias("lifetime_m"),
+        (F.datediff(F.col("maxd"), F.col("last_d")) <= 90).alias("censored"),
+    )
+    buckets = labeled.groupBy("lifetime_m").agg(
+        F.sum(F.when(F.col("censored"), 0).otherwise(1)).alias("d"),
+        F.sum(F.when(F.col("censored"), 1).otherwise(0)).alias("c"),
+    )
+    cum = Window.orderBy("lifetime_m").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.orderBy("lifetime_m").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    gone_before = F.sum(F.col("d") + F.col("c")).over(cum) - (
+        F.col("d") + F.col("c")
+    )
+    total = F.sum(F.col("d") + F.col("c")).over(wall)
+    risk = buckets.select(
+        "lifetime_m",
+        "d",
+        "c",
+        (total - gone_before).alias("n_risk0"),
+    )
+    surv = F.exp(
+        F.sum(F.log(1.0 - F.col("d") * 1.0 / F.col("n_risk0"))).over(cum)
+    )
+    return risk.select(
+        "lifetime_m",
+        F.col("n_risk0").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("n_churned"),
+        F.col("c").cast("long").alias("n_censored"),
+        F.round(surv, 6).alias("survival"),
+    )
