@@ -604,3 +604,91 @@ def customers_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").cast("long").alias("n_censored"),
         F.round(surv, 6).alias("survival"),
     )
+
+
+# --------------------------------------------------------------------------
+# binned Gini coefficient of customer revenue
+# --------------------------------------------------------------------------
+
+_GINI_BINS = 200
+
+_GINI_ORACLE = f"""
+WITH rev AS (
+  SELECT o_custkey, sum(o_totalprice) AS r FROM orders GROUP BY 1
+),
+stats AS (SELECT min(r) AS lo, max(r) AS hi FROM rev),
+binned AS (
+  SELECT least(CAST(floor((r - lo) / ((hi - lo) / {_GINI_BINS})) AS BIGINT),
+               {_GINI_BINS - 1}) AS bin,
+         count(*) AS n,
+         sum(r) AS s
+  FROM rev CROSS JOIN stats GROUP BY 1
+),
+cum AS (
+  SELECT bin, n, s,
+         sum(n) OVER w AS cn, sum(s) OVER w AS cs,
+         sum(n) OVER () AS tn, sum(s) OVER () AS ts
+  FROM binned
+  WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_bins,
+       CAST(max(tn) AS BIGINT) AS n_customers,
+       round(1.0 - sum(
+           n * 1.0 / tn * ((cs - s) + cs) * 1.0 / ts
+       ), 6) AS gini
+FROM cum
+"""
+
+
+@register("orders_revenue_gini_binned", _GINI_ORACLE)
+def orders_revenue_gini_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue via the binned Lorenz curve
+    (trapezoid rule over {bins} fixed-width revenue bins): the standard
+    single-number inequality metric next to orders_pareto_deciles' curve.
+    The exact Gini needs a global rank over ALL customers — a
+    single-partition sort of an SF-growing table; binning bounds the
+    sorted frame at {bins} rows regardless of scale, the same trick as
+    stats_ks_two_sample. One customer-revenue aggregate, one bin
+    aggregate, windows over the bin frame only.""".format(bins=_GINI_BINS)
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("r"))
+    stats = rev.agg(F.min("r").alias("lo"), F.max("r").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / _GINI_BINS
+    binned = (
+        rev.join(F.broadcast(stats), F.lit(True))
+        .select(
+            F.least(
+                F.floor((F.col("r") - F.col("lo")) / width).cast("long"),
+                F.lit(_GINI_BINS - 1),
+            ).alias("bin"),
+            F.col("r"),
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"), F.sum("r").alias("s"))
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = binned.select(
+        "n",
+        "s",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("s").over(w).alias("cs"),
+        F.sum("n").over(wall).alias("tn"),
+        F.sum("s").over(wall).alias("ts"),
+    )
+    # trapezoid: ΔF_pop * (L(prev) + L(cur)); prev cumulative = cum - own
+    term = (
+        F.col("n")
+        * 1.0
+        / F.col("tn")
+        * ((F.col("cs") - F.col("s")) + F.col("cs"))
+        * 1.0
+        / F.col("ts")
+    )
+    return cum.agg(
+        F.count("*").cast("long").alias("n_bins"),
+        F.max("tn").cast("long").alias("n_customers"),
+        F.round(1.0 - F.sum(term), 6).alias("gini"),
+    )
