@@ -26,6 +26,7 @@ from sri_spark.plans import (  # noqa: E402,F401
     join_advanced,
     lm_queries,
     multimodal_queries,
+    parity_queries,
     retrieval_queries,
     semistructured_queries,
     similarity_queries,

@@ -162,7 +162,9 @@ WITH ev AS (
 ),
 stats AS (SELECT min(value) AS lo, max(value) AS hi FROM ev),
 binned AS (
-  SELECT least(CAST(floor((value - lo) / ((hi - lo) / {_KS_BINS})) AS BIGINT),
+  SELECT least(CAST(floor((value - lo)
+                          / greatest((hi - lo) / {_KS_BINS}, 1e-12))
+               AS BIGINT),
                {_KS_BINS - 1}) AS bin,
          sum(CASE WHEN event_type = '{_KS_A}' THEN 1 ELSE 0 END) AS na,
          sum(CASE WHEN event_type = '{_KS_B}' THEN 1 ELSE 0 END) AS nb
@@ -195,7 +197,12 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "value")
     )
     stats = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
-    width = (F.col("hi") - F.col("lo")) / _KS_BINS
+    # epsilon-floored width: when all values are equal (hi == lo) the
+    # data-derived denominator would be 0 and ANSI mode would abort the
+    # job with DIVIDE_BY_ZERO (a when() guard does NOT protect — codegen
+    # still evaluates the division); flooring the width keeps the divisor
+    # nonzero and maps the degenerate input to bin 0 on both engines
+    width = F.greatest((F.col("hi") - F.col("lo")) / _KS_BINS, F.lit(1e-12))
     binned = (
         ev.join(F.broadcast(stats), F.lit(True))
         .select(
@@ -366,9 +373,11 @@ lstats AS (
 )
 SELECT d.label,
        count(*)::BIGINT AS n_vecs,
-       sum(CASE WHEN (d.d - s.mu) / s.sigma > 2 THEN 1 ELSE 0 END)::BIGINT
+       sum(CASE WHEN s.sigma > 0 AND (d.d - s.mu) / s.sigma > 2
+                THEN 1 ELSE 0 END)::BIGINT
          AS n_outliers,
-       round(max((d.d - s.mu) / s.sigma), 4) AS max_z,
+       round(max(CASE WHEN s.sigma > 0 THEN (d.d - s.mu) / s.sigma END), 4)
+         AS max_z,
        round(s.mu, 6) AS mean_dist
 FROM dists d JOIN lstats s USING (label)
 GROUP BY d.label, s.mu
@@ -407,7 +416,11 @@ def embeddings_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     lstats = dists.groupBy("label").agg(
         F.avg("d").alias("mu"), F.stddev_pop("d").alias("sigma")
     )
-    z = (F.col("d") - F.col("mu")) / F.col("sigma")
+    # try_divide: a label with a single vector (or identical distances)
+    # has stddev_pop == 0.0, and under ANSI a plain division would abort
+    # the whole query; NULL z degrades to 0 outliers and NULL max_z, and
+    # the oracle's CASE WHEN sigma > 0 guard mirrors exactly that
+    z = F.try_divide(F.col("d") - F.col("mu"), F.col("sigma"))
     return (
         dists.join(F.broadcast(lstats), "label")
         .groupBy("label", "mu")
@@ -594,9 +607,16 @@ def customers_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c",
         (total - gone_before).alias("n_risk0"),
     )
-    surv = F.exp(
-        F.sum(F.log(1.0 - F.col("d") * 1.0 / F.col("n_risk0"))).over(cum)
-    )
+    # terminal bucket (d == n_risk, zero censored): Spark's log(0) yields
+    # NULL, which sum() would silently skip, freezing survival at the
+    # prior bucket while the oracle's ln(0) = -inf drives exp() to 0.0 —
+    # emit -inf explicitly so both engines agree that survival is 0 once
+    # any bucket fully churns
+    log_term = F.when(
+        F.col("d") < F.col("n_risk0"),
+        F.log(1.0 - F.col("d") * 1.0 / F.col("n_risk0")),
+    ).otherwise(F.lit(float("-inf")))
+    surv = F.exp(F.sum(log_term).over(cum))
     return risk.select(
         "lifetime_m",
         F.col("n_risk0").cast("long").alias("n_risk"),
@@ -618,7 +638,9 @@ WITH rev AS (
 ),
 stats AS (SELECT min(r) AS lo, max(r) AS hi FROM rev),
 binned AS (
-  SELECT least(CAST(floor((r - lo) / ((hi - lo) / {_GINI_BINS})) AS BIGINT),
+  SELECT least(CAST(floor((r - lo)
+                          / greatest((hi - lo) / {_GINI_BINS}, 1e-12))
+               AS BIGINT),
                {_GINI_BINS - 1}) AS bin,
          count(*) AS n,
          sum(r) AS s
@@ -653,7 +675,11 @@ def orders_revenue_gini_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     rev = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("r"))
     stats = rev.agg(F.min("r").alias("lo"), F.max("r").alias("hi"))
-    width = (F.col("hi") - F.col("lo")) / _GINI_BINS
+    # epsilon-floored width — see stats_ks_two_sample: zero-variance
+    # revenue must not ANSI-crash; all rows fold into bin 0 instead
+    width = F.greatest(
+        (F.col("hi") - F.col("lo")) / _GINI_BINS, F.lit(1e-12)
+    )
     binned = (
         rev.join(F.broadcast(stats), F.lit(True))
         .select(

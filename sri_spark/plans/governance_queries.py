@@ -184,9 +184,14 @@ def corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("__in1").isNull(), 1).otherwise(0)).alias("n_removed"),
         F.sum(F.when(F.col("__in0").isNull(), 1).otherwise(0)).alias("n_added"),
         F.sum(F.when(both, 1).otherwise(0)).alias("n_retained"),
+        # try_divide: a snapshot pair where v1 is empty (all-even doc_ids
+        # in a degenerate slice) has a zero denominator; DuckDB's float
+        # division by zero is NULL, and try_divide matches that exactly
         F.round(
-            F.sum(F.when(both, 1.0).otherwise(0.0))
-            / F.sum(F.when(F.col("__in1").isNotNull(), 1.0).otherwise(0.0)),
+            F.try_divide(
+                F.sum(F.when(both, 1.0).otherwise(0.0)),
+                F.sum(F.when(F.col("__in1").isNotNull(), 1.0).otherwise(0.0)),
+            ),
             6,
         ).alias("retention_rate"),
     )

@@ -23,15 +23,22 @@ _TOKS = (
     "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x != '')"
 )
 
+_ZIPF_MIN_CNT = 2
+_ZIPF_MAX_TYPES = 100_000
+
 _ZIPF_ORACLE = f"""
 WITH counts AS (
   SELECT tok AS token, count(*) AS cnt
   FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
   GROUP BY 1
 ),
+head AS (
+  SELECT token, cnt FROM counts WHERE cnt >= {_ZIPF_MIN_CNT}
+  ORDER BY cnt DESC, token LIMIT {_ZIPF_MAX_TYPES}
+),
 ranked AS (
   SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rnk
-  FROM counts
+  FROM head
 )
 SELECT count(*) AS n_types,
        CAST(sum(cnt) AS BIGINT) AS n_tokens,
@@ -44,19 +51,32 @@ FROM ranked
 
 @register("text_zipf_stats", _ZIPF_ORACLE)
 def text_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Zipf-law fit: log-log linear regression of token frequency on rank.
-    Corpus-sized work is one explode + hash aggregate; the rank window then
-    runs on the vocabulary-sized aggregate (single-partition sort is safe at
-    that cardinality — same argument as text_vocabulary_build), and the
-    regression itself is one scalar aggregate. Ties in cnt permute ranks
-    only among equal frequencies, so the fitted line is deterministic."""
+    """Zipf-law fit: log-log linear regression of token frequency on rank
+    over the FITTED HEAD of the distribution — types with cnt >= {mc},
+    capped at the top {mt:,} by frequency. The floor drops hapaxes (noise
+    for the fit and, on a web corpus, ~half the 10^8-10^9-type
+    vocabulary); the cap turns the global sort into a
+    TakeOrderedAndProject (per-partition top-{mt:,} + driver merge), so
+    the rank window runs on a CONSTANT-bounded frame regardless of corpus
+    size — the same bounded-by-construction argument as
+    stats_ks_two_sample's 100 bins, instead of a single-partition sort of
+    an unbounded vocabulary. Corpus-sized work is one explode + hash
+    aggregate; ties in cnt permute ranks only among equal frequencies, so
+    the fitted line is deterministic.""".format(
+        mc=_ZIPF_MIN_CNT, mt=_ZIPF_MAX_TYPES
+    )
     docs = load_table(spark, sf_dir, "documents")
     counts = (
         docs.select(F.explode(tokens_col(F.col("text"))).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("cnt"))
     )
-    ranked = counts.select(
+    head = (
+        counts.filter(F.col("cnt") >= _ZIPF_MIN_CNT)
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(_ZIPF_MAX_TYPES)
+    )
+    ranked = head.select(
         "cnt",
         F.row_number()
         .over(Window.orderBy(F.col("cnt").desc(), "token"))
@@ -259,9 +279,17 @@ def text_length_quality_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("__toks").cast("double").alias("n_tokens"),
         quality_score(F.col("text"), toks=F.col("__toks")).alias("quality"),
     )
+    # corr() itself divides by the two stddevs inside codegen, so under
+    # ANSI a zero-variance group (all-identical lengths or scores) aborts
+    # the job; covar_samp/stddev_samp are ANSI-safe (NULL at n=1) and
+    # try_divide yields NULL on zero variance — exactly DuckDB's corr()
+    corr_safe = F.try_divide(
+        F.covar_samp("n_tokens", "quality"),
+        F.stddev_samp("n_tokens") * F.stddev_samp("quality"),
+    )
     return scored.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
-        F.round(F.corr("n_tokens", "quality"), 6).alias("len_quality_corr"),
+        F.round(corr_safe, 6).alias("len_quality_corr"),
     )
 
 

@@ -358,7 +358,12 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         passed.join(cust.withColumn("__m", F.lit(1)), "custkey", "left")
         .agg(
             F.count("*").cast("long").alias("n_pass"),
-            F.sum(F.coalesce(F.col("__m"), F.lit(0))).cast("long").alias("n_true"),
+            # coalesce OUTSIDE the sum too: sum() over an empty survivor
+            # frame is NULL, and a None here would crash the driver-side
+            # arithmetic below on degenerate inputs
+            F.coalesce(F.sum(F.coalesce(F.col("__m"), F.lit(0))), F.lit(0))
+            .cast("long")
+            .alias("n_true"),
         )
         .first()
     )
@@ -375,7 +380,7 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_pass,
             n_true,
             n_pass - n_true,
-            round((n_pass - n_true) * 100.0 / n_orders, 4),
+            round((n_pass - n_true) * 100.0 / n_orders, 4) if n_orders else 0.0,
         )
     ]
     return spark.createDataFrame(

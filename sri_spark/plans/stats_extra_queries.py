@@ -91,8 +91,16 @@ def events_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").cast("long").alias("n_events"),
+            # try_divide: a constant-valued series has Var(centered) == 0;
+            # ANSI would abort, try_divide yields NULL and greatest()
+            # skips it to 0.0 — DuckDB (div-by-zero -> NULL, greatest
+            # ignores NULLs) lands on the same 0.0
             F.round(
-                F.greatest(F.lit(0.0), 1.0 - F.sum("r2") / F.sum("t2")), 6
+                F.greatest(
+                    F.lit(0.0),
+                    1.0 - F.try_divide(F.sum("r2"), F.sum("t2")),
+                ),
+                6,
             ).alias("seasonal_strength"),
             F.min("peak_hour").alias("peak_hour"),
         )

@@ -396,14 +396,24 @@ def events_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         (F.lead(sec).over(w) - sec).alias("dur"),
     ).filter(F.col("dur").isNotNull())
+    # a (user, day) group whose events all share one timestamp has
+    # sum(dur) == 0: under ANSI a plain division would abort at runtime
+    # (before any isNotNull filter could run), and even without ANSI it
+    # would yield NaN, not NULL — so divide with try_divide and drop the
+    # group on sum(dur) > 0, the exact HAVING clause the oracle uses
     return (
         seg.groupBy("user_id", "dia")
         .agg(
             F.count("*").cast("long").alias("n_segments"),
             F.round(
-                F.sum(F.col("value") * F.col("dur")) / F.sum("dur"), 6
+                F.try_divide(
+                    F.sum(F.col("value") * F.col("dur")), F.sum("dur")
+                ),
+                6,
             ).alias("twap"),
             F.round(F.avg("value"), 6).alias("row_avg"),
+            F.sum("dur").alias("_sum_dur"),
         )
-        .filter(F.col("twap").isNotNull())
+        .filter(F.col("_sum_dur") > 0)
+        .drop("_sum_dur")
     )

@@ -19,6 +19,17 @@ from pyspark.sql import functions as F
 from sri_spark.similarity.cosine import _as_double, _dot, _norm
 
 
+class _SingleCellModel:
+    """Degenerate one-cell 'index' for corpora with a single distinct
+    vector — duck-types the only KMeansModel surface the IVF path uses."""
+
+    def __init__(self, centers: list[list[float]]):
+        self._centers = centers
+
+    def clusterCenters(self) -> list[list[float]]:
+        return self._centers
+
+
 def build_ivf_index(
     df: DataFrame,
     *,
@@ -32,9 +43,31 @@ def build_ivf_index(
     from pyspark.ml.functions import array_to_vector
 
     feat = df.withColumn("__vec", array_to_vector(_as_double(F.col(vec_col))))
-    model = KMeans(k=n_lists, seed=seed, featuresCol="__vec", predictionCol="__cell").fit(
-        feat
-    )
+    # spark.ml KMeans aborts (ArrayIndexOutOfBounds in KMeansAggregator)
+    # when k exceeds the number of DISTINCT points — a guaranteed shape on
+    # degenerate slices (one vector replicated). Clamp k via a BOUNDED
+    # probe: distinct over the first 4*k rows only (driver-cheap, never a
+    # full-data pass). If the probe under-counts a genuinely diverse
+    # corpus the index degrades to fewer cells — still correct, just a
+    # larger scan fraction — which is the right failure direction.
+    probe = feat.select("__vec").limit(4 * n_lists).distinct().count()
+    k_eff = max(1, min(n_lists, probe))
+    if k_eff < 2:
+        # spark.ml KMeans rejects k=1 outright; a corpus with a single
+        # distinct vector (or empty) IS one cell — skip the fit and hand
+        # back a shim exposing the only surface callers use
+        center = [
+            [float(x) for x in r["__c"]]
+            for r in feat.select(
+                _as_double(F.col(vec_col)).alias("__c")
+            ).limit(1).collect()
+        ]
+        return _SingleCellModel(center), feat.withColumn(
+            "__cell", F.lit(0)
+        ).drop("__vec")
+    model = KMeans(
+        k=k_eff, seed=seed, featuresCol="__vec", predictionCol="__cell"
+    ).fit(feat)
     indexed = model.transform(feat).drop("__vec")
     return model, indexed
 

@@ -138,7 +138,15 @@ def top_component_relational(
         )
         v = (
             prod.join(F.broadcast(norms), "label")
-            .select("label", "i", (F.col("raw") / F.col("nrm")).alias("loading"))
+            # try_divide: a label whose covariance matrix is all zeros
+            # (constant vectors) has nrm == 0; ANSI would abort the job,
+            # try_divide yields NULL loadings — identical to the DuckDB
+            # oracle, whose float division by zero is NULL
+            .select(
+                "label",
+                "i",
+                F.try_divide(F.col("raw"), F.col("nrm")).alias("loading"),
+            )
         )
     return v
 

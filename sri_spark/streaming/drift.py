@@ -131,10 +131,17 @@ def run_drift_monitor_stream(
 ) -> None:
     """Stream the events directory through the windowed histogram and
     score each micro-batch's complete window set against `ref`, writing
-    the per-window drift table to `sink_dir` as an idempotent overwrite
-    (complete output mode: the histogram state is window-bounded, so the
-    sink is always the full, latest picture — a replayed batch rewrites
-    the same rows rather than appending duplicates)."""
+    the per-window drift table to `sink_dir` as an idempotent overwrite.
+
+    Output mode is `complete`, which means Spark retains aggregation
+    state for EVERY window the stream has ever seen regardless of the
+    watermark — state, per-batch recompute, and the overwritten sink all
+    grow with the stream's total window count over its lifetime. That is
+    acceptable here because the monitor is meant for bounded replays /
+    finite availableNow runs (the trigger below); for an unbounded 24/7
+    deployment use `update` mode with a merge-style idempotent sink
+    keyed by window instead, so the watermark can evict closed windows
+    and keep state at (windows-in-watermark x n_bins)."""
     from sri_spark.streaming.jobs import read_events_stream
 
     stream = read_events_stream(spark, events_dir)

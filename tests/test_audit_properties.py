@@ -76,14 +76,13 @@ def _ks_rows(spark, vals_a, vals_b, bins=10):
     data = [("a", float(v)) for v in vals_a] + [("b", float(v)) for v in vals_b]
     ev = spark.createDataFrame(data, "t string, value double")
     stats = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
-    width = (F.col("hi") - F.col("lo")) / bins
-    safe_bin = F.when(
-        F.col("hi") == F.col("lo"), F.lit(0)
-    ).otherwise(
-        F.least(
-            F.floor((F.col("value") - F.col("lo")) / width).cast("long"),
-            F.lit(bins - 1),
-        )
+    # epsilon-floored width, mirroring the production query: a when()
+    # guard does not protect under ANSI because codegen evaluates the
+    # guarded division anyway
+    width = F.greatest((F.col("hi") - F.col("lo")) / bins, F.lit(1e-12))
+    safe_bin = F.least(
+        F.floor((F.col("value") - F.col("lo")) / width).cast("long"),
+        F.lit(bins - 1),
     )
     binned = (
         ev.join(F.broadcast(stats), F.lit(True))
