@@ -79,6 +79,13 @@ EXTENDED = [
     # round-4 session-2 additions: audit/stats family + Spark 4 SQL surface
     "dedup_sentence_exact",
     "stats_ks_two_sample",
+    # round-5 additions: parity quirks + verbatim reference SQL
+    "parity_fanout_join",
+    "parity_floatstring_join",
+    "refsql_referential_integrity",
+    "refsql_metrics_por_anio",
+    "refsql_metrics_por_marca",
+    "refsql_metrics_por_provincia",
     "governance_table_digest",
     "embeddings_pca_top_component",
     "sql_recursive_cte_chain",
@@ -298,41 +305,221 @@ def ann_recall(spark) -> dict:
     }
 
 
-def _load_floor_artifact() -> tuple[str, dict] | None:
-    """Newest BENCH_r*.json in the repo root, with its bench line extracted
-    (the driver wraps the line in a {"tail": ...} envelope) and any
-    `extended_queries` merged into `queries` so pre-merge floors compare."""
-    candidates = sorted(
-        glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+def _floor_candidates() -> list[tuple[int, int, str]]:
+    """(round, preference, path) for every bench artifact on disk: the
+    driver's possibly-truncated BENCH_r*.json tails AND the complete
+    docs/BENCH_full_r*.json copies this script commits (round-4 verdict
+    item 4: r4's raw timings were lost to tail truncation). Higher round
+    wins; within a round the full copy wins."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    out = []
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        out.append((int(re.search(r"BENCH_r(\d+)", path).group(1)), 0, path))
+    for path in glob.glob(os.path.join(here, "docs", "BENCH_full_r*.json")):
+        out.append(
+            (int(re.search(r"BENCH_full_r(\d+)", path).group(1)), 1, path)
+        )
+    return sorted(out)
+
+
+def _current_round() -> int:
+    """The round this bench run belongs to: one past the newest
+    driver-written BENCH_r*.json (the driver records round N's artifact
+    AFTER the round, so during round N only rounds < N exist)."""
+    driver_rounds = [r for r, pref, _ in _floor_candidates() if pref == 0]
+    return (max(driver_rounds) + 1) if driver_rounds else 1
+
+
+def dedup_replay_10x(spark) -> dict:
+    """Round-4 verdict item 9: the LSH dedup path's analogue of
+    sri_etl_replay_10x — run dedup_minhash_lsh's operator
+    (dedup/minhash.py::minhash_lsh_pairs) over the documents table and
+    over a 10x corpus, recording wall time AND candidate-pair counts.
+
+    The 10x corpus is ten copies of `documents` with every token salted
+    by its copy index (regexp, no Python UDF), so each copy keeps the
+    original's internal near-dup structure while copies share NO
+    shingles: a corpus 10x bigger at the SAME duplication rate. Healthy
+    LSH grows candidates ~linearly here (banding keys the join, so
+    disjoint shingle spaces cannot collide); a quadratic blowup would
+    mean bucket collisions across unrelated text."""
+    from pyspark.sql import functions as F
+
+    from sri_spark.dedup.minhash import (
+        _band_buckets,
+        minhash_lsh_pairs,
+        minhash_signatures_from_shingles,
     )
-    if not candidates:
-        return None
-    path = candidates[-1]
-    with open(path) as f:
-        text = f.read()
-    doc = None
-    try:
-        doc = json.loads(text)
-        if "queries" not in doc:
-            text, doc = doc.get("tail", ""), None
-    except json.JSONDecodeError:
-        pass
-    if doc is None:
-        for line in text.splitlines():
-            line = line.strip()
-            if line.startswith("{"):
-                try:
-                    cand = json.loads(line)
-                except json.JSONDecodeError:
-                    continue
-                if "queries" in cand:
-                    doc = cand
-    if doc is None:
-        return None
-    doc["queries"] = {**doc["queries"], **doc.get("extended_queries", {})}
-    return os.path.basename(path), doc
+    from sri_spark.dedup.shingles import shingle_hashes_df
+    from sri_spark.sources.testdata import load_table
+
+    def measure(docs) -> dict:
+        t0 = time.perf_counter()
+        n_pairs = minhash_lsh_pairs(docs).count()
+        sec = time.perf_counter() - t0
+        sh = shingle_hashes_df(docs, "text", "doc_id")
+        sig = minhash_signatures_from_shingles(sh, id_col="doc_id")
+        b = _band_buckets(sig, "doc_id")
+        left = b.select(F.col("doc_id").alias("a"), "band", "bucket")
+        right = b.select(F.col("doc_id").alias("b"), "band", "bucket")
+        n_cand = (
+            left.join(right, ["band", "bucket"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+            .count()
+        )
+        return {"sec": round(sec, 4), "candidates": n_cand, "pairs": n_pairs}
+
+    base = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    n1 = base.count()
+    copies = [
+        base.select(
+            (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+            F.regexp_replace("text", r"(\S+)", f"$1_{i}").alias("text"),
+        )
+        for i in range(10)
+    ]
+    corpus10 = copies[0]
+    for c in copies[1:]:
+        corpus10 = corpus10.unionByName(c)
+
+    one = measure(copies[0])  # salted 1x twin: same text shape as the 10x
+    ten = measure(corpus10)
+    from sri_spark.operators.caching import unpersist_all
+
+    unpersist_all()
+    return {
+        "rows_1x": n1,
+        "rows_10x": n1 * 10,
+        "one_x": one,
+        "ten_x": ten,
+        "candidate_growth": (
+            round(ten["candidates"] / one["candidates"], 4)
+            if one["candidates"]
+            else None
+        ),
+        "time_growth": round(ten["sec"] / one["sec"], 4) if one["sec"] else None,
+    }
+
+
+def ann_planted(spark) -> dict:
+    """Round-4 verdict item 8: recall on a PLANTED-neighbor fixture. The
+    organic embeddings fixture has near-random neighbors (true top-10
+    cosines ~0.3-0.4), so its recall numbers can't catch a regression.
+    Here 20 seeded unit-norm cluster centers each get 50 points at noise
+    sigma=0.01 — every query's true top-10 are its cluster siblings by
+    construction — and both ANN paths must score recall@10 >= 0.9
+    (tests/test_ann_planted.py asserts the same bound)."""
+    import numpy as np
+
+    from sri_spark.similarity.cosine import cosine_topk
+    from sri_spark.similarity.ivf import build_ivf_index, ivf_probe
+    from sri_spark.similarity.lsh import rp_ann_topk
+
+    rng = np.random.default_rng(20250814)
+    n_clusters, per_cluster, dim = 20, 50, 64
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for c in range(n_clusters):
+        pts = centers[c] + rng.normal(scale=0.01, size=(per_cluster, dim))
+        for j in range(per_cluster):
+            rows.append((c * per_cluster + j, [float(x) for x in pts[j]]))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).persist()
+    emb.count()
+    K = 10
+    qids = [c * per_cluster for c in range(0, n_clusters, 4)]  # 5 queries
+    truth = {
+        q: {r["vec_id"] for r in cosine_topk(emb, q, k=K).collect()}
+        for q in qids
+    }
+
+    t0 = time.perf_counter()
+    lsh_hits = sum(
+        len(
+            {r["vec_id"] for r in rp_ann_topk(emb, q, k=K, hamming=3).collect()}
+            & truth[q]
+        )
+        for q in qids
+    )
+    lsh_sec = time.perf_counter() - t0
+
+    model, indexed = build_ivf_index(emb, n_lists=16)
+    indexed = indexed.persist()
+    centroids = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    t0 = time.perf_counter()
+    ivf_hits = sum(
+        len(
+            {
+                r["vec_id"]
+                for r in ivf_probe(indexed, centroids, q, k=K, n_probe=4).collect()
+            }
+            & truth[q]
+        )
+        for q in qids
+    )
+    ivf_sec = time.perf_counter() - t0
+    indexed.unpersist()
+    emb.unpersist()
+    denom = K * len(qids)
+    return {
+        "n_clusters": n_clusters,
+        "per_cluster": per_cluster,
+        "lsh_hamming3": {
+            "recall": round(lsh_hits / denom, 4),
+            "sec": round(lsh_sec, 4),
+        },
+        "ivf_probe4": {
+            "recall": round(ivf_hits / denom, 4),
+            "sec": round(ivf_sec, 4),
+        },
+    }
+
+
+def _load_floor_artifact() -> tuple[str, dict] | None:
+    """Newest bench artifact (see _floor_candidates), with its bench line
+    extracted (the driver wraps the line in a {"tail": ...} envelope) and
+    any `extended_queries` merged into `queries` so pre-merge floors
+    compare."""
+    candidates = _floor_candidates()
+    # the floor is the previous ROUND's artifact: ignore any full copy this
+    # script itself wrote for the CURRENT round (driver rounds are defined
+    # by the driver-written BENCH_r*.json files)
+    this_round = _current_round()
+    candidates = [c for c in candidates if c[0] < this_round]
+    # newest PARSEABLE artifact wins: a driver tail truncated mid-line
+    # (how r4's raw timings were lost) is skipped in favor of the next
+    # older round rather than silently disabling the regression gate
+    for _, _, path in reversed(candidates):
+        with open(path) as f:
+            text = f.read()
+        doc = None
+        try:
+            doc = json.loads(text)
+            if "queries" not in doc:
+                text, doc = doc.get("tail", ""), None
+        except json.JSONDecodeError:
+            pass
+        if doc is None:
+            for line in text.splitlines():
+                line = line.strip()
+                if line.startswith("{"):
+                    try:
+                        cand = json.loads(line)
+                    except json.JSONDecodeError:
+                        continue
+                    if "queries" in cand:
+                        doc = cand
+        if doc is None:
+            continue
+        doc["queries"] = {**doc["queries"], **doc.get("extended_queries", {})}
+        return os.path.basename(path), doc
+    return None
 
 
 def regression_block(queries: dict[str, float], calib: float) -> dict | None:
@@ -380,6 +567,18 @@ def _timed(fn) -> float:
     return time.perf_counter() - t0
 
 
+def _timed_query(run) -> float:
+    """One timed execution; sub-second queries take the median of three.
+    Round-4 verdict item 6: single-shot timings on <1 s queries drifted
+    1.5-1.8x between the artifact and the judge's re-run — pure jitter —
+    so regression verdicts on them were untrustworthy."""
+    t = _timed(run)
+    if t < 1.0:
+        ts = sorted([t, _timed(run), _timed(run)])
+        t = ts[1]
+    return round(t, 4)
+
+
 def main() -> None:
     from sri_spark.plans import all_queries
     from sri_spark.session import get_spark
@@ -397,12 +596,18 @@ def main() -> None:
         queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         unpersist_all()
 
+    def _run_one(name):
+        def run():
+            queries[name](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            unpersist_all()  # release per-query scoped caches
+
+        return run
+
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        unpersist_all()  # release per-query scoped caches (dedup shingles etc.)
+        timings[name] = _timed_query(_run_one(name))
 
     ext_names = [n for n in EXTENDED if n in queries]
     for name in ext_names:  # warm-up, as for the headline set
@@ -410,10 +615,7 @@ def main() -> None:
         unpersist_all()
     ext_timings: dict[str, float] = {}
     for name in ext_names:
-        t0 = time.perf_counter()
-        queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        ext_timings[name] = round(time.perf_counter() - t0, 4)
-        unpersist_all()
+        ext_timings[name] = _timed_query(_run_one(name))
 
     # production-scale ETL replay (BASELINE.md's reference-derived target);
     # runs after the timed query pass so it never contends with it. Kept out
@@ -421,6 +623,8 @@ def main() -> None:
     replay = sri_etl_replay(spark)
     replay_10x = sri_etl_replay_10x(spark)
     recall = ann_recall(spark)
+    recall["planted"] = ann_planted(spark)
+    dedup_replay = dedup_replay_10x(spark)
 
     # CPU self-calibration: a fixed JVM-side workload whose time depends only
     # on host speed, not on this repo's code. Cross-round bench comparisons
@@ -439,26 +643,45 @@ def main() -> None:
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
+    regression = regression_block(all_timings, round(calib, 4))
+    # regression verdict FIRST (round-4 verdict item 4: the driver keeps
+    # only the output TAIL, so anything that must survive truncation goes
+    # last; the human-readable summary can lead)
     print(
         json.dumps(
-            {
-                "metric": "all_queries_total",
-                "value": round(sum(all_timings.values()), 4),
-                "unit": "sec",
-                "queries": all_timings,
-                "sf": sf,
-                "headline_total": round(sum(timings.values()), 4),
-                "extended_total": round(sum(ext_timings.values()), 4),
-                "sri_etl_replay": replay,
-                "sri_etl_replay_10x": replay_10x,
-                "ann_recall": recall,
-                "calibration": {"range_sum_500m_sec": round(calib, 4)},
-                "regression": regression_block(
-                    all_timings, round(calib, 4)
-                ),
-            }
+            {"metric": "regression_summary", "regression": regression}
         )
     )
+    artifact = {
+        "metric": "all_queries_total",
+        "value": round(sum(all_timings.values()), 4),
+        "unit": "sec",
+        "sf": sf,
+        "headline_total": round(sum(timings.values()), 4),
+        "extended_total": round(sum(ext_timings.values()), 4),
+        "sri_etl_replay": replay,
+        "sri_etl_replay_10x": replay_10x,
+        "dedup_replay_10x": dedup_replay,
+        "ann_recall": recall,
+        "calibration": {"range_sum_500m_sec": round(calib, 4)},
+        "regression": regression,
+        # the per-query dict LAST inside the line, so a truncated tail
+        # still carries every raw timing
+        "queries": all_timings,
+    }
+    line = json.dumps(artifact)
+    # commit-able complete copy (tail truncation loses the line's head):
+    # docs/BENCH_full_r{N}.json is also a floor candidate for next round
+    here = os.path.dirname(os.path.abspath(__file__))
+    full_path = os.path.join(
+        here, "docs", f"BENCH_full_r{_current_round():02d}.json"
+    )
+    try:
+        with open(full_path, "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass  # read-only checkout: the printed line is still complete
+    print(line)
 
 
 if __name__ == "__main__":

@@ -27,6 +27,7 @@ from sri_spark.plans import (  # noqa: E402,F401
     lm_queries,
     multimodal_queries,
     parity_queries,
+    reference_sql,
     retrieval_queries,
     semistructured_queries,
     similarity_queries,

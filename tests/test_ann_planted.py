@@ -1,0 +1,31 @@
+"""Planted-neighbor ANN recall contract (round-4 verdict item 8).
+
+The organic embeddings fixture has near-random neighbors (true top-10
+cosines ~0.3-0.4), so its recall curve cannot catch a real ANN
+regression — a broken index and a working one score similarly there.
+This fixture plants the truth: 20 seeded unit-norm cluster centers, 50
+points each at noise sigma=0.01, so every query's true top-10 are its
+cluster siblings by construction. Both ANN paths must recover >= 90% of
+them at their documented operating points (multi-probe radius 3 for
+sign-LSH, n_probe=4/16 for IVF). bench.py records the same numbers per
+round in the ann_recall.planted block.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bench import ann_planted
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    return ann_planted(spark)
+
+
+def test_lsh_multiprobe_recall_on_planted_clusters(planted):
+    assert planted["lsh_hamming3"]["recall"] >= 0.9, planted
+
+
+def test_ivf_probe_recall_on_planted_clusters(planted):
+    assert planted["ivf_probe4"]["recall"] >= 0.9, planted
