@@ -18,6 +18,7 @@ __all__ = ["QUERIES", "ORACLES", "register", "all_queries", "all_oracles"]
 from sri_spark.plans import (  # noqa: E402,F401
     audit_queries,
     embedding_queries,
+    curation_extra_queries,
     curation_queries,
     dedup_queries,
     events_queries,

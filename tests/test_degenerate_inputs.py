@@ -178,3 +178,61 @@ def test_skyline_on_single_size(spark):
         .agg(F.min("p_retailprice").alias("best_price"))
     )
     assert per_size.count() == 1
+
+
+# --- zero-variance catalog inputs (round-4 verdict item 1) -----------------
+# The catalog-wide sweep (test_degenerate_catalog_sweep.py) asserts "no
+# crash" for every query; these two pin the EXPECTED OUTPUT on the exact
+# inputs that used to ANSI-abort: all rows fold into bin 0 and the
+# statistics stay defined.
+
+
+def _constant_fixture(spark, tmp_path, table, df):
+    out = tmp_path / "const_sf"
+    df.coalesce(1).write.mode("overwrite").parquet(f"{out}/{table}.parquet")
+    return str(out)
+
+
+def test_ks_constant_values_single_bin(spark, tmp_path):
+    from sri_spark.plans.audit_queries import stats_ks_two_sample
+
+    import datetime as dt
+
+    ev = spark.createDataFrame(
+        [
+            (i, "view" if i % 2 else "purchase", 7.5,
+             dt.datetime(2024, 1, 1, 12, 0, 0))
+            for i in range(20)
+        ],
+        "event_id long, event_type string, value double, ts timestamp",
+    )
+    sf = _constant_fixture(spark, tmp_path, "events", ev)
+    rows = stats_ks_two_sample(spark, sf).collect()
+    # hi == lo: epsilon-floored width maps every value to bin 0; both
+    # ECDFs complete immediately and the KS gap is exactly 0
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["bin"] == 0
+    assert r["ecdf_a"] == 1.0 and r["ecdf_b"] == 1.0
+    assert r["ks_diff"] == 0.0
+
+
+def test_gini_uniform_revenue_is_zero(spark, tmp_path):
+    import datetime as dt
+
+    from sri_spark.plans.audit_queries import orders_revenue_gini_binned
+
+    orders = spark.createDataFrame(
+        [
+            (i, i, 100.0, dt.date(2024, 1, 1 + i % 28))
+            for i in range(30)
+        ],
+        "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate date",
+    )
+    sf = _constant_fixture(spark, tmp_path, "orders", orders)
+    r = orders_revenue_gini_binned(spark, sf).collect()[0]
+    # every customer earns the same revenue -> perfect equality: one
+    # occupied bin, Gini exactly 0 (trapezoid rule: 1 - 1*(0+1) = 0)
+    assert r["n_bins"] == 1
+    assert r["n_customers"] == 30
+    assert r["gini"] == 0.0
