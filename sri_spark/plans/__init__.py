@@ -27,6 +27,7 @@ from sri_spark.plans import (  # noqa: E402,F401
     join_advanced,
     lm_queries,
     multimodal_queries,
+    ops_extra_queries,
     parity_queries,
     reference_sql,
     retrieval_queries,
