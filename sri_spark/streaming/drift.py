@@ -139,9 +139,10 @@ def run_drift_monitor_stream(
     grow with the stream's total window count over its lifetime. That is
     acceptable here because the monitor is meant for bounded replays /
     finite availableNow runs (the trigger below); for an unbounded 24/7
-    deployment use `update` mode with a merge-style idempotent sink
-    keyed by window instead, so the watermark can evict closed windows
-    and keep state at (windows-in-watermark x n_bins)."""
+    deployment use run_drift_monitor_stream_update below — update mode
+    with a merge-style idempotent sink keyed by window, so the watermark
+    evicts closed windows and state stays at
+    (windows-in-watermark x n_bins)."""
     from sri_spark.streaming.jobs import read_events_stream
 
     stream = read_events_stream(spark, events_dir)
@@ -159,6 +160,94 @@ def run_drift_monitor_stream(
     q = (
         hist.writeStream.foreachBatch(_score)
         .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_drift_monitor_stream_update(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    sink_dir: str,
+    ref: list[tuple[int, float]],
+) -> None:
+    """The unbounded-deployment variant of run_drift_monitor_stream:
+    `update` output mode + a MERGE-style idempotent sink, so streaming
+    state really is bounded at (windows-in-watermark x n_bins) — the
+    watermark evicts closed windows instead of `complete` mode's
+    keep-everything semantics.
+
+    Update mode delivers only the (window, bin) rows that changed in the
+    micro-batch, which may be a SUBSET of a window's bins — scoring the
+    batch rows alone would treat the missing bins as zero. So foreachBatch
+    merges: for each touched window, keep the stored bins the batch did
+    not update, overlay the batch's rows, rewrite ONLY those window
+    partitions (dynamic partition overwrite), and re-score drift from the
+    merged histogram. Replaying a batch reproduces identical partitions —
+    idempotent by construction.
+
+    Layout: `sink_dir/hist` (window-partitioned histogram store) and
+    `sink_dir/scores` (window-partitioned drift table). Per batch the
+    work is proportional to touched windows x n_bins — never to stream
+    history."""
+    from sri_spark.streaming.jobs import read_events_stream
+
+    stream = read_events_stream(spark, events_dir)
+    hist = windowed_value_histogram(stream)
+    hist_dir = f"{sink_dir}/hist"
+    scores_dir = f"{sink_dir}/scores"
+
+    def _merge_and_score(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # key the store on an ISO STRING: a timestamp partition column
+        # round-trips through directory names with engine-dependent type
+        # inference, a string is stable (the catalog's date discipline)
+        batch_df = batch_df.withColumn(
+            "window_start",
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss"),
+        ).persist()
+        touched = [
+            r["window_start"]
+            for r in batch_df.select("window_start").distinct().collect()
+        ]
+        try:
+            stored = spark.read.parquet(hist_dir).filter(
+                F.col("window_start").isin(touched)
+            )
+            kept = stored.join(
+                batch_df.select("window_start", "bin"),
+                ["window_start", "bin"],
+                "left_anti",
+            )
+            merged = kept.unionByName(batch_df)
+        except Exception:  # first batch: no store yet
+            merged = batch_df
+        merged = merged.persist()
+        (
+            merged.repartition("window_start")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("window_start")
+            .parquet(hist_dir)
+        )
+        (
+            drift_scores(merged, ref)
+            .repartition("window_start")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("window_start")
+            .parquet(scores_dir)
+        )
+        merged.unpersist()
+        batch_df.unpersist()
+
+    q = (
+        hist.writeStream.foreachBatch(_merge_and_score)
+        .outputMode("update")
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -82,3 +82,51 @@ def test_drift_score_zero_against_self(spark, sf_dir):
     assert len(scored) == 1
     assert scored[0]["jsd"] < 1e-4
     assert scored[0]["ks_gap"] < 1e-3
+
+
+def test_update_mode_merges_across_incremental_batches(spark, sf_dir, tmp_path):
+    """The unbounded-deployment variant: update output mode + merge sink.
+    Feed the events in two separate availableNow runs sharing one
+    checkpoint (the second run sees ONLY the new file); the merged scores
+    must equal the batch twin over ALL data — proving the sink merges a
+    window's stored bins with each batch's partial updates instead of
+    zeroing the bins the batch didn't touch."""
+    from sri_spark.streaming.drift import run_drift_monitor_stream_update
+
+    ev = load_table(spark, sf_dir, "events")
+    ref = reference_histogram(ev)
+
+    # split by EVENT TIME (not id parity): the checkpoint carries the
+    # watermark across runs, so a second pass over old timestamps would be
+    # correctly discarded as late data. Time-ordered halves mean nothing
+    # is late, and the boundary window receives bins from BOTH runs —
+    # which is precisely the merge under test.
+    median = ev.agg(F.median(F.unix_micros("ts"))).first()[0]
+    half_a = ev.filter(F.unix_micros("ts") <= median)
+    half_b = ev.filter(F.unix_micros("ts") > median)
+    indir = tmp_path / "incremental_in"
+    half_a.coalesce(1).write.mode("append").parquet(str(indir))
+
+    sink = str(tmp_path / "upd_sink")
+    ckpt = str(tmp_path / "upd_ckpt")
+    run_drift_monitor_stream_update(spark, str(indir), ckpt, sink, ref)
+    n_first = len(_sink_rows(spark, f"{sink}/scores"))
+    assert n_first > 0
+
+    # second ingest: same checkpoint -> only the new file is processed;
+    # its rows UPDATE windows the first run already wrote
+    half_b.coalesce(1).write.mode("append").parquet(str(indir))
+    run_drift_monitor_stream_update(spark, str(indir), ckpt, sink, ref)
+
+    got = _sink_rows(spark, f"{sink}/scores")
+    batch = drift_scores(
+        windowed_value_histogram(ev).withColumn(
+            "window_start",
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss"),
+        ),
+        ref,
+    )
+    want = sorted(
+        (str(r["window_start"]), r["jsd"], r["ks_gap"]) for r in batch.collect()
+    )
+    assert got == want
