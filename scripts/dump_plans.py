@@ -35,6 +35,13 @@ QUERIES = [
     "stats_ks_two_sample",
     "governance_table_digest",
     "dedup_sentence_exact",
+    # round-5 additions
+    "text_zipf_stats",  # TakeOrderedAndProject-bounded rank (verdict item 3)
+    "parity_fanout_join",
+    "retrieval_phrase_top_docs",
+    "warehouse_cdc_compaction",
+    "corpus_curriculum_schedule",
+    "embeddings_matryoshka_fidelity",
     # embeddings_pca_top_component intentionally absent: 4 unrolled power
     # rounds print ~2000 plan lines — SCALE.md carries its shape argument
 ]
