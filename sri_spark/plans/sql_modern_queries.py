@@ -219,3 +219,37 @@ def string_collation_ci_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("marca_canon", "n", "n_variantes")
     )
+
+
+_PIPE_ORACLE = """
+SELECT o_orderpriority,
+       count(*)::BIGINT AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+ORDER BY n DESC, o_orderpriority
+LIMIT 3
+"""
+
+
+@register("sql_pipe_syntax", _PIPE_ORACLE)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL pipe syntax (|> operators, SPARK-49555): the same
+    filtered rollup the classic-SQL oracle computes, written as a
+    top-to-bottom pipeline — FROM |> WHERE |> AGGREGATE |> ORDER BY |>
+    LIMIT. Surface-completeness entry: pipe stages compile to the
+    identical Catalyst plan as the classic form, so the top-k arrives as
+    TakeOrderedAndProject like any other LIMIT."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE count(*) AS n, round(sum(o_totalprice), 2) AS total
+           GROUP BY o_orderpriority
+        |> SELECT o_orderpriority, CAST(n AS BIGINT) AS n, total
+        |> ORDER BY n DESC, o_orderpriority
+        |> LIMIT 3
+        """
+    )
