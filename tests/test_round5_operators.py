@@ -175,3 +175,110 @@ def test_snapshot_drift_profiles_every_declared_column(spark, sf_dir):
         assert r["n_prev"] > 0 and r["n_cur"] > 0
         assert 0.0 <= r["null_rate_prev"] <= 1.0
         assert r["min_prev"] <= r["max_prev"]
+
+
+# --- randomized oracles (hypothesis) ---------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_HSETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_word = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"])
+_doc = st.lists(_word, min_size=0, max_size=12).map(" ".join)
+_corpus = st.lists(_doc, min_size=1, max_size=8)
+
+
+def _py_phrase_truth(texts):
+    """Pure-Python phrase oracle: global top bigram (count desc, then
+    lexicographic), then per-doc adjacent-occurrence counts, top 10 by
+    (count desc, doc_id)."""
+    from collections import Counter
+
+    big = Counter()
+    per_doc = []
+    for text in texts:
+        toks = [t for t in text.lower().split() if t]
+        bigrams = list(zip(toks, toks[1:]))
+        per_doc.append(Counter(bigrams))
+        big.update(bigrams)
+    if not big:
+        return None, {}
+    top = min(big, key=lambda k: (-big[k], k))
+    hits = {i: c[top] for i, c in enumerate(per_doc) if c[top] > 0}
+    ranked = sorted(hits.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    return top, dict(ranked)
+
+
+@settings(**_HSETTINGS)
+@given(texts=_corpus)
+def test_phrase_matches_python_oracle(spark, tmp_path_factory, texts):
+    from sri_spark.plans.curation_extra_queries import (
+        retrieval_phrase_top_docs,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    out = tmp_path_factory.mktemp("phrase_prop")
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        f"{out}/documents.parquet"
+    )
+    rows = retrieval_phrase_top_docs(spark, str(out)).collect()
+    top, want = _py_phrase_truth(texts)
+    if top is None:
+        assert rows == []
+        return
+    got = {r["doc_id"]: r["n_hits"] for r in rows}
+    assert got == want
+    if rows:
+        assert (rows[0]["phrase_w1"], rows[0]["phrase_w2"]) == top
+
+
+@settings(**_HSETTINGS)
+@given(
+    quals=st.lists(
+        st.floats(min_value=0.0, max_value=1.0, allow_nan=False, width=32),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_curriculum_bins_match_python_oracle(spark, tmp_path_factory, quals):
+    """The curriculum's FIXED-bin phase assignment is pure arithmetic:
+    rebuild it in Python from the same quality scores Spark computes and
+    compare doc counts per phase."""
+    from sri_spark.plans.curation_extra_queries import (
+        corpus_curriculum_schedule,
+    )
+    from sri_spark.text.analysis import quality_score
+
+    # synthesize docs whose text yields a spread of quality scores by
+    # varying length/digits — then read back SPARK's own quality to
+    # drive the python oracle (the binning is what's under test)
+    texts = [
+        (i, " ".join(["tok"] * max(1, int(q * 120))) + (" 99" if q < 0.3 else ""))
+        for i, q in enumerate(quals)
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    out = tmp_path_factory.mktemp("curr_prop")
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        f"{out}/documents.parquet"
+    )
+    sq = {
+        r["doc_id"]: r["q"]
+        for r in docs.select(
+            "doc_id", quality_score(F.col("text")).alias("q")
+        ).collect()
+    }
+    from collections import Counter
+
+    want = Counter(min(int(q * 10), 9) for q in sq.values())
+    got = {
+        r["phase"]: r["n_docs"]
+        for r in corpus_curriculum_schedule(spark, str(out)).collect()
+    }
+    assert got == dict(want)
