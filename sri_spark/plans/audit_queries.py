@@ -182,15 +182,14 @@ WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 
 @register("stats_ks_two_sample", _KS_ORACLE)
 def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binned two-sample Kolmogorov-Smirnov curve between the '{a}' and
-    '{b}' event-value distributions: per-bin ECDFs and their absolute gap
-    (the KS statistic is the max of ks_diff). Drift detection between two
-    cohorts without a global sort: values fold into {bins} fixed-width
-    bins with one hash aggregate, and the cumulative window runs over at
-    most {bins} rows — a driver-sized frame regardless of input size,
-    which is what makes the test runnable at 100 TB.""".format(
-        a=_KS_A, b=_KS_B, bins=_KS_BINS
-    )
+    """Binned two-sample Kolmogorov-Smirnov curve between the 'view' and
+    'purchase' event-value distributions: per-bin ECDFs and their
+    absolute gap (the KS statistic is the max of ks_diff). Drift
+    detection between two cohorts without a global sort: values fold into
+    _KS_BINS (100) fixed-width bins with one hash aggregate, and the
+    cumulative window runs over at most 100 rows — a driver-sized frame
+    regardless of input size, which is what makes the test runnable at
+    100 TB."""
     ev = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("event_type").isin(_KS_A, _KS_B))
@@ -553,7 +552,9 @@ SELECT lifetime_m,
        CAST(total - gone_before AS BIGINT) AS n_risk,
        CAST(d AS BIGINT) AS n_churned,
        CAST(c AS BIGINT) AS n_censored,
-       round(exp(sum(ln(1.0 - d * 1.0 / (total - gone_before)))
+       round(exp(sum(CASE WHEN d < total - gone_before
+                          THEN ln(1.0 - d * 1.0 / (total - gone_before))
+                          ELSE '-infinity'::DOUBLE END)
                  OVER (ORDER BY lifetime_m
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
              6) AS survival
@@ -608,10 +609,11 @@ def customers_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         (total - gone_before).alias("n_risk0"),
     )
     # terminal bucket (d == n_risk, zero censored): Spark's log(0) yields
-    # NULL, which sum() would silently skip, freezing survival at the
-    # prior bucket while the oracle's ln(0) = -inf drives exp() to 0.0 —
-    # emit -inf explicitly so both engines agree that survival is 0 once
-    # any bucket fully churns
+    # NULL (which sum() would silently skip, freezing survival at the
+    # prior bucket) and DuckDB's ln(0) RAISES OutOfRange — so BOTH sides
+    # special-case it: emit -inf explicitly (the oracle's CASE mirrors
+    # this with '-infinity'::DOUBLE) so exp() drives survival to exactly
+    # 0.0 once any bucket fully churns
     log_term = F.when(
         F.col("d") < F.col("n_risk0"),
         F.log(1.0 - F.col("d") * 1.0 / F.col("n_risk0")),
@@ -665,13 +667,13 @@ FROM cum
 @register("orders_revenue_gini_binned", _GINI_ORACLE)
 def orders_revenue_gini_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of customer revenue via the binned Lorenz curve
-    (trapezoid rule over {bins} fixed-width revenue bins): the standard
-    single-number inequality metric next to orders_pareto_deciles' curve.
-    The exact Gini needs a global rank over ALL customers — a
-    single-partition sort of an SF-growing table; binning bounds the
-    sorted frame at {bins} rows regardless of scale, the same trick as
-    stats_ks_two_sample. One customer-revenue aggregate, one bin
-    aggregate, windows over the bin frame only.""".format(bins=_GINI_BINS)
+    (trapezoid rule over _GINI_BINS (200) fixed-width revenue bins): the
+    standard single-number inequality metric next to
+    orders_pareto_deciles' curve. The exact Gini needs a global rank over
+    ALL customers — a single-partition sort of an SF-growing table;
+    binning bounds the sorted frame at 200 rows regardless of scale, the
+    same trick as stats_ks_two_sample. One customer-revenue aggregate,
+    one bin aggregate, windows over the bin frame only."""
     orders = load_table(spark, sf_dir, "orders")
     rev = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("r"))
     stats = rev.agg(F.min("r").alias("lo"), F.max("r").alias("hi"))

@@ -16,25 +16,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from sri_spark.plans.lm_queries import _TOKS  # the ONE tokenizer string
 from sri_spark.plans.registry import register
 from sri_spark.sources.testdata import load_table, register_views
 from sri_spark.text.analysis import quality_score, tokens_col
-
-_TOKS = (
-    "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x != '')"
-)
 
 # --------------------------------------------------------------------------
 # quality-aware canonical selection per near-dup cluster
 # --------------------------------------------------------------------------
 
-_QUALITY_SQL = f"""
-  SELECT doc_id,
-         round(0.5 * least(len({_TOKS}) / 100.0, 1.0)
+# the SQL twin of text/analysis.py::quality_score — defined ONCE here and
+# shared by both oracles below so they cannot drift apart independently
+_QUALITY_EXPR = f"""round(0.5 * least(len({_TOKS}) / 100.0, 1.0)
              + 0.3 * (1 - round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
                                 / greatest(length(text)::BIGINT, 1), 6))
              + 0.2 * (1 - round(len(regexp_extract_all(text, '[0-9]'))
-                                / greatest(length(text)::BIGINT, 1), 6)), 6)
+                                / greatest(length(text)::BIGINT, 1), 6)), 6)"""
+
+_QUALITY_SQL = f"""
+  SELECT doc_id,
+         {_QUALITY_EXPR}
              AS quality
   FROM documents
 """
@@ -116,11 +117,7 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CURRICULUM_ORACLE = f"""
 WITH q AS (
   SELECT doc_id, len({_TOKS})::BIGINT AS n_tokens,
-         round(0.5 * least(len({_TOKS}) / 100.0, 1.0)
-             + 0.3 * (1 - round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
-                                / greatest(length(text)::BIGINT, 1), 6))
-             + 0.2 * (1 - round(len(regexp_extract_all(text, '[0-9]'))
-                                / greatest(length(text)::BIGINT, 1), 6)), 6)
+         {_QUALITY_EXPR}
              AS quality
   FROM documents
 ),
@@ -215,8 +212,8 @@ def _profile_sql(col: str, is_numeric: bool) -> str:
                  / count(*), 6) FROM s1) AS null_rate_cur,
          (SELECT {mn} FROM s0) AS min_prev,
          (SELECT {mx} FROM s0) AS max_prev,
-         (SELECT {mn.replace('s0', 's1')} FROM s1) AS min_cur,
-         (SELECT {mx.replace('s0', 's1')} FROM s1) AS max_cur
+         (SELECT {mn} FROM s1) AS min_cur,
+         (SELECT {mx} FROM s1) AS max_cur
 """
 
 

@@ -52,19 +52,17 @@ FROM ranked
 @register("text_zipf_stats", _ZIPF_ORACLE)
 def text_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf-law fit: log-log linear regression of token frequency on rank
-    over the FITTED HEAD of the distribution — types with cnt >= {mc},
-    capped at the top {mt:,} by frequency. The floor drops hapaxes (noise
-    for the fit and, on a web corpus, ~half the 10^8-10^9-type
-    vocabulary); the cap turns the global sort into a
-    TakeOrderedAndProject (per-partition top-{mt:,} + driver merge), so
-    the rank window runs on a CONSTANT-bounded frame regardless of corpus
-    size — the same bounded-by-construction argument as
-    stats_ks_two_sample's 100 bins, instead of a single-partition sort of
-    an unbounded vocabulary. Corpus-sized work is one explode + hash
+    over the FITTED HEAD of the distribution — types with
+    cnt >= _ZIPF_MIN_CNT (2), capped at the top _ZIPF_MAX_TYPES (100,000)
+    by frequency. The floor drops hapaxes (noise for the fit and, on a
+    web corpus, ~half the 10^8-10^9-type vocabulary); the cap turns the
+    global sort into a TakeOrderedAndProject (per-partition top-100k +
+    driver merge), so the rank window runs on a CONSTANT-bounded frame
+    regardless of corpus size — the same bounded-by-construction argument
+    as stats_ks_two_sample's 100 bins, instead of a single-partition sort
+    of an unbounded vocabulary. Corpus-sized work is one explode + hash
     aggregate; ties in cnt permute ranks only among equal frequencies, so
-    the fitted line is deterministic.""".format(
-        mc=_ZIPF_MIN_CNT, mt=_ZIPF_MAX_TYPES
-    )
+    the fitted line is deterministic."""
     docs = load_table(spark, sf_dir, "documents")
     counts = (
         docs.select(F.explode(tokens_col(F.col("text"))).alias("token"))

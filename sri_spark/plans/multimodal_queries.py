@@ -163,13 +163,11 @@ _SHARD_BYTES = 4000
 def multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-budget shard manifest for a decode fleet: assets stream in
     deterministic doc_id order per source and cut a new shard every
-    {bytes} bytes (exclusive running total, so an asset lands in the
+    _SHARD_BYTES bytes (exclusive running total, so an asset lands in the
     shard its START offset falls in — deterministic on both engines).
     This is corpus_pack_sequences' multimodal twin: work assignment by
     BYTES, the unit decode workers are actually bounded by. One per-source
-    window cumsum + one (source, shard) rollup.""".format(
-        bytes=_SHARD_BYTES
-    )
+    window cumsum + one (source, shard) rollup."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")

@@ -134,7 +134,7 @@ def embeddings_matryoshka_fidelity(
 ) -> DataFrame:
     """Matryoshka truncation fidelity: over a deterministic pair panel
     (each vector with its id-successor), compare full-dimension cosine
-    against the first-{d}-dims cosine — correlation, mean and worst
+    against the first-16-dims cosine — correlation, mean and worst
     absolute error. The go/no-go report for serving prefix-truncated
     embeddings (store d dims, re-rank the shortlist at full width): high
     corr + small error means the cheap index is safe.
@@ -143,9 +143,8 @@ def embeddings_matryoshka_fidelity(
     per vector — NOT an all-pairs surface; both cosines are per-row array
     expressions (zip_with/aggregate, no explode), so the whole audit is
     one narrow pass. corr is computed ANSI-safe via try_divide over
-    covar/stddev (zero-variance panels report NULL, as DuckDB does).""".format(
-        d=_TRUNC_DIMS
-    )
+    covar/stddev (zero-variance panels report NULL, as DuckDB does).
+    Truncation width: _TRUNC_DIMS (16)."""
     from sri_spark.similarity.cosine import _as_double, _dot, _norm
 
     emb = load_table(spark, sf_dir, "embeddings").select(

@@ -48,12 +48,11 @@ per_key AS (
 )
 SELECT (SELECT count(*) FROM part)::BIGINT AS n_source,
        (SELECT count(*) FROM dim)::BIGINT AS dim_rows,
-       count(*)::BIGINT AS n_after_join,
+       CAST(sum(fanout) AS BIGINT) AS n_after_join,
        max(fanout)::BIGINT AS max_fanout,
        round(avg(fanout), 6) AS avg_fanout,
        sum(CASE WHEN fanout > 1 THEN 1 ELSE 0 END)::BIGINT AS n_fanned_keys
-FROM (SELECT j.p_partkey, p.fanout FROM joined j
-      JOIN per_key p ON j.p_partkey = p.p_partkey)
+FROM per_key
 """
 
 
@@ -80,18 +79,19 @@ def parity_fanout_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_key = joined.groupBy("p_partkey").agg(F.count("*").alias("fanout"))
     n_source = part.count()
     dim_rows = dim.count()
-    return (
-        joined.join(per_key, "p_partkey")
-        .agg(
-            F.lit(n_source).cast("long").alias("n_source"),
-            F.lit(dim_rows).cast("long").alias("dim_rows"),
-            F.count("*").cast("long").alias("n_after_join"),
-            F.max("fanout").cast("long").alias("max_fanout"),
-            F.round(F.avg("fanout"), 6).alias("avg_fanout"),
-            F.sum(F.when(F.col("fanout") > 1, 1).otherwise(0))
-            .cast("long")
-            .alias("n_fanned_keys"),
-        )
+    # aggregate over the PER-KEY frame (one row per source key), not the
+    # fanout-expanded join rows: avg_fanout is the mean per-key fan-out
+    # and n_fanned_keys counts keys that multiplied — the expanded frame
+    # would weight every key by its own fanout and overstate both
+    return per_key.agg(
+        F.lit(n_source).cast("long").alias("n_source"),
+        F.lit(dim_rows).cast("long").alias("dim_rows"),
+        F.sum("fanout").cast("long").alias("n_after_join"),
+        F.max("fanout").cast("long").alias("max_fanout"),
+        F.round(F.avg("fanout"), 6).alias("avg_fanout"),
+        F.sum(F.when(F.col("fanout") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_fanned_keys"),
     )
 
 

@@ -150,6 +150,9 @@ FROM orders
 
 @register("date_parts_spanish", _DATE_PARTS_ORACLE)
 def date_parts_spanish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1-E3: date decomposition with locale-free Spanish month/weekday
+    names (explicit 12+7-entry maps, reference dag :81-92), never the
+    JVM locale — pure codegen expressions over the orders scan."""
     orders = load_table(spark, sf_dir, "orders")
     parts = date_parts(F.col("o_orderdate"))
     return orders.select(
@@ -176,6 +179,8 @@ def date_parts_spanish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def clean_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4-E5: upper+trim text standardization and constant null-fill
+    (reference :164-166, :248-250) — one narrow projection, no shuffle."""
     from sri_spark.functions.cleaning import clean_text
 
     cust = load_table(spark, sf_dir, "customer")
@@ -460,6 +465,9 @@ def agg_conditional_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def metrics_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4/A4-A7: per-year registration counts + revenue rollup (the
+    reference's metricas por anio, :772-783) — partial+final hash
+    aggregate on a year-bounded key space."""
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.groupBy(F.year("o_orderdate").cast("long").alias("Anio"))
@@ -638,6 +646,9 @@ def flagship_star_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def set_ops_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operator surface (UNION distinct + EXCEPT): absent in the
+    reference, required for engine completeness — distinct unions on
+    dimension-sized frames."""
     nation = load_table(spark, sf_dir, "nation").select(F.col("n_name").alias("nombre"))
     region = load_table(spark, sf_dir, "region").select(F.col("r_name").alias("nombre"))
     seg = load_table(spark, sf_dir, "customer").select(

@@ -380,7 +380,12 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_pass,
             n_true,
             n_pass - n_true,
-            round((n_pass - n_true) * 100.0 / n_orders, 4) if n_orders else 0.0,
+            # None (NULL), not 0.0, when orders is empty: DuckDB's x/0 is
+            # NULL and the oracle has no guard — parity on the degenerate
+            # input means matching that NULL
+            round((n_pass - n_true) * 100.0 / n_orders, 4)
+            if n_orders
+            else None,
         )
     ]
     return spark.createDataFrame(

@@ -46,11 +46,21 @@ def build_ivf_index(
     # spark.ml KMeans aborts (ArrayIndexOutOfBounds in KMeansAggregator)
     # when k exceeds the number of DISTINCT points — a guaranteed shape on
     # degenerate slices (one vector replicated). Clamp k via a BOUNDED
-    # probe: distinct over the first 4*k rows only (driver-cheap, never a
-    # full-data pass). If the probe under-counts a genuinely diverse
-    # corpus the index degrades to fewer cells — still correct, just a
-    # larger scan fraction — which is the right failure direction.
-    probe = feat.select("__vec").limit(4 * n_lists).distinct().count()
+    # probe: distinct over the 4*k LOWEST-id rows (TakeOrderedAndProject,
+    # driver-cheap, never a full-data pass) — ordered, because a bare
+    # limit() samples partition-order-dependent rows and would make k_eff
+    # (and therefore the built index) nondeterministic across runs. If
+    # the probe under-counts a genuinely diverse corpus the index
+    # degrades to fewer cells — still correct, just a larger scan
+    # fraction — which is the right failure direction.
+    probe = (
+        feat.select(id_col, "__vec")
+        .orderBy(id_col)
+        .limit(4 * n_lists)
+        .select("__vec")
+        .distinct()
+        .count()
+    )
     k_eff = max(1, min(n_lists, probe))
     if k_eff < 2:
         # spark.ml KMeans rejects k=1 outright; a corpus with a single

@@ -214,6 +214,8 @@ def run_drift_monitor_stream_update(
             r["window_start"]
             for r in batch_df.select("window_start").distinct().collect()
         ]
+        from pyspark.errors import AnalysisException
+
         try:
             stored = spark.read.parquet(hist_dir).filter(
                 F.col("window_start").isin(touched)
@@ -224,7 +226,10 @@ def run_drift_monitor_stream_update(
                 "left_anti",
             )
             merged = kept.unionByName(batch_df)
-        except Exception:  # first batch: no store yet
+        except AnalysisException:  # first batch only: store path missing
+            # any OTHER read failure (corrupt footer, transient FS error)
+            # must propagate — falling back to batch-only rows here would
+            # silently REPLACE the touched windows' stored bins
             merged = batch_df
         merged = merged.persist()
         (

@@ -236,3 +236,47 @@ def test_gini_uniform_revenue_is_zero(spark, tmp_path):
     assert r["n_bins"] == 1
     assert r["n_customers"] == 30
     assert r["gini"] == 0.0
+
+
+def test_km_survival_terminal_allchurn_bucket_hits_zero(spark, tmp_path):
+    """Round-5 review finding: a fully-churned terminal bucket
+    (d == n_risk) made Spark's log(0) -> NULL silently freeze survival
+    while DuckDB's ln(0) RAISES. Both sides now special-case it to -inf
+    -> exp -> exactly 0.0; this pins the Spark half and the cross-engine
+    value on the bucket shape the fixtures never produce."""
+    import datetime as dt
+
+    import duckdb
+
+    from sri_spark.plans.audit_queries import _KM_ORACLE, customers_survival_km
+
+    base = dt.date(2020, 1, 1)
+    rows = []
+    for cust in range(5):  # staggered uncensored lifetimes 1..5 months
+        rows.append((cust * 10 + 1, cust, 100.0, base))
+        rows.append(
+            (cust * 10 + 2, cust, 100.0, base + dt.timedelta(days=30 * (cust + 1)))
+        )
+    # horizon pusher: lifetime-0, censored — keeps everyone else
+    # uncensored so the longest-lifetime bucket exhausts the risk set
+    rows.append((99, 9, 100.0, base + dt.timedelta(days=400)))
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate date"
+    )
+    sf = tmp_path / "km_sf"
+    orders.coalesce(1).write.mode("overwrite").parquet(f"{sf}/orders.parquet")
+
+    got = sorted(
+        (r["lifetime_m"], r["survival"])
+        for r in customers_survival_km(spark, str(sf)).collect()
+    )
+    assert got[-1][1] == 0.0  # terminal bucket: survival exactly zero
+    assert [s for _, s in got] == sorted((s for _, s in got), reverse=True)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{sf}/orders.parquet/*.parquet')"
+    )
+    want = sorted((r[0], r[4]) for r in con.execute(_KM_ORACLE).fetchall())
+    assert got == want

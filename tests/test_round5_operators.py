@@ -171,10 +171,19 @@ def test_snapshot_drift_profiles_every_declared_column(spark, sf_dir):
     rows = governance_snapshot_profile_drift(spark, sf_dir).collect()
     cols = {r["col"] for r in rows}
     assert cols == {"o_totalprice", "o_orderstatus", "o_orderpriority"}
+    def _ord(v):
+        # min/max are STRINGIFIED in the profile; compare numerically
+        # when the column is numeric (lexicographic '999.9' > '49955.17'
+        # would be a false failure), lexicographically otherwise
+        try:
+            return float(v)
+        except ValueError:
+            return v
+
     for r in rows:
         assert r["n_prev"] > 0 and r["n_cur"] > 0
         assert 0.0 <= r["null_rate_prev"] <= 1.0
-        assert r["min_prev"] <= r["max_prev"]
+        assert _ord(r["min_prev"]) <= _ord(r["max_prev"])
 
 
 # --- randomized oracles (hypothesis) ---------------------------------------
