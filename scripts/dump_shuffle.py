@@ -17,6 +17,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import time
 import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -89,8 +90,6 @@ def main() -> None:
         # the status store is fed by an async listener bus: give it a
         # beat so finished stages land in THIS query's snapshot, not the
         # next one's
-        import time
-
         time.sleep(1.5)
         stages = _stages(ui, app)
         fresh = [s for k, s in stages.items() if k not in seen]
