@@ -86,6 +86,10 @@ EXTENDED = [
     "refsql_metrics_por_anio",
     "refsql_metrics_por_marca",
     "refsql_metrics_por_provincia",
+    "dedup_cluster_keep_best",
+    "retrieval_phrase_top_docs",
+    "warehouse_cdc_compaction",
+    "embeddings_matryoshka_fidelity",
     "governance_table_digest",
     "embeddings_pca_top_component",
     "sql_recursive_cte_chain",

@@ -26,8 +26,9 @@ from sri_spark.text.analysis import tokens_col
 
 _TOKS_SQL = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x != '')"
 
-_GOPHER_ORACLE = f"""
-WITH f AS (
+# the Gopher feature CTE, shared by the gate and the rule-attribution
+# oracles so the two reports can never disagree on feature definitions
+_GOPHER_F_CTE = f"""f AS (
   SELECT source,
          len(t)::BIGINT AS n_words,
          CASE WHEN len(t) > 0
@@ -41,7 +42,10 @@ WITH f AS (
               THEN len(regexp_extract_all(text, '[#@~^|\\\\]')) * 1.0 / len(t)
          END AS symbol_per_word
   FROM (SELECT source, text, {_TOKS_SQL} AS t FROM documents)
-),
+)"""
+
+_GOPHER_ORACLE = f"""
+WITH {_GOPHER_F_CTE},
 g AS (
   SELECT f.*,
          (n_words BETWEEN 5 AND 100000
