@@ -526,18 +526,35 @@ def _load_floor_artifact() -> tuple[str, dict] | None:
     return None
 
 
-def regression_block(queries: dict[str, float], calib: float) -> dict | None:
+def regression_block(
+    queries: dict[str, float], calib: float, shuffle_calib: float
+) -> dict | None:
     """Round-3 verdict item 3: the host-normalized per-query comparison
     against the previous round's artifact, embedded IN the artifact so the
     judge never needs median-ratio guesswork. Floor times are scaled by the
     calibration ratio (both artifacts time the same fixed JVM workload);
-    verdict per query: regressed = >2x normalized floor AND >0.5 s slower."""
+    verdict per query: regressed = >2x normalized floor AND >0.5 s slower.
+
+    Host normalization prefers the MULTICORE calibration scalar when the
+    floor recorded one (round-5 verdict item 1: the single-threaded
+    range-sum loop does not track the multicore/shuffle contention that
+    actually varies between hosts for 1.5-3.5 s shuffle-heavy queries —
+    same-code runs drifted 1.3x under it). Floors older than r06 only
+    carry range_sum, so the first round after this change still normalizes
+    by the weaker scalar; every later round uses the shuffle one."""
     loaded = _load_floor_artifact()
     if not loaded:
         return None
     floor_name, floor = loaded
-    fc = (floor.get("calibration") or {}).get("range_sum_500m_sec")
-    host = round(calib / fc, 4) if fc else 1.0
+    floor_cal = floor.get("calibration") or {}
+    fsc = floor_cal.get("shuffle_groupby_sec")
+    fc = floor_cal.get("range_sum_500m_sec")
+    if fsc:
+        host, scalar = round(shuffle_calib / fsc, 4), "shuffle_groupby_sec"
+    elif fc:
+        host, scalar = round(calib / fc, 4), "range_sum_500m_sec"
+    else:
+        host, scalar = 1.0, None
     per_query, counts = {}, {"ok": 0, "regressed": 0, "improved": 0, "new": 0}
     for name, t in sorted(queries.items()):
         base = floor["queries"].get(name)
@@ -559,10 +576,31 @@ def regression_block(queries: dict[str, float], calib: float) -> dict | None:
     return {
         "floor": floor_name,
         "host_factor": host,
-        "calibrated": bool(fc),
+        "calibrated": scalar is not None,
+        "calibration_scalar": scalar,
         "counts": counts,
         "per_query": per_query,
     }
+
+
+def _latest_shuffle_regression() -> dict | None:
+    """The `regression` block of the newest docs/SHUFFLE_r*.json (written
+    and gated by scripts/dump_shuffle.py), surfaced in the bench artifact
+    so the round record carries the deterministic shuffle-bytes verdict
+    alongside the noisy wall-time one."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    paths = sorted(glob.glob(os.path.join(here, "docs", "SHUFFLE_r*.json")))
+    for path in reversed(paths):
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        reg = doc.get("regression")
+        if reg is not None:
+            reg = {"audit": os.path.basename(path), **reg}
+        return reg
+    return None
 
 
 def _timed(fn) -> float:
@@ -572,15 +610,14 @@ def _timed(fn) -> float:
 
 
 def _timed_query(run) -> float:
-    """One timed execution; sub-second queries take the median of three.
-    Round-4 verdict item 6: single-shot timings on <1 s queries drifted
-    1.5-1.8x between the artifact and the judge's re-run — pure jitter —
-    so regression verdicts on them were untrustworthy."""
-    t = _timed(run)
-    if t < 1.0:
-        ts = sorted([t, _timed(run), _timed(run)])
-        t = ts[1]
-    return round(t, 4)
+    """Median of three timed executions — for EVERY query, not just
+    sub-second ones. Round-5 verdict item 1: the 1.5-3.5 s shuffle-heavy
+    queries were single-shot, and two same-code round-5 runs measured them
+    1.3x apart (dedup_ngram_jaccard 1.39x vs 1.82x calibrated), parking
+    five queries one noisy run from a false 2x regression trip. The ~35 s
+    the extra runs cost buys a trustworthy gate."""
+    ts = sorted([_timed(run), _timed(run), _timed(run)])
+    return round(ts[1], 4)
 
 
 def main() -> None:
@@ -638,6 +675,22 @@ def main() -> None:
         _timed(lambda: spark.range(500_000_000).selectExpr("sum(id * 2)").collect())
         for _ in range(3)
     )
+    # multicore twin of the scalar above: a fixed 20M-row / 1M-group hash
+    # shuffle across every core. Wall time for the catalog's shuffle-heavy
+    # queries tracks THIS (cross-core contention, shuffle IO), not the
+    # single-threaded codegen loop — round-5 verdict item 1.
+    shuffle_calib = min(
+        _timed(
+            lambda: spark.range(20_000_000)
+            .selectExpr("id % 1000000 as k", "id as v")
+            .groupBy("k")
+            .sum("v")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        for _ in range(3)
+    )
 
     # ONE gated total covering every benched query (round-3 verdict item 4):
     # a regression in the former `extended` set now moves `value` and gets a
@@ -647,7 +700,9 @@ def main() -> None:
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
-    regression = regression_block(all_timings, round(calib, 4))
+    regression = regression_block(
+        all_timings, round(calib, 4), round(shuffle_calib, 4)
+    )
     # regression verdict FIRST (round-4 verdict item 4: the driver keeps
     # only the output TAIL, so anything that must survive truncation goes
     # last; the human-readable summary can lead)
@@ -667,8 +722,17 @@ def main() -> None:
         "sri_etl_replay_10x": replay_10x,
         "dedup_replay_10x": dedup_replay,
         "ann_recall": recall,
-        "calibration": {"range_sum_500m_sec": round(calib, 4)},
+        "calibration": {
+            "range_sum_500m_sec": round(calib, 4),
+            "shuffle_groupby_sec": round(shuffle_calib, 4),
+        },
         "regression": regression,
+        # deterministic scale-cost gate (round-5 verdict item 2): the
+        # newest committed shuffle audit's >20%-growth verdicts, produced
+        # by scripts/dump_shuffle.py against the prior round's audit.
+        # Shuffle bytes don't jitter with host load, so this gate can't
+        # false-fire the way wall time can.
+        "shuffle_regression": _latest_shuffle_regression(),
         # the per-query dict LAST inside the line, so a truncated tail
         # still carries every raw timing
         "queries": all_timings,

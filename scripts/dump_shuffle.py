@@ -112,20 +112,78 @@ def main() -> None:
         }
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    import glob
-    import re
+    # round derivation is owned by bench._current_round — one definition,
+    # one fallback (a fresh checkout writes SHUFFLE_r01 next to
+    # BENCH_full_r01, never r00)
+    import bench
 
-    rounds = [
-        int(re.search(r"BENCH_r(\d+)", p).group(1))
-        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
-    ]
-    n = (max(rounds) + 1) if rounds else 0
+    n = bench._current_round()
     path = os.path.join(here, "docs", f"SHUFFLE_r{n:02d}.json")
-    doc = {"sf_dir": SF, "unit": "MiB", "queries": out}
+    doc = {
+        "sf_dir": SF,
+        "unit": "MiB",
+        "queries": out,
+        "regression": shuffle_regression_block(here, n, out),
+    }
     with open(path, "w") as f:
         json.dump(doc, f, indent=1)
     print(json.dumps(doc))
     print(f"wrote {path}")
+    reg = doc["regression"]
+    if reg and reg["counts"]["regressed"]:
+        sys.exit(1)
+
+
+def shuffle_regression_block(here: str, this_round: int, out: dict) -> dict | None:
+    """Deterministic scale-cost gate (round-5 verdict item 2): shuffle
+    bytes — unlike wall time — do not jitter with host load, so a >20%
+    growth against the newest committed prior-round audit is a real plan
+    change, not noise. A query regresses if its total shuffle traffic
+    (write + read) grows >20% AND >1 MiB (the absolute floor keeps
+    kilobyte-scale metadata queries from tripping on rounding), or if it
+    spills where the floor recorded zero spill."""
+    import glob
+    import re
+
+    floors = sorted(
+        (int(re.search(r"SHUFFLE_r(\d+)", p).group(1)), p)
+        for p in glob.glob(os.path.join(here, "docs", "SHUFFLE_r*.json"))
+        if int(re.search(r"SHUFFLE_r(\d+)", p).group(1)) < this_round
+    )
+    if not floors:
+        return None
+    floor_round, floor_path = floors[-1]
+    with open(floor_path) as f:
+        floor = json.load(f)["queries"]
+    per_query, counts = {}, {"ok": 0, "regressed": 0, "new": 0}
+    for name, m in sorted(out.items()):
+        base = floor.get(name)
+        if base is None:
+            counts["new"] += 1
+            per_query[name] = "new"
+            continue
+        cur = m["shuffle_write_mb"] + m["shuffle_read_mb"]
+        ref = base["shuffle_write_mb"] + base["shuffle_read_mb"]
+        spilled = (
+            m["spill_disk_mb"] > 0
+            and base.get("spill_disk_mb", 0) == 0
+        )
+        grew = cur > ref * 1.2 and cur - ref > 1.0
+        ratio = round(cur / ref, 2) if ref else None
+        shown = f"{ratio}x" if ratio is not None else "from 0 MiB"
+        if grew or spilled:
+            counts["regressed"] += 1
+            why = "spill" if spilled else shown
+            per_query[name] = f"regressed:{why} ({ref}->{round(cur, 2)} MiB)"
+        else:
+            counts["ok"] += 1
+            per_query[name] = f"ok:{shown}"
+    return {
+        "floor": os.path.basename(floor_path),
+        "threshold": "shuffle(write+read) > 1.2x floor and > +1 MiB, or new spill",
+        "counts": counts,
+        "per_query": per_query,
+    }
 
 
 if __name__ == "__main__":

@@ -64,6 +64,38 @@ def _keep_best_oracle() -> str:
     return _clusters_oracle(extra=extra, final=final)
 
 
+def keep_best_members(docs: DataFrame) -> DataFrame:
+    """(cluster_id, doc_id, quality, rk) for every member of every
+    near-dup cluster over `docs` (doc_id, text, ...): MinHash-LSH
+    candidate pairs closed under large-star/small-star connected
+    components, one quality pass over clustered docs only, and a
+    per-cluster ranking window (frames bounded by cluster size — no
+    all-pairs, no global sort). rk = 1 marks the keeper (highest quality,
+    ties to lowest doc_id). Shared by the dedup_cluster_keep_best catalog
+    query and the composed corpus pipeline (etl/corpus_pipeline.py), so
+    the two cannot drift apart."""
+    from sri_spark.dedup.components import connected_components_star
+    from sri_spark.dedup.minhash import minhash_lsh_pairs
+    from sri_spark.plans.dedup_queries import JACCARD_THRESHOLD
+
+    pairs = minhash_lsh_pairs(docs, threshold=JACCARD_THRESHOLD)
+    # large-star/small-star CC: measured 3x faster than min-label
+    # propagation on this graph at sf0.1, and the O(log^2 n) round bound
+    # is the one that holds on adversarial diameters at 100 TB
+    comp = connected_components_star(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    q = docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+    return comp.join(q, "doc_id").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("cluster_id").orderBy(
+                F.desc("quality"), F.asc("doc_id")
+            )
+        ),
+    )
+
+
 @register("dedup_cluster_keep_best", _keep_best_oracle())
 def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware canonical selection: for every near-duplicate cluster
@@ -79,27 +111,8 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the clustered docs only, and a per-cluster window (frames
     bounded by cluster size). Oracle: the recursive-CTE closure with the
     same rank rule."""
-    from sri_spark.dedup.components import connected_components_star
-    from sri_spark.dedup.minhash import minhash_lsh_pairs
-    from sri_spark.plans.dedup_queries import JACCARD_THRESHOLD
-
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, threshold=JACCARD_THRESHOLD)
-    # large-star/small-star CC: measured 3x faster than min-label
-    # propagation on this graph at sf0.1, and the O(log^2 n) round bound
-    # is the one that holds on adversarial diameters at 100 TB
-    comp = connected_components_star(pairs).select(
-        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
-    )
-    q = docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
-    ranked = comp.join(q, "doc_id").withColumn(
-        "rk",
-        F.row_number().over(
-            Window.partitionBy("cluster_id").orderBy(
-                F.desc("quality"), F.asc("doc_id")
-            )
-        ),
-    )
+    ranked = keep_best_members(docs)
     return ranked.groupBy("cluster_id").agg(
         F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).alias("keep_doc_id"),
         F.count("*").cast("long").alias("n_members"),

@@ -129,20 +129,22 @@ def run_drift_monitor_stream(
     sink_dir: str,
     ref: list[tuple[int, float]],
 ) -> None:
-    """Stream the events directory through the windowed histogram and
-    score each micro-batch's complete window set against `ref`, writing
-    the per-window drift table to `sink_dir` as an idempotent overwrite.
+    """TEST TWIN, not the production entry point — deploy
+    ``run_drift_monitor_stream_update`` (aliased ``run_drift_monitor``)
+    instead. This variant streams the events directory through the
+    windowed histogram and scores each micro-batch's complete window set
+    against `ref`, writing the per-window drift table to `sink_dir` as an
+    idempotent overwrite.
 
     Output mode is `complete`, which means Spark retains aggregation
     state for EVERY window the stream has ever seen regardless of the
     watermark — state, per-batch recompute, and the overwritten sink all
-    grow with the stream's total window count over its lifetime. That is
-    acceptable here because the monitor is meant for bounded replays /
-    finite availableNow runs (the trigger below); for an unbounded 24/7
-    deployment use run_drift_monitor_stream_update below — update mode
-    with a merge-style idempotent sink keyed by window, so the watermark
-    evicts closed windows and state stays at
-    (windows-in-watermark x n_bins)."""
+    grow with the stream's total window count over its lifetime. It is
+    kept because its keep-everything semantics make it the simplest
+    batch-equals-stream oracle for bounded replays / finite availableNow
+    runs (tests/test_streaming_drift.py); an unbounded 24/7 deployment
+    must use the update-mode variant, whose watermark evicts closed
+    windows and bounds state at (windows-in-watermark x n_bins)."""
     from sri_spark.streaming.jobs import read_events_stream
 
     stream = read_events_stream(spark, events_dir)
@@ -174,7 +176,8 @@ def run_drift_monitor_stream_update(
     sink_dir: str,
     ref: list[tuple[int, float]],
 ) -> None:
-    """The unbounded-deployment variant of run_drift_monitor_stream:
+    """THE production entry point (aliased ``run_drift_monitor``) — the
+    unbounded-deployment variant of run_drift_monitor_stream:
     `update` output mode + a MERGE-style idempotent sink, so streaming
     state really is bounded at (windows-in-watermark x n_bins) — the
     watermark evicts closed windows instead of `complete` mode's
@@ -203,9 +206,12 @@ def run_drift_monitor_stream_update(
     def _merge_and_score(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        # key the store on an ISO STRING: a timestamp partition column
-        # round-trips through directory names with engine-dependent type
-        # inference, a string is stable (the catalog's date discipline)
+        # key the store on an ISO STRING so every engine/tool reading the
+        # directory names sees the same lexical key (the catalog's date
+        # discipline). NOTE: Spark's partition-column type inference reads
+        # the value back as TIMESTAMP anyway (verified empirically), so the
+        # read below re-normalizes explicitly rather than leaning on
+        # implicit string<->timestamp union coercion.
         batch_df = batch_df.withColumn(
             "window_start",
             F.date_format("window_start", "yyyy-MM-dd HH:mm:ss"),
@@ -217,8 +223,22 @@ def run_drift_monitor_stream_update(
         from pyspark.errors import AnalysisException
 
         try:
-            stored = spark.read.parquet(hist_dir).filter(
-                F.col("window_start").isin(touched)
+            # filter FIRST on the raw partition column (partition pruning:
+            # only touched window directories are listed/read), THEN force
+            # the column back to the canonical ISO string — partition type
+            # inference returns TIMESTAMP here, and the union/join with
+            # batch_df's string key must not depend on coercion rules or
+            # timezone handling. The cast is a no-op if inference is off.
+            stored = (
+                spark.read.parquet(hist_dir)
+                .filter(F.col("window_start").isin(touched))
+                .withColumn(
+                    "window_start",
+                    F.date_format(
+                        F.col("window_start").cast("timestamp"),
+                        "yyyy-MM-dd HH:mm:ss",
+                    ),
+                )
             )
             kept = stored.join(
                 batch_df.select("window_start", "bin"),
@@ -231,7 +251,15 @@ def run_drift_monitor_stream_update(
             # must propagate — falling back to batch-only rows here would
             # silently REPLACE the touched windows' stored bins
             merged = batch_df
-        merged = merged.persist()
+        # break the read-modify-overwrite cycle EXPLICITLY: localCheckpoint
+        # materializes the merged frame and severs its lineage to hist_dir
+        # before the dynamic overwrite commits, so no task retry or
+        # cache-block loss can ever re-plan a scan of the store mid-rewrite
+        # (a plain persist only makes that ordering likely, not guaranteed).
+        # A lost checkpoint block fails the batch; availableNow + the
+        # checkpointed offsets replay it, and the partition overwrite is
+        # idempotent, so the failure mode is a retry, not corruption.
+        merged = merged.localCheckpoint(eager=True)
         (
             merged.repartition("window_start")
             .write.mode("overwrite")
@@ -247,8 +275,8 @@ def run_drift_monitor_stream_update(
             .partitionBy("window_start")
             .parquet(scores_dir)
         )
-        merged.unpersist()
-        batch_df.unpersist()
+        batch_df.unpersist()  # checkpoint blocks are freed by the
+        # ContextCleaner once `merged` goes out of scope
 
     q = (
         hist.writeStream.foreachBatch(_merge_and_score)
@@ -258,3 +286,8 @@ def run_drift_monitor_stream_update(
         .start()
     )
     q.awaitTermination()
+
+
+# The name deployments should reach for: bounded state, idempotent
+# merge sink. The `complete`-mode twin above exists for tests/replays.
+run_drift_monitor = run_drift_monitor_stream_update
