@@ -290,6 +290,12 @@ def ann_recall(spark) -> dict:
     return {
         "k": K,
         "n_queries": len(qids),
+        # round-5 verdict item 7: the organic fixture's neighbors are
+        # near-random (true top-10 cosines ~0.3-0.4), so these recall
+        # numbers track the fixture, not the index — informational only.
+        # The BINDING recall gate is the planted block
+        # (ann_recall.planted, tests/test_ann_planted.py, >= PLANTED_RECALL_MIN).
+        "advisory": True,
         "brute_sec": round(brute_sec, 4),
         "lsh": lsh_curve,
         "ivf": {
@@ -334,6 +340,32 @@ def _current_round() -> int:
     return (max(driver_rounds) + 1) if driver_rounds else 1
 
 
+def _salted_docs_corpus(spark, n_copies: int):
+    """(base_1x_salted, n_copies_corpus, base_rows): `n_copies` copies of
+    `documents` with every token salted by its copy index (regexp, no
+    Python UDF) — each copy keeps the original's internal near-dup
+    structure while copies share NO shingles, i.e. a corpus n_copies
+    bigger at the SAME duplication rate. Shared by dedup_replay_10x and
+    keepbest_replay_10x."""
+    from pyspark.sql import functions as F
+
+    from sri_spark.sources.testdata import load_table
+
+    base = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    n1 = base.count()
+    copies = [
+        base.select(
+            (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+            F.regexp_replace("text", r"(\S+)", f"$1_{i}").alias("text"),
+        )
+        for i in range(n_copies)
+    ]
+    corpus = copies[0]
+    for c in copies[1:]:
+        corpus = corpus.unionByName(c)
+    return copies[0], corpus, n1
+
+
 def dedup_replay_10x(spark) -> dict:
     """Round-4 verdict item 9: the LSH dedup path's analogue of
     sri_etl_replay_10x — run dedup_minhash_lsh's operator
@@ -375,20 +407,9 @@ def dedup_replay_10x(spark) -> dict:
         )
         return {"sec": round(sec, 4), "candidates": n_cand, "pairs": n_pairs}
 
-    base = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
-    n1 = base.count()
-    copies = [
-        base.select(
-            (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
-            F.regexp_replace("text", r"(\S+)", f"$1_{i}").alias("text"),
-        )
-        for i in range(10)
-    ]
-    corpus10 = copies[0]
-    for c in copies[1:]:
-        corpus10 = corpus10.unionByName(c)
+    one_x, corpus10, n1 = _salted_docs_corpus(spark, 10)
 
-    one = measure(copies[0])  # salted 1x twin: same text shape as the 10x
+    one = measure(one_x)  # salted 1x twin: same text shape as the 10x
     ten = measure(corpus10)
     from sri_spark.operators.caching import unpersist_all
 
@@ -405,6 +426,12 @@ def dedup_replay_10x(spark) -> dict:
         ),
         "time_growth": round(ten["sec"] / one["sec"], 4) if one["sec"] else None,
     }
+
+
+# the one binding ANN recall contract: tests/test_ann_planted.py fails CI
+# when either path's planted recall drops below this; the organic
+# ann_recall curve is marked advisory and gates nothing (round-5 item 7)
+PLANTED_RECALL_MIN = 0.9
 
 
 def ann_planted(spark) -> dict:
@@ -474,6 +501,8 @@ def ann_planted(spark) -> dict:
     return {
         "n_clusters": n_clusters,
         "per_cluster": per_cluster,
+        "binding": True,
+        "recall_min_contract": PLANTED_RECALL_MIN,
         "lsh_hamming3": {
             "recall": round(lsh_hits / denom, 4),
             "sec": round(lsh_sec, 4),
@@ -483,6 +512,259 @@ def ann_planted(spark) -> dict:
             "sec": round(ivf_sec, 4),
         },
     }
+
+
+def events_replay_10x(spark) -> dict:
+    """Round-5 verdict item 3: the state/window family's measured growth
+    curve. Ten copies of `events` with user_id/event_id shifted per copy —
+    every copy keeps the original per-user event streams, so the 10x
+    corpus has 10x users with IDENTICAL session structure. Sessionize cost
+    must scale with rows (per-user window partitions, no global sort);
+    window-agg with rows (same window grid, 10x counts). Superlinear
+    growth would mean a global sort or skew crept into the plan."""
+    from pyspark.sql import functions as F
+
+    from sri_spark.plans.events_queries import sessionize
+    from sri_spark.sources.testdata import load_table
+
+    base = load_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    n1 = base.count()
+
+    def corpus(n_copies):
+        copies = [
+            base.select(
+                (F.col("event_id") + F.lit(i * 100_000_000_000)).alias("event_id"),
+                "ts",
+                (F.col("user_id") + F.lit(i * 100_000_000)).alias("user_id"),
+                "event_type",
+                "value",
+            )
+            for i in range(n_copies)
+        ]
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        return out
+
+    def window_agg(df):
+        return df.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+
+    out = {"rows_1x": n1, "rows_10x": n1 * 10}
+    for label, df in (("one_x", corpus(1)), ("ten_x", corpus(10))):
+        t0 = time.perf_counter()
+        n_sessions = sessionize(df).count()
+        sess_sec = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n_windows = window_agg(df).count()
+        win_sec = time.perf_counter() - t0
+        out[label] = {
+            "sessionize_sec": round(sess_sec, 4),
+            "n_sessions": n_sessions,
+            "window_agg_sec": round(win_sec, 4),
+            "n_window_rows": n_windows,
+        }
+    out["sessionize_time_growth"] = round(
+        out["ten_x"]["sessionize_sec"] / out["one_x"]["sessionize_sec"], 4
+    )
+    out["window_agg_time_growth"] = round(
+        out["ten_x"]["window_agg_sec"] / out["one_x"]["window_agg_sec"], 4
+    )
+    return out
+
+
+def graph_replay_10x(spark) -> dict:
+    """Round-5 verdict item 3 for the slowest catalog query
+    (graph_pagerank_trade): PageRank over 10 disjoint shifted copies of
+    the customer-supplier trade graph — 10x nodes, 10x edges, identical
+    diameter, so per-round shuffle volume should scale ~linearly and the
+    round count stays fixed. The dst-partitioned persisted-arcs plan is
+    exactly the catalog query's (graph/pagerank.py)."""
+    from pyspark.sql import functions as F
+
+    from sri_spark.graph.pagerank import pagerank
+    from sri_spark.operators.caching import unpersist_all
+    from sri_spark.plans.graph_queries import PR_ITERS
+    from sri_spark.sources.testdata import load_table
+
+    orders = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    pairs = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("c_id"),
+            (F.col("l_suppkey") * 2 + 1).alias("s_id"),
+        )
+        .distinct()
+        .persist()
+    )
+    n_pairs = pairs.count()
+
+    def run(n_copies) -> dict:
+        shifted = [
+            pairs.select(
+                (F.col("c_id") + F.lit(i * 1_000_000_000)).alias("c_id"),
+                (F.col("s_id") + F.lit(i * 1_000_000_000)).alias("s_id"),
+            )
+            for i in range(n_copies)
+        ]
+        p = shifted[0]
+        for c in shifted[1:]:
+            p = p.unionByName(c)
+        edges = p.select(
+            F.col("c_id").alias("src"), F.col("s_id").alias("dst")
+        ).union(p.select(F.col("s_id").alias("src"), F.col("c_id").alias("dst")))
+        t0 = time.perf_counter()
+        n_nodes = pagerank(edges, iterations=PR_ITERS).count()
+        sec = time.perf_counter() - t0
+        unpersist_all()  # pagerank's per-round scoped persists
+        return {"sec": round(sec, 4), "n_nodes": n_nodes}
+
+    one, ten = run(1), run(10)
+    pairs.unpersist()
+    return {
+        "edges_1x": n_pairs * 2,
+        "edges_10x": n_pairs * 20,
+        "iterations": PR_ITERS,
+        "one_x": one,
+        "ten_x": ten,
+        "time_growth": round(ten["sec"] / one["sec"], 4) if one["sec"] else None,
+    }
+
+
+def ann_replay_10x(spark) -> dict:
+    """Round-5 verdict item 3 for the ANN probe path: per-query latency of
+    both serving paths on the embeddings table and on a 10x replica
+    (vec_id-shifted copies — identical directions land in identical
+    buckets, so bucket occupancy and the exact-rerank candidate set grow
+    exactly 10x: the worst case for probe cost). LSH probes here include
+    corpus signing (the catalog query's own shape, no prebuilt index);
+    IVF reports index build and probe separately, as in serving."""
+    from pyspark.sql import functions as F
+
+    from sri_spark.similarity.ivf import build_ivf_index, ivf_probe
+    from sri_spark.similarity.lsh import rp_ann_topk
+    from sri_spark.sources.testdata import load_table
+
+    base = load_table(spark, SF_DIR, "embeddings")
+    n1 = base.count()
+    ids = [r[0] for r in base.select("vec_id").orderBy("vec_id").collect()]
+    qids = [ids[(i * len(ids)) // 5] for i in range(5)]
+    K = 10
+
+    def corpus(n_copies):
+        copies = [
+            base.select(
+                (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+                "embedding",
+            )
+            for i in range(n_copies)
+        ]
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        return out
+
+    out = {"rows_1x": n1, "rows_10x": n1 * 10, "k": K, "n_queries": len(qids)}
+    for label, n_copies in (("one_x", 1), ("ten_x", 10)):
+        emb = corpus(n_copies).persist()
+        emb.count()
+        t0 = time.perf_counter()
+        for qid in qids:
+            rp_ann_topk(emb, qid, k=K, hamming=3).collect()
+        lsh_sec = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        model, indexed = build_ivf_index(emb, n_lists=16)
+        indexed = indexed.persist()
+        indexed.count()
+        centroids = [
+            (i, [float(x) for x in c])
+            for i, c in enumerate(model.clusterCenters())
+        ]
+        ivf_build_sec = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for qid in qids:
+            ivf_probe(indexed, centroids, qid, k=K, n_probe=4).collect()
+        ivf_probe_sec = time.perf_counter() - t0
+        indexed.unpersist()
+        emb.unpersist()
+        out[label] = {
+            "lsh_probe_sec_per_query": round(lsh_sec / len(qids), 4),
+            "ivf_build_sec": round(ivf_build_sec, 4),
+            "ivf_probe_sec_per_query": round(ivf_probe_sec / len(qids), 4),
+        }
+    for key in ("lsh_probe_sec_per_query", "ivf_probe_sec_per_query"):
+        out[key.replace("_sec_per_query", "_time_growth")] = round(
+            out["ten_x"][key] / out["one_x"][key], 4
+        )
+    return out
+
+
+def keepbest_replay_10x(spark) -> dict:
+    """Round-5 verdict item 3 for the slowest new catalog query
+    (dedup_cluster_keep_best): LSH pairs -> star-CC -> per-cluster
+    keep-best over the salted 1x/10x documents corpora
+    (_salted_docs_corpus: 10x docs at the same duplication rate, no
+    cross-copy shingles). Healthy growth is ~linear in candidates —
+    banding keys every join, CC rounds depend on cluster diameter, not
+    corpus size."""
+    from pyspark.sql import functions as F
+
+    from sri_spark.operators.caching import unpersist_all
+    from sri_spark.plans.curation_extra_queries import keep_best_members
+
+    def measure(docs) -> dict:
+        t0 = time.perf_counter()
+        n_clusters = (
+            keep_best_members(docs)
+            .groupBy("cluster_id")
+            .agg(F.count("*").alias("n_members"))
+            .count()
+        )
+        sec = time.perf_counter() - t0
+        unpersist_all()
+        return {"sec": round(sec, 4), "n_clusters": n_clusters}
+
+    one_x, corpus10, n1 = _salted_docs_corpus(spark, 10)
+    one = measure(one_x)
+    ten = measure(corpus10)
+    return {
+        "rows_1x": n1,
+        "rows_10x": n1 * 10,
+        "one_x": one,
+        "ten_x": ten,
+        "cluster_growth": (
+            round(ten["n_clusters"] / one["n_clusters"], 4)
+            if one["n_clusters"]
+            else None
+        ),
+        "time_growth": round(ten["sec"] / one["sec"], 4) if one["sec"] else None,
+    }
+
+
+def corpus_pipeline_replay(spark) -> dict:
+    """Round-5 verdict item 6: the composed LLM-corpus pipeline (langID ->
+    quality -> exact dedup -> keep-best -> decontaminate -> budget -> pack
+    -> shard export) as ONE measured run over the sf documents fixture —
+    the mandate surface's analogue of sri_etl_replay. Per-stage
+    rows-in/rows-out/seconds; stage counts are pinned to the individual
+    catalog queries by tests/test_corpus_pipeline.py."""
+    import shutil
+
+    from sri_spark.etl.corpus_pipeline import run_corpus_pipeline
+    from sri_spark.operators.caching import unpersist_all
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+    out_dir = os.path.join(cache, "corpus_shards")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    result = run_corpus_pipeline(spark, SF_DIR, out_dir)
+    unpersist_all()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return result
 
 
 def _load_floor_artifact() -> tuple[str, dict] | None:
@@ -666,6 +948,13 @@ def main() -> None:
     recall = ann_recall(spark)
     recall["planted"] = ann_planted(spark)
     dedup_replay = dedup_replay_10x(spark)
+    # round-5 verdict item 3: measured 10x growth curves for the remaining
+    # headline families (ETL and LSH-dedup already had them above)
+    events_replay = events_replay_10x(spark)
+    graph_replay = graph_replay_10x(spark)
+    ann_replay = ann_replay_10x(spark)
+    keepbest_replay = keepbest_replay_10x(spark)
+    corpus_replay = corpus_pipeline_replay(spark)
 
     # CPU self-calibration: a fixed JVM-side workload whose time depends only
     # on host speed, not on this repo's code. Cross-round bench comparisons
@@ -721,6 +1010,11 @@ def main() -> None:
         "sri_etl_replay": replay,
         "sri_etl_replay_10x": replay_10x,
         "dedup_replay_10x": dedup_replay,
+        "events_replay_10x": events_replay,
+        "graph_replay_10x": graph_replay,
+        "ann_replay_10x": ann_replay,
+        "keepbest_replay_10x": keepbest_replay,
+        "corpus_pipeline_replay": corpus_replay,
         "ann_recall": recall,
         "calibration": {
             "range_sum_500m_sec": round(calib, 4),

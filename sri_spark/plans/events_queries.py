@@ -73,7 +73,14 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity): lag + cumulative-sum
     window, then per-session rollup — the classic batch sessionizer. Windows
     partition by user_id, so the sort is per-user, not global."""
-    ev = load_table(spark, sf_dir, "events")
+    return sessionize(load_table(spark, sf_dir, "events"))
+
+
+def sessionize(ev: DataFrame) -> DataFrame:
+    """The DF-level sessionizer the catalog query and the bench 10x replay
+    share: per-user lag/cumsum windows over (ts, event_id), then the
+    per-session rollup. Cost scales with rows within each user partition —
+    no global sort anywhere."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = ev.withColumn(
         "new_session",

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import pytest
 
-from bench import ann_planted
+from bench import PLANTED_RECALL_MIN, ann_planted
 
 
 @pytest.fixture(scope="module")
@@ -24,8 +24,26 @@ def planted(spark):
 
 
 def test_lsh_multiprobe_recall_on_planted_clusters(planted):
-    assert planted["lsh_hamming3"]["recall"] >= 0.9, planted
+    assert planted["lsh_hamming3"]["recall"] >= PLANTED_RECALL_MIN, planted
 
 
 def test_ivf_probe_recall_on_planted_clusters(planted):
-    assert planted["ivf_probe4"]["recall"] >= 0.9, planted
+    assert planted["ivf_probe4"]["recall"] >= PLANTED_RECALL_MIN, planted
+
+
+def test_planted_is_the_binding_gate_and_organic_is_advisory():
+    """Round-5 verdict item 7: the bench artifact schema must mark the
+    organic recall curve advisory and the planted block binding, so a
+    regression in planted recall fails CI (the two tests above) while
+    organic drift — which tracks the fixture, not the index — never
+    does. Checked structurally here so a bench refactor cannot silently
+    flip which block gates."""
+    import inspect
+
+    import bench
+
+    planted_src = inspect.getsource(bench.ann_planted)
+    organic_src = inspect.getsource(bench.ann_recall)
+    assert '"recall_min_contract": PLANTED_RECALL_MIN' in planted_src
+    assert '"binding": True' in planted_src
+    assert '"advisory": True' in organic_src
