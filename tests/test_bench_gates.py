@@ -1,0 +1,113 @@
+"""Unit tests for the two bench regression gates (round-5 verdict items
+1-2): the wall-time block's calibration-scalar preference and the
+deterministic shuffle-bytes gate. Pure Python — no Spark session — so the
+gate logic itself is pinned, not just observed through round artifacts."""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load(name: str, path: str):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _dump_shuffle():
+    return _load("dump_shuffle", os.path.join(REPO, "scripts", "dump_shuffle.py"))
+
+
+def _mk_floor(tmp_path, round_n, queries):
+    doc = {"sf_dir": "x", "unit": "MiB", "queries": queries}
+    d = tmp_path / "docs"
+    d.mkdir(exist_ok=True)
+    with open(d / f"SHUFFLE_r{round_n:02d}.json", "w") as f:
+        json.dump(doc, f)
+    return str(tmp_path)
+
+
+BASE = {
+    "shuffle_write_mb": 10.0,
+    "shuffle_read_mb": 10.0,
+    "spill_disk_mb": 0,
+    "spill_mem_mb": 0,
+}
+
+
+def test_shuffle_gate_flags_growth_and_spill(tmp_path):
+    ds = _dump_shuffle()
+    here = _mk_floor(tmp_path, 5, {"q_ok": BASE, "q_grew": BASE, "q_spill": BASE})
+    out = {
+        "q_ok": {**BASE, "shuffle_write_mb": 11.0},  # +5%: fine
+        "q_grew": {**BASE, "shuffle_write_mb": 20.0},  # +50% and +10 MiB
+        "q_spill": {**BASE, "spill_disk_mb": 3.0},  # new spill
+        "q_new": BASE,
+    }
+    reg = ds.shuffle_regression_block(here, 6, out)
+    assert reg["counts"] == {"ok": 1, "regressed": 2, "new": 1}
+    assert reg["per_query"]["q_grew"].startswith("regressed:1.5x")
+    assert reg["per_query"]["q_spill"].startswith("regressed:spill")
+    assert reg["per_query"]["q_new"] == "new"
+    assert reg["floor"] == "SHUFFLE_r05.json"
+
+
+def test_shuffle_gate_absolute_floor_protects_tiny_queries(tmp_path):
+    """A kilobyte-scale query tripling its shuffle is rounding noise, not
+    a plan change — the +1 MiB absolute floor must hold it back."""
+    ds = _dump_shuffle()
+    tiny = {**BASE, "shuffle_write_mb": 0.1, "shuffle_read_mb": 0.1}
+    here = _mk_floor(tmp_path, 5, {"q_tiny": tiny})
+    out = {"q_tiny": {**tiny, "shuffle_write_mb": 0.6}}  # 3.5x but +0.5 MiB
+    reg = ds.shuffle_regression_block(here, 6, out)
+    assert reg["counts"]["regressed"] == 0
+
+
+def test_shuffle_gate_uses_newest_prior_round_only(tmp_path):
+    ds = _dump_shuffle()
+    here = _mk_floor(tmp_path, 4, {"q": BASE})
+    _mk_floor(tmp_path, 5, {"q": {**BASE, "shuffle_write_mb": 40.0}})
+    # current round 6 must diff against r05 (the 40 MiB floor), not r04
+    reg = ds.shuffle_regression_block(here, 6, {"q": {**BASE, "shuffle_write_mb": 41.0}})
+    assert reg["floor"] == "SHUFFLE_r05.json"
+    assert reg["counts"]["regressed"] == 0
+    # and ignores same/future rounds entirely
+    assert ds.shuffle_regression_block(here, 4, {"q": BASE}) is None
+
+
+def test_walltime_gate_prefers_multicore_scalar(monkeypatch):
+    import bench
+
+    floor = {
+        "queries": {"q": 1.0},
+        "calibration": {"range_sum_500m_sec": 0.1, "shuffle_groupby_sec": 2.0},
+    }
+    monkeypatch.setattr(
+        bench, "_load_floor_artifact", lambda: ("BENCH_full_rXX.json", floor)
+    )
+    # multicore scalar says this host is 1.5x slower; the single-threaded
+    # scalar would claim 3x. A 1.6 s run is "ok" under the multicore
+    # normalization (floor 1.5 s) and must use that scalar.
+    reg = bench.regression_block({"q": 1.6}, calib=0.3, shuffle_calib=3.0)
+    assert reg["calibration_scalar"] == "shuffle_groupby_sec"
+    assert reg["host_factor"] == 1.5
+    assert reg["per_query"]["q"].startswith("ok:")
+
+
+def test_walltime_gate_falls_back_to_singlecore_scalar(monkeypatch):
+    import bench
+
+    floor = {"queries": {"q": 1.0}, "calibration": {"range_sum_500m_sec": 0.1}}
+    monkeypatch.setattr(
+        bench, "_load_floor_artifact", lambda: ("BENCH_full_r05.json", floor)
+    )
+    reg = bench.regression_block({"q": 1.0}, calib=0.1, shuffle_calib=5.0)
+    assert reg["calibration_scalar"] == "range_sum_500m_sec"
+    assert reg["host_factor"] == 1.0
