@@ -26,7 +26,12 @@ Fixture choices that keep the two engines value-identical:
   drift on a 60k-row aggregate, and no BIGINT-vs-HUGEINT sum dtype skew),
   and AVG agrees through the harness' 6-decimal rounding.
 - The LIMIT 10 / LIMIT 5 cuts were checked tie-free at the driver's
-  sf0.01, so the selected row SET is engine-independent.
+  sf0.01, so the selected row SET is engine-independent there. At the
+  local pytest harness' sf0.001, refsql_metrics_por_marca has a 3-way
+  total_registros tie spanning the LIMIT-10 boundary (ranks 9-11), so
+  the local comparison treats boundary-valued rows count-only
+  (tests/oracle_harness.py::TIE_BOUNDED_LIMIT) — the statement is
+  verbatim, so no deterministic tiebreak may be added to it.
 """
 
 from __future__ import annotations

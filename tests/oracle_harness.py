@@ -50,6 +50,17 @@ def _norm(v):
     return (4, str(v))
 
 
+# Verbatim-reference LIMIT queries whose ORDER BY key can TIE across the
+# cut at this harness' tiny sf0.001 (refsql_metrics_por_marca: a 3-way
+# total_registros=253 tie spans ranks 9-11, so the selected top-10 SET is
+# legitimately engine-dependent there). The statement is byte-verbatim
+# from the reference so no deterministic tiebreak can be added; instead
+# rows AT the boundary value are compared by count only, everything above
+# it exactly. The driver's gate runs at sf0.01, where the cut was checked
+# tie-free — this relaxation applies only to the local replica.
+TIE_BOUNDED_LIMIT = {"refsql_metrics_por_marca": "total_registros"}
+
+
 def compare_query(spark, name: str, query_fn, oracle: str, sf_dir: str) -> None:
     sdf = query_fn(spark, sf_dir)
     spark_cols = sorted(sdf.columns)
@@ -66,6 +77,15 @@ def compare_query(spark, name: str, query_fn, oracle: str, sf_dir: str) -> None:
     assert len(spark_rows) == len(oracle_rows), (
         f"{name}: row count mismatch spark={len(spark_rows)} oracle={len(oracle_rows)}"
     )
+    if name in TIE_BOUNDED_LIMIT and spark_rows:
+        idx = spark_cols.index(TIE_BOUNDED_LIMIT[name])
+        s_edge = min(r[idx] for r in spark_rows)
+        o_edge = min(r[idx] for r in oracle_rows)
+        assert s_edge == o_edge, f"{name}: boundary value differs {s_edge} vs {o_edge}"
+        s_keep = [r for r in spark_rows if r[idx] != s_edge]
+        o_keep = [r for r in oracle_rows if r[idx] != o_edge]
+        assert len(s_keep) == len(o_keep), f"{name}: tied-boundary row counts differ"
+        spark_rows, oracle_rows = s_keep, o_keep
     for i, (s, o) in enumerate(zip(sorted(spark_rows), sorted(oracle_rows))):
         assert _rows_close(s, o), f"{name}: row {i} mismatch\n spark={s}\n oracle={o}"
 
