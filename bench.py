@@ -752,7 +752,11 @@ def corpus_pipeline_replay(spark) -> dict:
     -> shard export) as ONE measured run over the sf documents fixture —
     the mandate surface's analogue of sri_etl_replay. Per-stage
     rows-in/rows-out/seconds; stage counts are pinned to the individual
-    catalog queries by tests/test_corpus_pipeline.py."""
+    catalog queries by tests/test_corpus_pipeline.py (at the catalog's
+    3-gram decontamination grain). The replay runs the PRODUCTION
+    13-gram decontamination grain — ANY-3-gram overlap flags 100% of the
+    phrase-repetitive fixture at sf0.1, which would zero out the
+    budget/pack/export tail this block exists to measure."""
     import shutil
 
     from sri_spark.etl.corpus_pipeline import run_corpus_pipeline
@@ -761,7 +765,7 @@ def corpus_pipeline_replay(spark) -> dict:
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
     out_dir = os.path.join(cache, "corpus_shards")
     shutil.rmtree(out_dir, ignore_errors=True)
-    result = run_corpus_pipeline(spark, SF_DIR, out_dir)
+    result = run_corpus_pipeline(spark, SF_DIR, out_dir, decontaminate_ngram=13)
     unpersist_all()
     shutil.rmtree(out_dir, ignore_errors=True)
     return result

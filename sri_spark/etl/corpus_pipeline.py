@@ -57,12 +57,29 @@ N_EXPORT_SHARDS = 8
 
 
 def run_corpus_pipeline(
-    spark: SparkSession, sf_dir: str, export_dir: str
+    spark: SparkSession,
+    sf_dir: str,
+    export_dir: str,
+    *,
+    decontaminate_ngram: int = 3,
 ) -> dict:
     """Run the full curation pipeline over `sf_dir`'s documents table,
     exporting training shards to `export_dir`. Returns
     {"stages": [{stage, n_in, n_out, sec}...], "total_sec", "n_shards",
-    "packed_sequences"} — rows-in/rows-out/seconds per stage."""
+    "packed_sequences"} — rows-in/rows-out/seconds per stage.
+
+    `decontaminate_ngram` is the overlap grain of the benchmark-
+    decontamination stage. The default 3 matches the corpus_decontaminate
+    catalog query and its DuckDB oracle exactly (the parity contract
+    tests/test_corpus_pipeline.py pins at sf0.01). Production corpora
+    decontaminate on much longer spans — the GPT-3 paper used 13-gram
+    overlap — because on a phrase-repetitive corpus ANY-3-gram overlap
+    flags essentially everything (measured: 100% of sf0.1 training docs
+    share a 3-gram with the 3% bench slice; at 13-gram it is 18 of
+    4,833). The bench replay runs the production grain so the
+    budget/pack/export tail is exercised on real volume. Every stage is
+    empty-safe: a filter that drops all rows yields an empty (schema'd)
+    export, not a failure."""
     from sri_spark.plans.curation_extra_queries import keep_best_members
     from sri_spark.plans.curation_queries import (
         QUALITY_FLOOR,
@@ -151,13 +168,15 @@ def run_corpus_pipeline(
     ) % 100
     bench_docs = docs.filter(bench_bucket < BENCH_PCT).select("doc_id", "text")
     bench_sh = (
-        shingle_hashes_df(bench_docs, "text", "doc_id")
+        shingle_hashes_df(bench_docs, "text", "doc_id", n=decontaminate_ngram)
         .select("shingle_h")
         .distinct()
     )
     train = s_neardup.filter(bench_bucket >= BENCH_PCT)
     contaminated = (
-        shingle_hashes_df(train.select("doc_id", "text"), "text", "doc_id")
+        shingle_hashes_df(
+            train.select("doc_id", "text"), "text", "doc_id", n=decontaminate_ngram
+        )
         .join(bench_sh, "shingle_h", "left_semi")
         .select("doc_id")
         .distinct()
@@ -195,13 +214,16 @@ def run_corpus_pipeline(
     # deterministic shard export (sources/export.py): hash membership,
     # per-shard local sort, idempotent overwrite
     t0 = time.perf_counter()
-    write_training_shards(
-        s_packed.select("doc_id", "lang", "source", "n_tokens", "seq_id", "text"),
-        export_dir,
-        id_col="doc_id",
-        n_shards=N_EXPORT_SHARDS,
+    export_df = s_packed.select(
+        "doc_id", "lang", "source", "n_tokens", "seq_id", "text"
     )
-    n_exported = spark.read.json(export_dir).count()
+    write_training_shards(
+        export_df, export_dir, id_col="doc_id", n_shards=N_EXPORT_SHARDS
+    )
+    # read back with the EXPLICIT export schema: JSON inference needs at
+    # least one data file, so an all-rows-filtered (empty) export would
+    # crash the read-back count instead of reporting 0
+    n_exported = spark.read.schema(export_df.schema).json(export_dir).count()
     stages.append(
         {
             "stage": "shard_export",
@@ -218,4 +240,5 @@ def run_corpus_pipeline(
         "total_sec": round(time.perf_counter() - t_start, 4),
         "n_shards": N_EXPORT_SHARDS,
         "packed_sequences": n_sequences,
+        "decontaminate_ngram": decontaminate_ngram,
     }

@@ -131,6 +131,27 @@ def test_stage_counts_match_catalog(pipeline_result, catalog_frames):
     assert exp["score"] > exp["lang_quality_exact"] > exp["decontaminate"] > 0
 
 
+def test_empty_tail_is_safe(spark, tmp_path, monkeypatch):
+    """A filter stage that drops EVERY row (here: an impossible quality
+    floor) must flow an empty frame through keep-best, decontamination,
+    budget, packing and shard export and report 0s — not crash. This is
+    the sf0.1 production hazard: ANY-3-gram decontamination flags 100% of
+    a phrase-repetitive corpus, and the export read-back previously died
+    on JSON schema inference over a data-file-less directory."""
+    import sri_spark.plans.curation_queries as cq
+    from sri_spark.etl.corpus_pipeline import run_corpus_pipeline
+
+    monkeypatch.setattr(cq, "QUALITY_FLOOR", 2.0)  # quality is in [0, 1]
+    result = run_corpus_pipeline(
+        spark, "/root/testdata/sf0.001", str(tmp_path / "shards")
+    )
+    got = {s["stage"]: s for s in result["stages"]}
+    assert got["quality_gate"]["n_out"] == 0
+    assert got["shard_export"]["n_in"] == 0
+    assert got["shard_export"]["n_out"] == 0
+    assert result["packed_sequences"] == 0
+
+
 def test_shard_export_round_trips(spark, pipeline_result):
     from sri_spark.sources.export import with_shard_assignment
 
