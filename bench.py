@@ -340,6 +340,21 @@ def _current_round() -> int:
     return (max(driver_rounds) + 1) if driver_rounds else 1
 
 
+def _replicated_union(base, n_copies: int, per_copy):
+    """The one replica builder every 10x replay shares: `per_copy(base, i)`
+    must shift/salt keys so copies are DISJOINT (the invariant
+    tests/test_replay_invariants.py pins), and the copies are unioned into
+    one frame. Keeping this in one place means a future guard (e.g. a
+    shift-collision check) lands in every replay at once."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
+    return reduce(
+        DataFrame.unionByName, [per_copy(base, i) for i in range(n_copies)]
+    )
+
+
 def _salted_docs_corpus(spark, n_copies: int):
     """(base_1x_salted, n_copies_corpus, base_rows): `n_copies` copies of
     `documents` with every token salted by its copy index (regexp, no
@@ -353,17 +368,14 @@ def _salted_docs_corpus(spark, n_copies: int):
 
     base = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
     n1 = base.count()
-    copies = [
-        base.select(
+
+    def per_copy(df, i):
+        return df.select(
             (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
             F.regexp_replace("text", r"(\S+)", f"$1_{i}").alias("text"),
         )
-        for i in range(n_copies)
-    ]
-    corpus = copies[0]
-    for c in copies[1:]:
-        corpus = corpus.unionByName(c)
-    return copies[0], corpus, n1
+
+    return per_copy(base, 0), _replicated_union(base, n_copies, per_copy), n1
 
 
 def dedup_replay_10x(spark) -> dict:
@@ -533,20 +545,17 @@ def events_replay_10x(spark) -> dict:
     n1 = base.count()
 
     def corpus(n_copies):
-        copies = [
-            base.select(
+        return _replicated_union(
+            base,
+            n_copies,
+            lambda df, i: df.select(
                 (F.col("event_id") + F.lit(i * 100_000_000_000)).alias("event_id"),
                 "ts",
                 (F.col("user_id") + F.lit(i * 100_000_000)).alias("user_id"),
                 "event_type",
                 "value",
-            )
-            for i in range(n_copies)
-        ]
-        out = copies[0]
-        for c in copies[1:]:
-            out = out.unionByName(c)
-        return out
+            ),
+        )
 
     def window_agg(df):
         return df.groupBy(F.window("ts", "1 hour"), "event_type").agg(
@@ -605,16 +614,14 @@ def graph_replay_10x(spark) -> dict:
     n_pairs = pairs.count()
 
     def run(n_copies) -> dict:
-        shifted = [
-            pairs.select(
+        p = _replicated_union(
+            pairs,
+            n_copies,
+            lambda df, i: df.select(
                 (F.col("c_id") + F.lit(i * 1_000_000_000)).alias("c_id"),
                 (F.col("s_id") + F.lit(i * 1_000_000_000)).alias("s_id"),
-            )
-            for i in range(n_copies)
-        ]
-        p = shifted[0]
-        for c in shifted[1:]:
-            p = p.unionByName(c)
+            ),
+        )
         edges = p.select(
             F.col("c_id").alias("src"), F.col("s_id").alias("dst")
         ).union(p.select(F.col("s_id").alias("src"), F.col("c_id").alias("dst")))
@@ -657,17 +664,14 @@ def ann_replay_10x(spark) -> dict:
     K = 10
 
     def corpus(n_copies):
-        copies = [
-            base.select(
+        return _replicated_union(
+            base,
+            n_copies,
+            lambda df, i: df.select(
                 (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
                 "embedding",
-            )
-            for i in range(n_copies)
-        ]
-        out = copies[0]
-        for c in copies[1:]:
-            out = out.unionByName(c)
-        return out
+            ),
+        )
 
     out = {"rows_1x": n1, "rows_10x": n1 * 10, "k": K, "n_queries": len(qids)}
     for label, n_copies in (("one_x", 1), ("ten_x", 10)):

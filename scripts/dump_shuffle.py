@@ -141,7 +141,11 @@ def shuffle_regression_block(here: str, this_round: int, out: dict) -> dict | No
     change, not noise. A query regresses if its total shuffle traffic
     (write + read) grows >20% AND >1 MiB (the absolute floor keeps
     kilobyte-scale metadata queries from tripping on rounding), or if it
-    spills where the floor recorded zero spill."""
+    spills >1 MiB where the floor recorded zero spill (sub-MiB spill can
+    come from host memory pressure, not plan shape — same rounding-noise
+    reasoning as the growth floor). Floor queries absent from the current
+    audit are reported as `missing` (visible coverage shrink, not a
+    failure — an intentional rename clears on the next floor)."""
     import glob
     import re
 
@@ -155,7 +159,10 @@ def shuffle_regression_block(here: str, this_round: int, out: dict) -> dict | No
     floor_round, floor_path = floors[-1]
     with open(floor_path) as f:
         floor = json.load(f)["queries"]
-    per_query, counts = {}, {"ok": 0, "regressed": 0, "new": 0}
+    per_query, counts = {}, {"ok": 0, "regressed": 0, "new": 0, "missing": 0}
+    for name in sorted(set(floor) - set(out)):
+        counts["missing"] += 1
+        per_query[name] = "missing (in floor, not in this audit)"
     for name, m in sorted(out.items()):
         base = floor.get(name)
         if base is None:
@@ -165,7 +172,7 @@ def shuffle_regression_block(here: str, this_round: int, out: dict) -> dict | No
         cur = m["shuffle_write_mb"] + m["shuffle_read_mb"]
         ref = base["shuffle_write_mb"] + base["shuffle_read_mb"]
         spilled = (
-            m["spill_disk_mb"] > 0
+            m["spill_disk_mb"] > 1.0
             and base.get("spill_disk_mb", 0) == 0
         )
         grew = cur > ref * 1.2 and cur - ref > 1.0
@@ -180,7 +187,10 @@ def shuffle_regression_block(here: str, this_round: int, out: dict) -> dict | No
             per_query[name] = f"ok:{shown}"
     return {
         "floor": os.path.basename(floor_path),
-        "threshold": "shuffle(write+read) > 1.2x floor and > +1 MiB, or new spill",
+        "threshold": (
+            "shuffle(write+read) > 1.2x floor and > +1 MiB, "
+            "or new spill > 1 MiB"
+        ),
         "counts": counts,
         "per_query": per_query,
     }

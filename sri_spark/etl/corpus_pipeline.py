@@ -148,9 +148,11 @@ def run_corpus_pipeline(
     )
 
     # corpus-wide near-dup canonical selection (dedup_cluster_keep_best's
-    # operator): drop survivors that are non-keeper members of a cluster
+    # operator): drop survivors that are non-keeper members of a cluster.
+    # The persisted enrichment pass already scored the whole corpus, so
+    # hand that frame over instead of paying a second full-text scan
     non_canonical = (
-        keep_best_members(docs)
+        keep_best_members(docs, quality=enriched.select("doc_id", "quality"))
         .filter(F.col("rk") != 1)
         .select("doc_id")
     )

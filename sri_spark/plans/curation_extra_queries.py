@@ -64,7 +64,9 @@ def _keep_best_oracle() -> str:
     return _clusters_oracle(extra=extra, final=final)
 
 
-def keep_best_members(docs: DataFrame) -> DataFrame:
+def keep_best_members(
+    docs: DataFrame, *, quality: DataFrame | None = None
+) -> DataFrame:
     """(cluster_id, doc_id, quality, rk) for every member of every
     near-dup cluster over `docs` (doc_id, text, ...): MinHash-LSH
     candidate pairs closed under large-star/small-star connected
@@ -73,7 +75,12 @@ def keep_best_members(docs: DataFrame) -> DataFrame:
     all-pairs, no global sort). rk = 1 marks the keeper (highest quality,
     ties to lowest doc_id). Shared by the dedup_cluster_keep_best catalog
     query and the composed corpus pipeline (etl/corpus_pipeline.py), so
-    the two cannot drift apart."""
+    the two cannot drift apart.
+
+    `quality` optionally supplies a precomputed (doc_id, quality) frame —
+    callers that already scored the corpus (the pipeline's enrichment
+    pass) avoid a second full-text quality_score scan; omitted, it is
+    computed here, which is what the catalog query does."""
     from sri_spark.dedup.components import connected_components_star
     from sri_spark.dedup.minhash import minhash_lsh_pairs
     from sri_spark.plans.dedup_queries import JACCARD_THRESHOLD
@@ -85,7 +92,11 @@ def keep_best_members(docs: DataFrame) -> DataFrame:
     comp = connected_components_star(pairs).select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
-    q = docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+    q = (
+        quality
+        if quality is not None
+        else docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+    )
     return comp.join(q, "doc_id").withColumn(
         "rk",
         F.row_number().over(

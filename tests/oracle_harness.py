@@ -51,13 +51,17 @@ def _norm(v):
 
 
 # Verbatim-reference LIMIT queries whose ORDER BY key can TIE across the
-# cut at this harness' tiny sf0.001 (refsql_metrics_por_marca: a 3-way
-# total_registros=253 tie spans ranks 9-11, so the selected top-10 SET is
-# legitimately engine-dependent there). The statement is byte-verbatim
-# from the reference so no deterministic tiebreak can be added; instead
-# rows AT the boundary value are compared by count only, everything above
-# it exactly. The driver's gate runs at sf0.01, where the cut was checked
-# tie-free — this relaxation applies only to the local replica.
+# cut at this harness' tiny sf0.001 (refsql_metrics_por_marca: three
+# brands share total_registros=253 but only one fits in the LIMIT 10, so
+# the selected top-10 SET is legitimately engine-dependent there). The
+# statement is byte-verbatim from the reference so no deterministic
+# tiebreak can be added. Before relaxing anything, the harness PROVES the
+# ambiguity: it re-runs the oracle with the final LIMIT stripped and
+# counts how many groups carry the boundary key value corpus-wide — only
+# when more candidates exist than the result includes are boundary rows
+# compared count-only (everything above the cut stays exact). At tie-free
+# scale factors (the driver's sf0.01) the candidate count equals the
+# included count and the comparison remains fully strict.
 TIE_BOUNDED_LIMIT = {"refsql_metrics_por_marca": "total_registros"}
 
 
@@ -78,14 +82,29 @@ def compare_query(spark, name: str, query_fn, oracle: str, sf_dir: str) -> None:
         f"{name}: row count mismatch spark={len(spark_rows)} oracle={len(oracle_rows)}"
     )
     if name in TIE_BOUNDED_LIMIT and spark_rows:
-        idx = spark_cols.index(TIE_BOUNDED_LIMIT[name])
+        import re
+
+        tie_col = TIE_BOUNDED_LIMIT[name]
+        idx = spark_cols.index(tie_col)
         s_edge = min(r[idx] for r in spark_rows)
         o_edge = min(r[idx] for r in oracle_rows)
         assert s_edge == o_edge, f"{name}: boundary value differs {s_edge} vs {o_edge}"
         s_keep = [r for r in spark_rows if r[idx] != s_edge]
         o_keep = [r for r in oracle_rows if r[idx] != o_edge]
         assert len(s_keep) == len(o_keep), f"{name}: tied-boundary row counts differ"
-        spark_rows, oracle_rows = s_keep, o_keep
+        # prove the ambiguity before relaxing: strip the statement's final
+        # LIMIT and count the groups carrying the boundary value — more
+        # candidates than included rows means the cut's membership really
+        # is engine-dependent. Tie-free scale factors stay fully strict.
+        included = len(spark_rows) - len(s_keep)
+        unlimited = re.sub(r"LIMIT\s+\d+\s*$", "", oracle.strip(), flags=re.I)
+        full = run_oracle(unlimited, sf_dir)
+        candidates = sum(
+            1 for v in full[tie_col].tolist() if _norm(v) == s_edge
+        )
+        assert candidates >= included, f"{name}: boundary probe inconsistent"
+        if candidates > included:
+            spark_rows, oracle_rows = s_keep, o_keep
     for i, (s, o) in enumerate(zip(sorted(spark_rows), sorted(oracle_rows))):
         assert _rows_close(s, o), f"{name}: row {i} mismatch\n spark={s}\n oracle={o}"
 

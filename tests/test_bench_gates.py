@@ -48,15 +48,27 @@ def test_shuffle_gate_flags_growth_and_spill(tmp_path):
     out = {
         "q_ok": {**BASE, "shuffle_write_mb": 11.0},  # +5%: fine
         "q_grew": {**BASE, "shuffle_write_mb": 20.0},  # +50% and +10 MiB
-        "q_spill": {**BASE, "spill_disk_mb": 3.0},  # new spill
+        "q_spill": {**BASE, "spill_disk_mb": 3.0},  # new spill > 1 MiB
         "q_new": BASE,
     }
     reg = ds.shuffle_regression_block(here, 6, out)
-    assert reg["counts"] == {"ok": 1, "regressed": 2, "new": 1}
+    assert reg["counts"] == {"ok": 1, "regressed": 2, "new": 1, "missing": 0}
     assert reg["per_query"]["q_grew"].startswith("regressed:1.5x")
     assert reg["per_query"]["q_spill"].startswith("regressed:spill")
     assert reg["per_query"]["q_new"] == "new"
     assert reg["floor"] == "SHUFFLE_r05.json"
+
+
+def test_shuffle_gate_ignores_subme_mib_spill_but_reports_missing(tmp_path):
+    """Sub-MiB spill is host memory pressure, not plan shape — no trip;
+    and a floor query absent from the audit is surfaced as `missing`
+    (visible coverage shrink), not silently dropped."""
+    ds = _dump_shuffle()
+    here = _mk_floor(tmp_path, 5, {"q_a": BASE, "q_dropped": BASE})
+    out = {"q_a": {**BASE, "spill_disk_mb": 0.4}}
+    reg = ds.shuffle_regression_block(here, 6, out)
+    assert reg["counts"] == {"ok": 1, "regressed": 0, "new": 0, "missing": 1}
+    assert reg["per_query"]["q_dropped"].startswith("missing")
 
 
 def test_shuffle_gate_absolute_floor_protects_tiny_queries(tmp_path):
