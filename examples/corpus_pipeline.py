@@ -146,6 +146,31 @@ def main() -> None:
         back = spark.read.json(os.path.join(out, "shard=*"))
         print(f"exported {back.count()} docs into {len(shards)} shards: {shards}")
 
+    # 7. the ONE-CALL library version of this whole funnel: every stage
+    #    above (plus keep-best canonical selection, per-language token
+    #    budget and concat-and-chop packing) chained with per-stage
+    #    rows-in/rows-out/seconds — the entry point a production job
+    #    schedules. Stage counts are pinned to the oracle-checked catalog
+    #    queries by tests/test_corpus_pipeline.py; production corpora
+    #    decontaminate on 13-grams (the default 3 matches the catalog).
+    from sri_spark.etl.corpus_pipeline import run_corpus_pipeline
+
+    with tempfile.TemporaryDirectory() as tmp:
+        report = run_corpus_pipeline(
+            spark, sf_dir, os.path.join(tmp, "shards"), decontaminate_ngram=13
+        )
+    print("\nlibrary pipeline (run_corpus_pipeline):")
+    for s in report["stages"]:
+        print(
+            f"  {s['stage']:<20} {s['n_in']:>7} -> {s['n_out']:<7}"
+            f" {s['sec']:.2f}s"
+        )
+    print(
+        f"  total {report['total_sec']:.2f}s, "
+        f"{report['packed_sequences']} packed sequences, "
+        f"{report['n_shards']} shards"
+    )
+
     spark.stop()
 
 
