@@ -123,3 +123,23 @@ def test_walltime_gate_falls_back_to_singlecore_scalar(monkeypatch):
     reg = bench.regression_block({"q": 1.0}, calib=0.1, shuffle_calib=5.0)
     assert reg["calibration_scalar"] == "range_sum_500m_sec"
     assert reg["host_factor"] == 1.0
+
+
+def test_bench_and_audit_name_lists_resolve_in_catalog():
+    """A typo'd or renamed query in bench.py's HEADLINE/EXTENDED or
+    dump_shuffle's QUERIES silently drops out of measurement (both
+    harnesses skip unknown names) — exactly the silent coverage shrink
+    the gates exist to prevent. Pin every listed name to the catalog."""
+    import bench
+    from sri_spark.plans import all_queries
+
+    ds = _dump_shuffle()
+    catalog = set(all_queries())
+    for lst, origin in (
+        (bench.HEADLINE, "bench.HEADLINE"),
+        (bench.EXTENDED, "bench.EXTENDED"),
+        (ds.QUERIES, "dump_shuffle.QUERIES"),
+    ):
+        unknown = sorted(set(lst) - catalog)
+        assert not unknown, f"{origin} names not in catalog: {unknown}"
+        assert len(set(lst)) == len(lst), f"{origin} has duplicates"
