@@ -143,3 +143,43 @@ def test_bench_and_audit_name_lists_resolve_in_catalog():
         unknown = sorted(set(lst) - catalog)
         assert not unknown, f"{origin} names not in catalog: {unknown}"
         assert len(set(lst)) == len(lst), f"{origin} has duplicates"
+
+
+def test_committed_bench_artifact_schema():
+    """The committed round artifact must keep the keys the driver's tail
+    parser and next round's floor loader depend on — a renamed key would
+    silently disable cross-round comparability (the floor loader skips
+    artifacts without `queries`) or drop a replay from the judge's view."""
+    import glob
+
+    paths = sorted(glob.glob(os.path.join(REPO, "docs", "BENCH_full_r*.json")))
+    assert paths, "no committed bench artifact"
+    with open(paths[-1]) as f:
+        art = json.load(f)
+    for key in (
+        "metric",
+        "value",
+        "unit",
+        "sf",
+        "queries",
+        "calibration",
+        "regression",
+        "shuffle_regression",
+        "sri_etl_replay",
+        "sri_etl_replay_10x",
+        "dedup_replay_10x",
+        "events_replay_10x",
+        "graph_replay_10x",
+        "ann_replay_10x",
+        "keepbest_replay_10x",
+        "corpus_pipeline_replay",
+        "ann_recall",
+    ):
+        assert key in art, f"bench artifact missing {key}"
+    assert art["calibration"].keys() >= {
+        "range_sum_500m_sec",
+        "shuffle_groupby_sec",
+    }, "both calibration scalars must be recorded for r07+ normalization"
+    assert art["ann_recall"]["advisory"] is True
+    assert art["ann_recall"]["planted"]["binding"] is True
+    assert art["queries"], "per-query dict must be non-empty"
