@@ -29,7 +29,7 @@ from sri_spark.etl.schema import (
 from sri_spark.etl.source import SRC_ID, pandas_str, pandas_str_double
 from sri_spark.functions.cleaning import clean_text
 from sri_spark.functions.dates import date_parts, nombre_dia_es, nombre_mes_es
-from sri_spark.operators.keys import add_surrogate_key
+from sri_spark.operators.keys import add_surrogate_key, add_surrogate_key_scalable
 
 
 def build_dim_tiempo(spark: SparkSession) -> DataFrame:
@@ -74,12 +74,17 @@ def build_dim_vehiculo(src: DataFrame, cfg: EtlConfig) -> DataFrame:
 
     Physically: the dedup is one hash-aggregate shuffle on the 12 columns with
     map-side partial aggregation; the key assignment sorts only the deduped
-    output (331k rows at production scale — SURVEY §7.4).
+    output (331k rows at production scale — SURVEY §7.4). Unlike the other
+    dims, dim_vehiculo is DATA-SIZED (most source rows carry a distinct
+    vehicle combo), so with ``cfg.scalable_keys`` its surrogate keys use the
+    same sort-free two-phase ranking as the fact's ID_Registro — identical
+    key values (same total order), no single-partition window sort.
     """
+    keyer = add_surrogate_key_scalable if cfg.scalable_keys else add_surrogate_key
     cols = VEHICULO_COLS
     if cfg.parity:
         dedup = src.groupBy(*cols).agg(F.min(SRC_ID).alias("__ord"))
-        dedup = add_surrogate_key(dedup, "ID_Vehiculo", [F.col("__ord")])
+        dedup = keyer(dedup, "ID_Vehiculo", [F.col("__ord")])
         cleaned = dedup.select(
             "ID_Vehiculo",
             *[
@@ -100,9 +105,7 @@ def build_dim_vehiculo(src: DataFrame, cfg: EtlConfig) -> DataFrame:
         )
         std = std.withColumn(COL_COLOR2, F.coalesce(F.col(f"`{COL_COLOR2}`"), F.lit("N/A")))
         dedup = std.dropDuplicates()
-        filled = add_surrogate_key(
-            dedup, "ID_Vehiculo", [F.col(f"`{c}`") for c in cols]
-        )
+        filled = keyer(dedup, "ID_Vehiculo", [F.col(f"`{c}`") for c in cols])
     renamed = filled.withColumnsRenamed(VEHICULO_RENAME)
     return renamed.select("ID_Vehiculo", *VEHICULO_RENAME.values())
 

@@ -88,3 +88,52 @@ def test_broadcast_hint_still_wins_when_enabled(spark, csv_path):
         assert "BroadcastHashJoin" in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+
+
+def _table_rows(tables, name):
+    df = tables[name]
+    rows = [tuple(r) for r in df.select(sorted(df.columns)).collect()]
+    # NULLs sort first: Python can't compare None with non-None directly.
+    return sorted(rows, key=lambda t: tuple((v is not None, v) for v in t))
+
+
+def test_scalable_keys_identical_star(spark, csv_path):
+    """EtlConfig.scalable_keys swaps the global-sort surrogate keys — the
+    fact's ID_Registro AND the data-sized dim_vehiculo's ID_Vehiculo — for
+    the sort-free two-phase ranking (operators.keys.add_surrogate_key_scalable).
+    Same total order by contract, so every key VALUE, every dim row, and
+    every joined fact row must be identical to the default window path."""
+    base = run_pipeline(
+        spark, csv_path, EtlConfig(mode="fixed", run_date=RUN_DATE)
+    )
+    baseline = {
+        name: _table_rows(base, name)
+        for name in ("dim_vehiculo", "fact_registro_vehiculos")
+    }
+    spark.catalog.clearCache()  # drop the persisted star before re-planning
+    scal = run_pipeline(
+        spark,
+        csv_path,
+        EtlConfig(mode="fixed", run_date=RUN_DATE, scalable_keys=True),
+    )
+    for name, want in baseline.items():
+        assert _table_rows(scal, name) == want, name
+    spark.catalog.clearCache()
+
+
+def test_scalable_keys_identical_dim_parity_mode(spark, csv_path):
+    """Parity mode orders dim_vehiculo keys by first-occurrence file order
+    (min __src_id) — also a unique total order, so the scalable keyer must
+    reproduce the exact parity key assignment too."""
+    base = run_pipeline(
+        spark, csv_path, EtlConfig(mode="parity", run_date=RUN_DATE)
+    )
+    want = _table_rows(base, "dim_vehiculo")
+    spark.catalog.clearCache()
+    scal = run_pipeline(
+        spark,
+        csv_path,
+        EtlConfig(mode="parity", run_date=RUN_DATE, scalable_keys=True),
+    )
+    assert _table_rows(scal, "dim_vehiculo") == want
+    spark.catalog.clearCache()
