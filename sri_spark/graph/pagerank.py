@@ -14,11 +14,14 @@ undirected edge set every node has degree ≥ 1, so there is no dangling-mass
 term to redistribute.
 
 Measured non-improvement (keep it this way): persisting the RAW edge frame
-before deriving deg/out/nodes is ~20% SLOWER at sf0.1 (2.29 s vs 1.89 s
-median-of-3 warm) — the executed plan already carries 8 ReusedExchange
-nodes, i.e. Spark dedupes the repeated edge-derivation subtrees within the
-single action, and the extra cache write only adds cost. Only the two
-frames read once PER ROUND (out, nodes) earn a persist.
+before deriving deg/out/nodes buys nothing at sf0.1 — 6.28 s vs 6.34 s
+median-of-3 warm on the trade graph, inside run noise — because exchange
+reuse already dedupes the repeated edge-derivation subtrees within the
+single action; the extra cache write only spends executor memory. Only the
+two frames read once PER ROUND (out, nodes) earn a persist. (Beware
+measuring this with .count(): Catalyst eliminates the unique-key left
+joins under a count and skips the rank rounds entirely, making any
+variant look ~3x faster than the real noop-sink evaluation.)
 """
 
 from __future__ import annotations
