@@ -35,8 +35,8 @@ STAGE_ORDER = [
     "shard_export",
 ]
 
-# 50 stopword-heavy English tokens, no punctuation/digits: quality_score
-# = 0.5*min(50/100,1) + 0.3 + 0.2 = 0.75 >= QUALITY_FLOOR, lang_id = en
+# 60 stopword-heavy English tokens, no punctuation/digits: quality_score
+# = 0.5*min(60/100,1) + 0.3 + 0.2 = 0.8 >= QUALITY_FLOOR, lang_id = en
 GOOD_EN = " ".join(["the quick brown fox and the lazy dog of the old town"] * 5)
 
 
