@@ -43,6 +43,13 @@ QUERIES = [
     "tpch_q9_product_profit",
     "graph_triangle_count",
     "join_bloom_prefilter",
+    # the four most expensive catalog queries (bench wall-time order) —
+    # the queries where a silent shuffle regression would cost the most
+    # at 100x, so the noise-free gate covers them explicitly
+    "graph_pagerank_trade",
+    "dedup_corpus_end_to_end",
+    "embeddings_pca_top_component",
+    "orders_basket_pairs",
 ]
 
 
