@@ -42,6 +42,11 @@ QUERIES = [
     "warehouse_cdc_compaction",
     "corpus_curriculum_schedule",
     "embeddings_matryoshka_fidelity",
+    # round-6 additions: the two slowest composed queries print compactly
+    # (~200 lines) because the CC fixpoint's localCheckpoint truncates the
+    # lineage — the audit shows the post-checkpoint serving plan
+    "dedup_cluster_keep_best",
+    "dedup_corpus_end_to_end",
     # embeddings_pca_top_component intentionally absent: 4 unrolled power
     # rounds print ~2000 plan lines — SCALE.md carries its shape argument
 ]
