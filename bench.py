@@ -877,7 +877,12 @@ def _latest_shuffle_regression() -> dict | None:
     """The `regression` block of the newest docs/SHUFFLE_r*.json (written
     and gated by scripts/dump_shuffle.py), surfaced in the bench artifact
     so the round record carries the deterministic shuffle-bytes verdict
-    alongside the noisy wall-time one."""
+    alongside the noisy wall-time one.
+
+    Only the NEWEST parseable audit counts: if it carries no `regression`
+    block (e.g. the first audit ever taken, which has no floor), the
+    artifact records null rather than silently resurrecting a stale
+    verdict from an older round's file."""
     here = os.path.dirname(os.path.abspath(__file__))
     paths = sorted(glob.glob(os.path.join(here, "docs", "SHUFFLE_r*.json")))
     for path in reversed(paths):
@@ -885,11 +890,11 @@ def _latest_shuffle_regression() -> dict | None:
             with open(path) as f:
                 doc = json.load(f)
         except (OSError, json.JSONDecodeError):
-            continue
+            continue  # unreadable file: fall back to the next-newest
         reg = doc.get("regression")
-        if reg is not None:
-            reg = {"audit": os.path.basename(path), **reg}
-        return reg
+        if reg is None:
+            return None
+        return {"audit": os.path.basename(path), **reg}
     return None
 
 

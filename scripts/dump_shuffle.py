@@ -24,33 +24,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-QUERIES = [
-    "flagship_star_rollup",
-    "agg_overview",
-    "metrics_by_region",
-    "star_integrity_count",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_cluster_keep_best",
-    "text_tfidf_top_terms",
-    "text_zipf_stats",
-    "similarity_cosine_topk",
-    "events_sessionize",
-    "events_window_agg",
-    "corpus_select_training",
-    "warehouse_cdc_compaction",
-    "retrieval_phrase_top_docs",
-    "tpch_q9_product_profit",
-    "graph_triangle_count",
-    "join_bloom_prefilter",
-    # the four most expensive catalog queries (bench wall-time order) —
-    # the queries where a silent shuffle regression would cost the most
-    # at 100x, so the noise-free gate covers them explicitly
-    "graph_pagerank_trade",
-    "dedup_corpus_end_to_end",
-    "embeddings_pca_top_component",
-    "orders_basket_pairs",
-]
+
+def _benched_queries() -> list[str]:
+    """Round-7 verdict item 7: the audit covers EVERY benched query —
+    bench.py's HEADLINE + EXTENDED sets plus text_zipf_stats (audited
+    since round 5; kept so its floor history stays comparable) — so the
+    deterministic shuffle-bytes gate spans the whole bench surface, not a
+    hand-picked subset."""
+    import bench
+
+    names = list(bench.HEADLINE) + list(bench.EXTENDED)
+    if "text_zipf_stats" not in names:
+        names.append("text_zipf_stats")
+    return names
+
+
+QUERIES = _benched_queries()
 
 
 def _stages(ui: str, app: str) -> dict[int, dict]:
@@ -178,10 +167,12 @@ def shuffle_regression_block(here: str, this_round: int, out: dict) -> dict | No
             continue
         cur = m["shuffle_write_mb"] + m["shuffle_read_mb"]
         ref = base["shuffle_write_mb"] + base["shuffle_read_mb"]
-        spilled = (
-            m["spill_disk_mb"] > 1.0
-            and base.get("spill_disk_mb", 0) == 0
-        )
+        # spill trips when current spill exceeds max(1 MiB, 1.2x the
+        # floor's spill) — a nonzero (even sub-MiB) floor spill must not
+        # permanently disable detection, and growth of EXISTING spill
+        # (2 -> 200 MiB) is exactly the regression this gate is for
+        base_spill = base.get("spill_disk_mb", 0) or 0
+        spilled = m["spill_disk_mb"] > max(1.0, base_spill * 1.2)
         grew = cur > ref * 1.2 and cur - ref > 1.0
         ratio = round(cur / ref, 2) if ref else None
         shown = f"{ratio}x" if ratio is not None else "from 0 MiB"
@@ -196,7 +187,7 @@ def shuffle_regression_block(here: str, this_round: int, out: dict) -> dict | No
         "floor": os.path.basename(floor_path),
         "threshold": (
             "shuffle(write+read) > 1.2x floor and > +1 MiB, "
-            "or new spill > 1 MiB"
+            "or spill > max(1 MiB, 1.2x floor spill)"
         ),
         "counts": counts,
         "per_query": per_query,

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from sri_spark.dedup.shingles import shingle_hashes_df
 from sri_spark.functions.hashing import md5_int
@@ -81,6 +82,31 @@ def _band_buckets(sig: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def _materialize_shingles(
+    sh: DataFrame, storage: str, path: str | None
+) -> DataFrame:
+    """The shingle set's storage strategy, sized to the deployment:
+
+    - ``path=...`` — two-pass job: write the distinct (id, shingle_h) set
+      to parquet and read it back. Truncates lineage AND frees executor
+      storage memory entirely; at 100 TB the shingle table is larger than
+      cluster RAM and this (or DISK_ONLY) is the only shape that survives.
+      The read-back pins the written schema, so the four downstream
+      consumers see exactly the frame that was persisted.
+    - ``storage="disk"`` — StorageLevel.DISK_ONLY persist: single job,
+      no storage-memory footprint, shuffle runs once.
+    - ``storage="memory"`` (default) — MEMORY_AND_DISK_DESER persist, the
+      right level when shingles fit (fixture scale up to low-TB)."""
+    if path is not None:
+        sh.write.mode("overwrite").parquet(path)
+        return sh.sparkSession.read.schema(sh.schema).parquet(path)
+    if storage == "disk":
+        return scoped_persist(sh, StorageLevel.DISK_ONLY)
+    if storage != "memory":
+        raise ValueError(f"shingle_storage must be 'memory' or 'disk': {storage!r}")
+    return scoped_persist(sh)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     *,
@@ -88,6 +114,8 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    shingle_storage: str = "memory",
+    shingle_path: str | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard): pairs sharing >=1 LSH band bucket whose exact
     shingle Jaccard clears the threshold. Deterministic: a missed pair is one
@@ -103,10 +131,15 @@ def minhash_lsh_pairs(
     k^2/2 candidates by construction.
 
     The distinct shingle set feeds four consumers (signatures, both sides of
-    the intersection, set sizes); it is persisted so the tokenize+distinct
-    shuffle runs once. At 100 TB use a disk-backed storage level or a
-    two-pass job that materializes shingles to parquet."""
-    sh = scoped_persist(shingle_hashes_df(df, text_col, id_col, n))
+    the intersection, set sizes); it is materialized so the
+    tokenize+distinct shuffle runs once. `shingle_storage`/`shingle_path`
+    pick the strategy (see _materialize_shingles): in-memory persist at
+    fixture-to-low-TB scale, DISK_ONLY or a two-pass parquet checkpoint at
+    100 TB where the shingle table exceeds cluster RAM. All three paths
+    produce identical pairs (tests/test_minhash_storage.py)."""
+    sh = _materialize_shingles(
+        shingle_hashes_df(df, text_col, id_col, n), shingle_storage, shingle_path
+    )
     # one row per doc but referenced four times (both self-join sides, both
     # size lookups); ns rides along in the same aggregate so the set-size
     # pass over the full shingle table never runs as a separate shuffle

@@ -124,3 +124,83 @@ def advise(df: DataFrame, *, max_exchanges: int = 6) -> list[dict]:
             }
         )
     return findings
+
+
+# ---------------------------------------------------------------------------
+# Driver-action recorder (round-7 verdict item 2)
+# ---------------------------------------------------------------------------
+# A catalog query builder should CONSTRUCT a lazy plan — metadata scalars
+# (corpus size, edge count, dim rows) belong in the plan as 1-row
+# aggregates crossJoined into the result (graph/pagerank.py:65-67), not in
+# a driver-side .count() that forces an extra job and an extra source scan
+# per scalar. `record_driver_actions` instruments every eager DataFrame
+# entry point so a test can sweep the whole registry and prove builders
+# are action-free; iterative algorithms (fixpoint convergence checks,
+# sample-trained index builds) are the documented exception.
+
+# DataFrame methods that launch a job and move rows to the driver. show()
+# included: it is a debug leak in library code. persist()/cache() are NOT
+# actions (lazy) and writes are sinks, not query builders.
+DRIVER_ACTION_METHODS = (
+    "count",
+    "collect",
+    "first",
+    "take",
+    "head",
+    "tail",
+    "toPandas",
+    "toLocalIterator",
+    "foreach",
+    "foreachPartition",
+    "show",
+)
+
+from contextlib import contextmanager  # noqa: E402
+
+
+def _action_target_classes() -> list[type]:
+    """The classes whose methods actually execute: Spark 4's
+    pyspark.sql.DataFrame is an ABC and the running instances are
+    pyspark.sql.classic.dataframe.DataFrame — patching only the base
+    would record nothing because the subclass overrides every action."""
+    classes: list[type] = [DataFrame]
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as _ClassicDF
+
+        classes.append(_ClassicDF)
+    except ImportError:  # pre-4.0 layout: the base IS the concrete class
+        pass
+    return classes
+
+
+@contextmanager
+def record_driver_actions():
+    """Context manager yielding a list that accumulates the name of every
+    DataFrame action method invoked while the block runs (including
+    actions issued from inside library helpers and spark.ml wrappers that
+    route through the Python DataFrame API). Instruments the classes, so
+    it is NOT thread-safe — test/harness use only."""
+    calls: list[str] = []
+    originals: list[tuple[type, str, object]] = []
+
+    def _wrap(name, orig):
+        def wrapped(self, *a, **k):
+            calls.append(name)
+            return orig(self, *a, **k)
+
+        wrapped.__name__ = name
+        return wrapped
+
+    for cls in _action_target_classes():
+        for name in DRIVER_ACTION_METHODS:
+            # only methods defined in the class's own namespace — patching
+            # an inherited slot would shadow the (already patched) base
+            if name in cls.__dict__:
+                orig = cls.__dict__[name]
+                originals.append((cls, name, orig))
+                setattr(cls, name, _wrap(name, orig))
+    try:
+        yield calls
+    finally:
+        for cls, name, orig in originals:
+            setattr(cls, name, orig)

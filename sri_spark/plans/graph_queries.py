@@ -189,9 +189,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_triangles"))
     )
-    n_edges = e.count()
-    return tri.select(
-        F.lit(n_edges).cast("long").alias("n_edges"),
+    # edge count rides the plan as a 1-row aggregate (crossJoin of two
+    # 1-row frames), not a driver-side e.count(): one action, one job,
+    # and the scalar never round-trips through the driver
+    n1 = e.agg(F.count("*").cast("long").alias("n_edges"))
+    return tri.crossJoin(n1).select(
+        "n_edges",
         F.col("n_triangles").cast("long").alias("n_triangles"),
     )
 

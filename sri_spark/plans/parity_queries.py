@@ -77,21 +77,35 @@ def parity_fanout_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim, ["p_brand", "p_size"], "left"
     )
     per_key = joined.groupBy("p_partkey").agg(F.count("*").alias("fanout"))
-    n_source = part.count()
-    dim_rows = dim.count()
+    # metadata scalars stay IN the plan as 1-row aggregates crossJoined
+    # into the final row (the graph/pagerank.py pattern) — no driver-side
+    # .count() actions, so the whole query is one job and one source scan
+    # per input (exchange reuse covers the repeated subtrees)
+    n_src1 = part.agg(F.count("*").cast("long").alias("n_source"))
+    n_dim1 = dim.agg(F.count("*").cast("long").alias("dim_rows"))
     # aggregate over the PER-KEY frame (one row per source key), not the
     # fanout-expanded join rows: avg_fanout is the mean per-key fan-out
     # and n_fanned_keys counts keys that multiplied — the expanded frame
     # would weight every key by its own fanout and overstate both
-    return per_key.agg(
-        F.lit(n_source).cast("long").alias("n_source"),
-        F.lit(dim_rows).cast("long").alias("dim_rows"),
-        F.sum("fanout").cast("long").alias("n_after_join"),
-        F.max("fanout").cast("long").alias("max_fanout"),
-        F.round(F.avg("fanout"), 6).alias("avg_fanout"),
-        F.sum(F.when(F.col("fanout") > 1, 1).otherwise(0))
-        .cast("long")
-        .alias("n_fanned_keys"),
+    return (
+        per_key.agg(
+            F.sum("fanout").cast("long").alias("n_after_join"),
+            F.max("fanout").cast("long").alias("max_fanout"),
+            F.round(F.avg("fanout"), 6).alias("avg_fanout"),
+            F.sum(F.when(F.col("fanout") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_fanned_keys"),
+        )
+        .crossJoin(n_src1)
+        .crossJoin(n_dim1)
+        .select(
+            "n_source",
+            "dim_rows",
+            "n_after_join",
+            "max_fanout",
+            "avg_fanout",
+            "n_fanned_keys",
+        )
     )
 
 
@@ -212,19 +226,51 @@ def parity_floatstring_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         stringified["codigo_str"] == dim_named["codigo_canton"],
         "left",
     )
-    n_source = src.count()
-    n_null = src.filter(F.col("codigo").isNull()).count()
-    dim_rows = dim.count()
-    n_map_matched = dim_named.filter(F.col("provincia") != "NO_IDENTIFICADA").count()
-    return fact.agg(
-        F.lit(n_source).cast("long").alias("n_source"),
-        F.lit(n_null).cast("long").alias("n_null_code"),
-        F.lit(dim_rows).cast("long").alias("dim_rows"),
-        F.lit(n_map_matched).cast("long").alias("n_map_matched"),
-        F.sum(F.when(F.col("id_ubicacion").isNotNull(), 1).otherwise(0))
+    # every metadata scalar is a 1-row conditional aggregate crossJoined
+    # into the final row — zero driver-side actions, one job; the
+    # coalesce floors keep the counts 0 (not NULL) on empty inputs so the
+    # degenerate-input sweep sees the same values .count() produced
+    src_agg = src.agg(
+        F.count("*").cast("long").alias("n_source"),
+        F.coalesce(
+            F.sum(F.when(F.col("codigo").isNull(), 1).otherwise(0)), F.lit(0)
+        )
         .cast("long")
-        .alias("n_fact_matched"),
-        F.sum(F.when(F.col("id_ubicacion").isNull(), 1).otherwise(0))
+        .alias("n_null_code"),
+    )
+    dim_agg = dim.agg(F.count("*").cast("long").alias("dim_rows"))
+    map_agg = dim_named.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("provincia") != "NO_IDENTIFICADA", 1).otherwise(0)),
+            F.lit(0),
+        )
         .cast("long")
-        .alias("n_fact_unmatched"),
+        .alias("n_map_matched")
+    )
+    return (
+        fact.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("id_ubicacion").isNotNull(), 1).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_fact_matched"),
+            F.coalesce(
+                F.sum(F.when(F.col("id_ubicacion").isNull(), 1).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_fact_unmatched"),
+        )
+        .crossJoin(src_agg)
+        .crossJoin(dim_agg)
+        .crossJoin(map_agg)
+        .select(
+            "n_source",
+            "n_null_code",
+            "dim_rows",
+            "n_map_matched",
+            "n_fact_matched",
+            "n_fact_unmatched",
+        )
     )

@@ -354,44 +354,35 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (broadcast-sized) dim and count matches — the Bloom no-false-negative
     # property makes "passed ∩ dim" identical to "orders ∩ dim", so the
     # full orders⋈dim truth join never has to run
-    verdict = (
-        passed.join(cust.withColumn("__m", F.lit(1)), "custkey", "left")
-        .agg(
-            F.count("*").cast("long").alias("n_pass"),
-            # coalesce OUTSIDE the sum too: sum() over an empty survivor
-            # frame is NULL, and a None here would crash the driver-side
-            # arithmetic below on degenerate inputs
-            F.coalesce(F.sum(F.coalesce(F.col("__m"), F.lit(0))), F.lit(0))
-            .cast("long")
-            .alias("n_true"),
-        )
-        .first()
+    verdict = passed.join(cust.withColumn("__m", F.lit(1)), "custkey", "left").agg(
+        F.count("*").cast("long").alias("n_pass_bloom"),
+        # coalesce OUTSIDE the sum too: sum() over an empty survivor
+        # frame is NULL — the false-positive subtraction below needs 0
+        F.coalesce(F.sum(F.coalesce(F.col("__m"), F.lit(0))), F.lit(0))
+        .cast("long")
+        .alias("n_true_match"),
     )
-    n_pass, n_true = verdict["n_pass"], verdict["n_true"]
-    # metadata-sized scalars (dim rows, bit count, fact row count)
-    n_orders = orders.count()
-    n_dim = cust.count()
-    n_bits = bits.count()
-    row = [
-        (
-            n_orders,
-            n_dim,
-            n_bits,
-            n_pass,
-            n_true,
-            n_pass - n_true,
-            # None (NULL), not 0.0, when orders is empty: DuckDB's x/0 is
-            # NULL and the oracle has no guard — parity on the degenerate
-            # input means matching that NULL
-            round((n_pass - n_true) * 100.0 / n_orders, 4)
-            if n_orders
-            else None,
-        )
-    ]
-    return spark.createDataFrame(
-        row,
-        "n_orders long, n_dim_keys long, bits_set long, n_pass_bloom long, "
-        "n_true_match long, n_false_pos long, fp_pct_of_scan double",
+    # every scalar — verdict counts AND the metadata counts (fact rows,
+    # dim rows, bits set) — rides the plan as a 1-row aggregate crossJoin:
+    # zero driver-side actions (.first()/.count() are gone), one job.
+    # try_divide, not a when() guard, for the empty-orders case: ANSI
+    # codegen evaluates guarded branches, and the oracle's x/0 is NULL.
+    counts = (
+        orders.agg(F.count("*").cast("long").alias("n_orders"))
+        .crossJoin(cust.agg(F.count("*").cast("long").alias("n_dim_keys")))
+        .crossJoin(bits.agg(F.count("*").cast("long").alias("bits_set")))
+    )
+    fp = F.col("n_pass_bloom") - F.col("n_true_match")
+    return verdict.crossJoin(counts).select(
+        "n_orders",
+        "n_dim_keys",
+        "bits_set",
+        "n_pass_bloom",
+        "n_true_match",
+        fp.cast("long").alias("n_false_pos"),
+        F.round(F.try_divide(fp * 100.0, F.col("n_orders")), 4).alias(
+            "fp_pct_of_scan"
+        ),
     )
 
 

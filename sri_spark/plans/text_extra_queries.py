@@ -51,16 +51,23 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     df = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = docs.count()
+    # corpus size rides the plan as a 1-row aggregate crossJoin (AQE turns
+    # it into a broadcast), not a driver-side docs.count(): one action,
+    # one scan of documents (exchange reuse covers the repeated subtree)
+    nd = docs.agg(F.count("*").cast("double").alias("__n_docs"))
     # no broadcast hint on df: the vocabulary grows with the corpus (a
     # forced BroadcastExchange on it is the 100 TB OOM pattern); AQE
     # broadcasts it at runtime when it is genuinely small
-    scored = tf.join(df, "tok").select(
-        "doc_id",
-        "tok",
-        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
-            "tfidf"
-        ),
+    scored = (
+        tf.join(df, "tok")
+        .crossJoin(nd)
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf") * F.log(F.col("__n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
     return (
@@ -294,12 +301,17 @@ def text_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") <= SPARSE_COS_MAX_DF)
     )
-    n_docs = docs.count()
+    # corpus size as a 1-row aggregate crossJoin instead of a driver-side
+    # docs.count() — the scalar stays in the lazy plan, so the persist
+    # below is still the first (and only) action trigger
+    nd = docs.agg(F.count("*").cast("double").alias("__n_docs"))
     w = scoped_persist(
-        tf.join(dfreq, "tok").select(
+        tf.join(dfreq, "tok")
+        .crossJoin(nd)
+        .select(
             "doc_id",
             "tok",
-            (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("w"),
+            (F.col("tf") * F.log(F.col("__n_docs") / F.col("df"))).alias("w"),
         )
     )
     norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
@@ -516,17 +528,19 @@ def text_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("token"))
     per_doc = tok.groupBy("token", "doc_id").agg(F.count("*").alias("c"))
-    n_docs = docs.count()
+    # corpus size as a 1-row aggregate crossJoin (the SQL oracle's
+    # CROSS JOIN nd, literally) — no driver-side docs.count() action
+    nd = docs.agg(F.count("*").cast("double").alias("__n_docs"))
     stats = per_doc.groupBy("token").agg(
         F.sum("c").alias("total"),
         F.sum(F.col("c") * F.col("c")).alias("total_sq"),
         F.count("*").alias("n_docs_with"),
     )
-    mean = F.col("total") / n_docs
-    vmr = (F.col("total_sq") / n_docs - mean * mean) / mean
+    mean = F.col("total") / F.col("__n_docs")
+    vmr = (F.col("total_sq") / F.col("__n_docs") - mean * mean) / mean
     w = Window.orderBy(F.col("total").desc(), "token")
     return (
-        stats.select(
+        stats.crossJoin(nd).select(
             F.row_number().over(w).cast("long").alias("rk"),
             "token",
             F.col("total").cast("long").alias("total"),

@@ -68,19 +68,13 @@ def _canonical_pairs(left: DataFrame, right: DataFrame) -> DataFrame:
     )
 
 
-def run_incremental_near_dup(
-    spark: SparkSession,
-    docs_dir: str,
-    index_dir: str,
-    pairs_dir: str,
-    checkpoint_dir: str,
-) -> DataFrame:
-    """Drain every unprocessed docs file (availableNow), update the bucket
-    index, and return the accumulated candidate-pair table. Restart-safe:
-    rerunning with the same checkpoint skips processed files, and a
-    replayed batch rewrites its own partitions byte-identically."""
-    schema = spark.read.parquet(docs_dir).schema
-    stream = spark.readStream.schema(schema).parquet(docs_dir)
+def make_batch_handler(spark: SparkSession, index_dir: str, pairs_dir: str):
+    """The per-micro-batch near-dup step, shared by the streaming job and
+    the soak test (tests/test_streaming_near_dup.py) so the bound the test
+    proves is the bound production runs: per batch, the index gains
+    EXACTLY LSH_BANDS rows per new doc (one bucket row per band) and the
+    probe join touches only (batch buckets x accumulated index) — cost
+    O(batch + collisions), state O(corpus), never O(corpus^2)."""
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         buckets = _band_buckets(
@@ -94,6 +88,23 @@ def run_incremental_near_dup(
         buckets.write.mode("overwrite").parquet(f"{index_dir}/batch_id={batch_id}")
         buckets.unpersist()
 
+    return handle
+
+
+def run_incremental_near_dup(
+    spark: SparkSession,
+    docs_dir: str,
+    index_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Drain every unprocessed docs file (availableNow), update the bucket
+    index, and return the accumulated candidate-pair table. Restart-safe:
+    rerunning with the same checkpoint skips processed files, and a
+    replayed batch rewrites its own partitions byte-identically."""
+    schema = spark.read.parquet(docs_dir).schema
+    stream = spark.readStream.schema(schema).parquet(docs_dir)
+    handle = make_batch_handler(spark, index_dir, pairs_dir)
     q = (
         stream.writeStream.foreachBatch(handle)
         .option("checkpointLocation", checkpoint_dir)

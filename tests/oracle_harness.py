@@ -62,7 +62,12 @@ def _norm(v):
 # compared count-only (everything above the cut stays exact). At tie-free
 # scale factors (the driver's sf0.01) the candidate count equals the
 # included count and the comparison remains fully strict.
-TIE_BOUNDED_LIMIT = {"refsql_metrics_por_marca": "total_registros"}
+# value = (tie column, sort direction). The direction picks which edge of
+# the LIMIT cut the boundary sits on (DESC -> min of the included values,
+# ASC -> max) and is verified against the statement's ORDER BY text so a
+# future entry with the wrong direction fails loudly instead of silently
+# relaxing the wrong rows.
+TIE_BOUNDED_LIMIT = {"refsql_metrics_por_marca": ("total_registros", "desc")}
 
 
 def compare_query(spark, name: str, query_fn, oracle: str, sf_dir: str) -> None:
@@ -84,10 +89,20 @@ def compare_query(spark, name: str, query_fn, oracle: str, sf_dir: str) -> None:
     if name in TIE_BOUNDED_LIMIT and spark_rows:
         import re
 
-        tie_col = TIE_BOUNDED_LIMIT[name]
+        tie_col, direction = TIE_BOUNDED_LIMIT[name]
+        assert direction in ("asc", "desc")
+        # fail loudly if the statement does not actually order by the tie
+        # column in the declared direction (an ASC query relaxed with a
+        # DESC entry would compare the wrong edge of the cut)
+        order_pat = rf"ORDER\s+BY\s+{tie_col}\s+{direction}"
+        assert re.search(order_pat, oracle, flags=re.I), (
+            f"{name}: TIE_BOUNDED_LIMIT declares {tie_col} {direction} but "
+            f"the oracle statement has no matching ORDER BY clause"
+        )
+        edge_fn = min if direction == "desc" else max
         idx = spark_cols.index(tie_col)
-        s_edge = min(r[idx] for r in spark_rows)
-        o_edge = min(r[idx] for r in oracle_rows)
+        s_edge = edge_fn(r[idx] for r in spark_rows)
+        o_edge = edge_fn(r[idx] for r in oracle_rows)
         assert s_edge == o_edge, f"{name}: boundary value differs {s_edge} vs {o_edge}"
         s_keep = [r for r in spark_rows if r[idx] != s_edge]
         o_keep = [r for r in oracle_rows if r[idx] != o_edge]

