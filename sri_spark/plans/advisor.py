@@ -43,6 +43,73 @@ def _plan_text(df: DataFrame) -> str:
     return qe.executedPlan().toString()
 
 
+# ---------------------------------------------------------------------------
+# Bounded-vs-unbounded nested-loop classifier (round-8 verdict item 1)
+# ---------------------------------------------------------------------------
+# The round-7 scalar purge moved driver-side `.count()` scalars into the
+# lazy plan as 1-row global aggregates crossJoined onto the data frame.
+# Catalyst plans that crossJoin as `BroadcastNestedLoopJoin ... Cross` with
+# an `IdentityBroadcastMode` build side — a nested loop whose inner side is
+# GUARANTEED one row (the build subtree is a keys=[] HashAggregate), so it
+# is O(n), not O(n*m), and safe at any scale. Every other nested loop (two
+# data-sized sides) is still the plan that dies at 100 TB. This classifier
+# is the single policy both `advise()` and tests/test_plan_shapes.py apply.
+
+# one 3-char tree-drawing unit of Spark's plan toString() indentation
+_TREE_UNIT = re.compile(r"^(?::  |:- |\+- |   )*")
+# a global (keys=[]) aggregate — produces exactly one row
+_GLOBAL_AGG = re.compile(
+    r"(?:HashAggregate|ObjectHashAggregate|SortAggregate)\(keys=\[\]"
+)
+
+
+def _depth_body(line: str) -> tuple[int, str]:
+    prefix = _TREE_UNIT.match(line).group(0)
+    body = line[len(prefix) :]
+    body = re.sub(r"^\*\(\d+\) ", "", body)  # WholeStageCodegen marker
+    return len(prefix) // 3, body
+
+
+def unbounded_nested_loops(plan: str) -> list[str]:
+    """Return the BroadcastNestedLoopJoin lines whose broadcast side is NOT
+    a guaranteed-1-row global aggregate. Empty list means every nested loop
+    in the plan is the benign scalar-crossJoin pattern (IdentityBroadcastMode
+    over a keys=[] aggregate); a non-empty list is a scale hazard."""
+    lines = plan.splitlines()
+    parsed = [_depth_body(ln) for ln in lines]
+    offending: list[str] = []
+    for i, (d, body) in enumerate(parsed):
+        if not body.startswith("BroadcastNestedLoopJoin"):
+            continue
+        # locate the join's two children (depth d+1) within its subtree
+        children: list[int] = []
+        for j in range(i + 1, len(parsed)):
+            dj = parsed[j][0]
+            if dj <= d:
+                break
+            if dj == d + 1:
+                children.append(j)
+        if len(children) != 2:
+            offending.append(body)
+            continue
+        build = children[0] if "BuildLeft" in body else children[1]
+        # the build child's subtree: lines until depth returns to <= d+1
+        end = next(
+            (j for j in range(build + 1, len(parsed)) if parsed[j][0] <= d + 1),
+            len(parsed),
+        )
+        build_body = parsed[build][1]
+        subtree = "\n".join(parsed[j][1] for j in range(build, end))
+        is_identity = "IdentityBroadcastMode" in build_body or (
+            build_body.startswith("BroadcastQueryStage")
+            and build + 1 < end
+            and "IdentityBroadcastMode" in parsed[build + 1][1]
+        )
+        if not (is_identity and _GLOBAL_AGG.search(subtree)):
+            offending.append(body)
+    return offending
+
+
 def advise(df: DataFrame, *, max_exchanges: int = 6) -> list[dict]:
     """Scan the physical plan for scale hazards. Returns a list of
     findings: {rule, severity, detail}; empty list = nothing to flag."""
@@ -60,15 +127,28 @@ def advise(df: DataFrame, *, max_exchanges: int = 6) -> list[dict]:
             }
         )
     if "BroadcastNestedLoopJoin" in plan:
-        findings.append(
-            {
-                "rule": "nested-loop-join",
-                "severity": "warn",
-                "detail": "non-equi join fell back to a nested loop; fine "
-                "for a 1-row side (query-vector pattern), fatal for two "
-                "growing sides — rewrite as range-bin or as-of join.",
-            }
-        )
+        bad = unbounded_nested_loops(plan)
+        if bad:
+            findings.append(
+                {
+                    "rule": "nested-loop-join",
+                    "severity": "warn",
+                    "detail": "non-equi join fell back to a nested loop "
+                    "with a data-sized build side; fatal for two growing "
+                    "sides — rewrite as range-bin or as-of join. "
+                    f"Offending: {bad[:3]}",
+                }
+            )
+        else:
+            findings.append(
+                {
+                    "rule": "bounded-scalar-nested-loop",
+                    "severity": "info",
+                    "detail": "nested loop(s) present but every build side "
+                    "is a 1-row global aggregate (the scalar-crossJoin "
+                    "pattern) — O(n), safe at scale.",
+                }
+            )
     if "Exchange SinglePartition" in plan:
         findings.append(
             {

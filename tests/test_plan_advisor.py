@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from sri_spark.plans import all_queries
-from sri_spark.plans.advisor import advise
+from sri_spark.plans.advisor import advise, unbounded_nested_loops
 
 
 def _rules(findings):
@@ -28,6 +28,33 @@ def test_detects_cartesian_product(spark, sf_dir):
     # small sides may plan as BroadcastNestedLoopJoin instead of a true
     # CartesianProduct — either way the all-pairs hazard must be flagged
     assert _rules(advise(bad)) & {"cartesian-product", "nested-loop-join"}
+
+
+def test_data_sized_nested_loop_is_unbounded(spark, sf_dir):
+    """A crossJoin of two data-sized frames must be classified unbounded —
+    the classifier only forgives 1-row global-aggregate build sides."""
+    a = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    b = spark.read.parquet(f"{sf_dir}/region.parquet")
+    plan = a.crossJoin(b)._jdf.queryExecution().executedPlan().toString()
+    if "BroadcastNestedLoopJoin" in plan:
+        assert unbounded_nested_loops(plan), plan
+    else:
+        assert "CartesianProduct" in plan, plan
+
+
+def test_scalar_aggregate_nested_loop_is_bounded(spark, sf_dir):
+    """The round-7 scalar-purge pattern — crossJoin with a keys=[] global
+    aggregate — plans as a BNLJ whose build side is guaranteed 1 row; the
+    classifier must allow it (both build directions)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.agg(F.count("*").alias("__n"))
+    for df in (docs.crossJoin(n), n.crossJoin(docs)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan, plan
+        assert not unbounded_nested_loops(plan), plan
+        rules = _rules(advise(df))
+        assert "nested-loop-join" not in rules
+        assert "bounded-scalar-nested-loop" in rules
 
 
 def test_detects_global_window(spark, sf_dir):

@@ -15,6 +15,7 @@ from __future__ import annotations
 import pytest
 
 from sri_spark.plans import all_queries
+from sri_spark.plans.advisor import unbounded_nested_loops
 
 
 def _plan(spark, sf_dir, name: str) -> str:
@@ -43,7 +44,7 @@ def test_no_cartesian_or_nested_loop(spark, sf_dir, name):
     non-equi nested loop)."""
     plan = _plan(spark, sf_dir, name)
     assert "CartesianProduct" not in plan, name
-    assert "BroadcastNestedLoopJoin" not in plan, name
+    assert not unbounded_nested_loops(plan), name
 
 
 ZERO_SHUFFLE = [
@@ -128,7 +129,7 @@ NO_CARTESIAN_R3 = [
 def test_round3_ops_have_no_cartesian(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
     assert "CartesianProduct" not in plan, name
-    assert "BroadcastNestedLoopJoin" not in plan, name
+    assert not unbounded_nested_loops(plan), name
 
 
 ZERO_SHUFFLE_R3 = [
@@ -238,7 +239,7 @@ def test_round4_ops_keyed_joins_only(spark, sf_dir, name):
     scale."""
     plan = _plan(spark, sf_dir, name)
     assert "CartesianProduct" not in plan, name
-    assert "BroadcastNestedLoopJoin" not in plan, name
+    assert not unbounded_nested_loops(plan), name
 
 
 def test_span_dedup_two_exchanges(spark, sf_dir):
@@ -289,7 +290,7 @@ def test_tpch_shapes_no_cartesian(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
     assert "CartesianProduct" not in plan, name
     if name not in ("tpch_q11_important_stock", "tpch_q15_top_supplier"):
-        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert not unbounded_nested_loops(plan), name
 
 
 def test_tpch_q10_topk_is_take_ordered(spark, sf_dir):
@@ -356,7 +357,7 @@ def test_audit_ops_keyed_joins_only(spark, sf_dir, name):
     the all-pairs plan these operators exist to avoid."""
     plan = _plan(spark, sf_dir, name)
     assert "CartesianProduct" not in plan, name
-    assert "BroadcastNestedLoopJoin" not in plan, name
+    assert not unbounded_nested_loops(plan), name
 
 
 def test_chi_square_marginals_broadcast(spark, sf_dir):
