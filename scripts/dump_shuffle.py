@@ -136,10 +136,11 @@ def shuffle_regression_block(here: str, this_round: int, out: dict) -> dict | No
     growth against the newest committed prior-round audit is a real plan
     change, not noise. A query regresses if its total shuffle traffic
     (write + read) grows >20% AND >1 MiB (the absolute floor keeps
-    kilobyte-scale metadata queries from tripping on rounding), or if it
-    spills >1 MiB where the floor recorded zero spill (sub-MiB spill can
-    come from host memory pressure, not plan shape — same rounding-noise
-    reasoning as the growth floor). Floor queries absent from the current
+    kilobyte-scale metadata queries from tripping on rounding), or if its
+    disk spill exceeds max(1 MiB, 1.2x the floor's spill) — the absolute
+    1 MiB arm catches new spill where the floor had none, the relative arm
+    catches growth of existing spill without a nonzero floor permanently
+    disabling detection. Floor queries absent from the current
     audit are reported as `missing` (visible coverage shrink, not a
     failure — an intentional rename clears on the next floor)."""
     import glob

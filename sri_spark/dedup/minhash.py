@@ -97,13 +97,13 @@ def _materialize_shingles(
       no storage-memory footprint, shuffle runs once.
     - ``storage="memory"`` (default) — MEMORY_AND_DISK_DESER persist, the
       right level when shingles fit (fixture scale up to low-TB)."""
+    if storage not in ("memory", "disk"):
+        raise ValueError(f"shingle_storage must be 'memory' or 'disk': {storage!r}")
     if path is not None:
         sh.write.mode("overwrite").parquet(path)
         return sh.sparkSession.read.schema(sh.schema).parquet(path)
     if storage == "disk":
         return scoped_persist(sh, StorageLevel.DISK_ONLY)
-    if storage != "memory":
-        raise ValueError(f"shingle_storage must be 'memory' or 'disk': {storage!r}")
     return scoped_persist(sh)
 
 

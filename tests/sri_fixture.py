@@ -35,7 +35,10 @@ PERSONAS = ["NATURAL", "JURIDICA"]
 
 
 def generate_sri_rows(
-    n: int = 2000, seed: int = 42, n_codes: int | None = None
+    n: int = 2000,
+    seed: int = 42,
+    n_codes: int | None = None,
+    coverage: bool = True,
 ) -> list[list]:
     """`n_codes` controls vehicle-code cardinality. Default (None) keeps the
     small-fixture shape (~300 codes → duplicate codes, small dim_vehiculo).
@@ -90,15 +93,18 @@ def generate_sri_rows(
         ]
         rows.append(row)
 
-    # targeted coverage rows
-    rows[10][11] = "not-a-date"  # unparseable FECHA PROCESO
-    rows[11][10] = "N/D"  # non-numeric AVALÚO
-    rows[12] = list(rows[13])  # exact duplicate pair
-    # Q4 fan-out: same vehicle code, two different attribute sets
-    rows[20][1] = rows[21][1] = 7777
-    rows[20][3], rows[21][3] = "HINO", "TOYOTA"
-    # Q5: trailing space in a raw join column (survives in fact, cleaned in dim)
-    rows[30][2] = "COMPRA LOCAL "
+    # targeted coverage rows (fixed indices 10-30; skipped when the caller
+    # asks for a coverage-free batch — chunked writers inject them only in
+    # chunk 0 — or when the batch is too small to hold them)
+    if coverage and n > 30:
+        rows[10][11] = "not-a-date"  # unparseable FECHA PROCESO
+        rows[11][10] = "N/D"  # non-numeric AVALÚO
+        rows[12] = list(rows[13])  # exact duplicate pair
+        # Q4 fan-out: same vehicle code, two different attribute sets
+        rows[20][1] = rows[21][1] = 7777
+        rows[20][3], rows[21][3] = "HINO", "TOYOTA"
+        # Q5: trailing space in raw join column (survives in fact, cleaned in dim)
+        rows[30][2] = "COMPRA LOCAL "
     return rows
 
 
@@ -126,6 +132,11 @@ def write_sri_csv(
         chunk_idx = 0
         while written < n:
             take = min(chunk_rows, n - written)
-            w.writerows(generate_sri_rows(take, seed + chunk_idx, n_codes))
+            # coverage rows live at fixed indices 10-30: inject them exactly
+            # once (chunk 0), never in a chunk too small to hold them
+            rows = generate_sri_rows(
+                take, seed + chunk_idx, n_codes, coverage=chunk_idx == 0
+            )
+            w.writerows(rows)
             written += take
             chunk_idx += 1

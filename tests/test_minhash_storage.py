@@ -83,3 +83,13 @@ def test_bad_storage_value_fails_loudly(spark):
     docs = load_table(spark, SF_DIR, "documents").limit(5)
     with pytest.raises(ValueError, match="shingle_storage"):
         minhash_lsh_pairs(docs, shingle_storage="tape")
+
+
+def test_bad_storage_value_fails_even_with_path(spark, tmp_path):
+    # the path early-return used to silently accept an invalid storage
+    # value passed alongside shingle_path (round-7 ADVICE)
+    docs = load_table(spark, SF_DIR, "documents").limit(5)
+    with pytest.raises(ValueError, match="shingle_storage"):
+        minhash_lsh_pairs(
+            docs, shingle_storage="tape", shingle_path=str(tmp_path / "sh")
+        )
