@@ -54,9 +54,18 @@ def get_spark(
         # cleanly with pyarrow/DuckDB readers and our own schema probes)
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
+        # long sessions (bench runs ~300 executions incl. a 46M-row star
+        # build) accrete status-store state: plan graphs for 1000 SQL
+        # executions and 100k task rows/stage are hundreds of MB of heap
+        # that starve the build's hash maps — cap retention; the audits
+        # scrape stage metrics right after each run, well inside these caps
+        .config("spark.sql.ui.retainedExecutions", "50")
+        .config("spark.ui.retainedStages", "200")
+        .config("spark.ui.retainedTasks", "20000")
+        .config("spark.ui.retainedJobs", "200")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -10,6 +10,7 @@ canton codes, and one row with trailing whitespace in a join column (Q5).
 from __future__ import annotations
 
 import csv
+import io
 import random
 
 HEADER = [
@@ -108,12 +109,22 @@ def generate_sri_rows(
     return rows
 
 
+def _chunk_csv_text(args: tuple[int, int, int | None, bool]) -> str:
+    """One chunk's rows, CSV-encoded in the worker process — piping one
+    string per chunk back to the writer beats piping 250k row lists."""
+    take, seed, n_codes, coverage = args
+    buf = io.StringIO()
+    csv.writer(buf).writerows(generate_sri_rows(take, seed, n_codes, coverage))
+    return buf.getvalue()
+
+
 def write_sri_csv(
     path: str,
     n: int = 2000,
     seed: int = 42,
     n_codes: int | None = None,
     chunk_rows: int | None = None,
+    workers: int | None = None,
 ) -> None:
     """`chunk_rows` streams the file in bounded-memory chunks (each chunk
     seeded independently from `seed`) — required for the 100x replay's
@@ -121,22 +132,32 @@ def write_sri_csv(
     whole file in RAM. Chunking draws from the same code pool, so the
     statistical shape (dim cardinality vs row count) is unchanged; rows
     are not byte-identical to the unchunked file, which only matters to
-    the perf replays that use this path, never to oracle-checked tests."""
+    the perf replays that use this path, never to oracle-checked tests.
+
+    `workers` parallelizes chunk generation across processes (row synthesis
+    is pure Python at ~45k rows/s/core — the 46M-row source would take ~17
+    minutes single-threaded). Chunks are seeded by index and written in
+    order, so the output is byte-identical to the sequential chunked path."""
+    chunks: list[tuple[int, int, int | None, bool]] = []
+    if chunk_rows is not None:
+        written = 0
+        while written < n:
+            take = min(chunk_rows, n - written)
+            # coverage rows live at fixed indices 10-30: inject them exactly
+            # once (chunk 0), never in a chunk too small to hold them
+            chunks.append((take, seed + len(chunks), n_codes, len(chunks) == 0))
+            written += take
     with open(path, "w", newline="", encoding="utf-8") as f:
         w = csv.writer(f)
         w.writerow(HEADER)
         if chunk_rows is None:
             w.writerows(generate_sri_rows(n, seed, n_codes))
-            return
-        written = 0
-        chunk_idx = 0
-        while written < n:
-            take = min(chunk_rows, n - written)
-            # coverage rows live at fixed indices 10-30: inject them exactly
-            # once (chunk 0), never in a chunk too small to hold them
-            rows = generate_sri_rows(
-                take, seed + chunk_idx, n_codes, coverage=chunk_idx == 0
-            )
-            w.writerows(rows)
-            written += take
-            chunk_idx += 1
+        elif workers and workers > 1:
+            import multiprocessing as mp
+
+            with mp.Pool(workers) as pool:
+                for text in pool.imap(_chunk_csv_text, chunks):
+                    f.write(text)
+        else:
+            for args in chunks:
+                f.write(_chunk_csv_text(args))
