@@ -1017,9 +1017,18 @@ def main() -> None:
     # of the query total so `value` stays comparable across rounds.
     replay = sri_etl_replay(spark)
     replay_10x = sri_etl_replay_10x(spark)
-    replay_100x = sri_etl_replay_100x(spark)
-    # the growth the judge reads: 10x more rows should cost ~10x, not 100x
-    replay_100x["growth_vs_10x"] = round(replay_100x["sec"] / replay_10x["sec"], 2)
+    # the 100x point is the one block big enough to die on a starved host
+    # (it holds a 46M-row build); a failure there must cost THIS block, not
+    # the whole bench artifact the driver records for the round
+    try:
+        replay_100x = sri_etl_replay_100x(spark)
+        # the growth the judge reads: 10x more rows should cost ~10x, not 100x
+        replay_100x["growth_vs_10x"] = round(
+            replay_100x["sec"] / replay_10x["sec"], 2
+        )
+    except Exception as ex:  # noqa: BLE001 — record, don't lose the artifact
+        replay_100x = {"error": f"{type(ex).__name__}: {ex}"[:500]}
+        spark.catalog.clearCache()
     recall = ann_recall(spark)
     recall["planted"] = ann_planted(spark)
     dedup_replay = dedup_replay_10x(spark)

@@ -428,3 +428,49 @@ def test_multimodal_shard_manifest_single_window_pass(spark, sf_dir):
     plan = _plan(spark, sf_dir, "multimodal_shard_manifest")
     assert plan.count("Window") == 1, plan
     assert "CartesianProduct" not in plan, plan
+
+
+# Catalog-wide nested-loop gate (round 8). These queries carry a
+# BroadcastNestedLoopJoin whose build side the classifier cannot prove
+# 1-row (it only proves keys=[] global aggregates), but each is bounded
+# by construction and documented in its builder / PLANS.md audit:
+#   - similarity_* / retrieval_*: the query-vector pattern — the build
+#     side is a unique-key filter (vec_id == qid) or a top-k Limit,
+#     ≤k rows regardless of corpus size;
+#   - expr_fuzzy_brand_pairs: non-equi levenshtein join over the brand
+#     DIMENSION (6 values) — dimension-sized, never data-sized;
+#   - embeddings_pca_top_component: crossJoin bounded by the embedding
+#     dimension count (PLANS.md audit), not by rows;
+#   - text_source_jsd: per-source distribution join, bounded by the
+#     source dimension.
+BOUNDED_BY_CONSTRUCTION_BNLJ = {
+    "embeddings_pca_top_component",
+    "expr_fuzzy_brand_pairs",
+    "retrieval_hybrid_rrf",
+    "retrieval_phrase_top_docs",
+    "similarity_ann_multiprobe_topk",
+    "similarity_cosine_topk",
+    "similarity_ivf_pq_pipeline",
+    "similarity_ivf_topk",
+    "similarity_pq_topk",
+    "text_source_jsd",
+    # TPC-H scalar-subquery broadcasts (threshold / max-revenue), already
+    # exempted by name in test_tpch_shapes_no_cartesian
+    "tpch_q11_important_stock",
+    "tpch_q15_top_supplier",
+}
+
+
+def test_catalog_nested_loops_bounded_or_allowlisted(spark, sf_dir):
+    """EVERY registered query must either plan no nested loop, plan only
+    the benign 1-row-aggregate kind, or appear in the documented
+    allowlist above. A new query that sneaks in a data-sized nested loop
+    fails here instead of OOMing a cluster; an allowlist entry without a
+    bounded-by-construction justification is a review failure."""
+    offenders = {}
+    for name, fn in sorted(all_queries().items()):
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        off = unbounded_nested_loops(plan)
+        if off and name not in BOUNDED_BY_CONSTRUCTION_BNLJ:
+            offenders[name] = off[:2]
+    assert not offenders, offenders
