@@ -449,7 +449,48 @@ def dedup_replay_10x(spark) -> dict:
     shingles: a corpus 10x bigger at the SAME duplication rate. Healthy
     LSH grows candidates ~linearly here (banding keys the join, so
     disjoint shingle spaces cannot collide); a quadratic blowup would
-    mean bucket collisions across unrelated text."""
+    mean bucket collisions across unrelated text.
+
+    Round 8 extends the curve a decade: a `hundred_x` point (100 salted
+    copies, ~600k docs at sf0.1) rides in the same block, so the
+    linear-candidates claim is measured across TWO decades of corpus
+    growth, the same evidence standard as the star ETL's 100x replay."""
+    one_x, corpus10, n1 = _salted_docs_corpus(spark, 10)
+
+    one = _dedup_lsh_measure(one_x)  # salted 1x twin: same text shape as 10x
+    ten = _dedup_lsh_measure(corpus10)
+    _, corpus100, _ = _salted_docs_corpus(spark, 100)
+    hundred = _dedup_lsh_measure(corpus100)
+    from sri_spark.operators.caching import unpersist_all
+
+    unpersist_all()
+    return {
+        "rows_1x": n1,
+        "rows_10x": n1 * 10,
+        "rows_100x": n1 * 100,
+        "one_x": one,
+        "ten_x": ten,
+        "hundred_x": hundred,
+        "candidate_growth": (
+            round(ten["candidates"] / one["candidates"], 4)
+            if one["candidates"]
+            else None
+        ),
+        "time_growth": round(ten["sec"] / one["sec"], 4) if one["sec"] else None,
+        "candidate_growth_10x_to_100x": (
+            round(hundred["candidates"] / ten["candidates"], 4)
+            if ten["candidates"]
+            else None
+        ),
+        "time_growth_10x_to_100x": (
+            round(hundred["sec"] / ten["sec"], 4) if ten["sec"] else None
+        ),
+    }
+
+
+def _dedup_lsh_measure(docs) -> dict:
+    """Wall time + candidate/pair counts for one LSH dedup run (shared by
+    the 1x/10x/100x points of dedup_replay_10x)."""
     from pyspark.sql import functions as F
 
     from sri_spark.dedup.minhash import (
@@ -458,45 +499,23 @@ def dedup_replay_10x(spark) -> dict:
         minhash_signatures_from_shingles,
     )
     from sri_spark.dedup.shingles import shingle_hashes_df
-    from sri_spark.sources.testdata import load_table
 
-    def measure(docs) -> dict:
-        t0 = time.perf_counter()
-        n_pairs = minhash_lsh_pairs(docs).count()
-        sec = time.perf_counter() - t0
-        sh = shingle_hashes_df(docs, "text", "doc_id")
-        sig = minhash_signatures_from_shingles(sh, id_col="doc_id")
-        b = _band_buckets(sig, "doc_id")
-        left = b.select(F.col("doc_id").alias("a"), "band", "bucket")
-        right = b.select(F.col("doc_id").alias("b"), "band", "bucket")
-        n_cand = (
-            left.join(right, ["band", "bucket"])
-            .filter(F.col("a") < F.col("b"))
-            .select("a", "b")
-            .distinct()
-            .count()
-        )
-        return {"sec": round(sec, 4), "candidates": n_cand, "pairs": n_pairs}
-
-    one_x, corpus10, n1 = _salted_docs_corpus(spark, 10)
-
-    one = measure(one_x)  # salted 1x twin: same text shape as the 10x
-    ten = measure(corpus10)
-    from sri_spark.operators.caching import unpersist_all
-
-    unpersist_all()
-    return {
-        "rows_1x": n1,
-        "rows_10x": n1 * 10,
-        "one_x": one,
-        "ten_x": ten,
-        "candidate_growth": (
-            round(ten["candidates"] / one["candidates"], 4)
-            if one["candidates"]
-            else None
-        ),
-        "time_growth": round(ten["sec"] / one["sec"], 4) if one["sec"] else None,
-    }
+    t0 = time.perf_counter()
+    n_pairs = minhash_lsh_pairs(docs).count()
+    sec = time.perf_counter() - t0
+    sh = shingle_hashes_df(docs, "text", "doc_id")
+    sig = minhash_signatures_from_shingles(sh, id_col="doc_id")
+    b = _band_buckets(sig, "doc_id")
+    left = b.select(F.col("doc_id").alias("a"), "band", "bucket")
+    right = b.select(F.col("doc_id").alias("b"), "band", "bucket")
+    n_cand = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .count()
+    )
+    return {"sec": round(sec, 4), "candidates": n_cand, "pairs": n_pairs}
 
 
 # the one binding ANN recall contract: tests/test_ann_planted.py fails CI
@@ -622,8 +641,14 @@ def events_replay_10x(spark) -> dict:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
 
-    out = {"rows_1x": n1, "rows_10x": n1 * 10}
-    for label, df in (("one_x", corpus(1)), ("ten_x", corpus(10))):
+    # round 8: a hundred_x point (10M events at sf0.1) extends the curve a
+    # decade — the same two-decade evidence standard as the ETL/dedup 100x
+    out = {"rows_1x": n1, "rows_10x": n1 * 10, "rows_100x": n1 * 100}
+    for label, df in (
+        ("one_x", corpus(1)),
+        ("ten_x", corpus(10)),
+        ("hundred_x", corpus(100)),
+    ):
         t0 = time.perf_counter()
         n_sessions = sessionize(df).count()
         sess_sec = time.perf_counter() - t0
@@ -641,6 +666,12 @@ def events_replay_10x(spark) -> dict:
     )
     out["window_agg_time_growth"] = round(
         out["ten_x"]["window_agg_sec"] / out["one_x"]["window_agg_sec"], 4
+    )
+    out["sessionize_growth_10x_to_100x"] = round(
+        out["hundred_x"]["sessionize_sec"] / out["ten_x"]["sessionize_sec"], 4
+    )
+    out["window_agg_growth_10x_to_100x"] = round(
+        out["hundred_x"]["window_agg_sec"] / out["ten_x"]["window_agg_sec"], 4
     )
     return out
 
