@@ -721,15 +721,22 @@ def graph_replay_10x(spark) -> dict:
         unpersist_all()  # pagerank's per-round scoped persists
         return {"sec": round(sec, 4), "n_nodes": n_nodes}
 
-    one, ten = run(1), run(10)
+    # round 8: hundred_x point (~117M directed arcs at sf0.1) — PageRank's
+    # O(E·iters) class measured across two decades, like the other replays
+    one, ten, hundred = run(1), run(10), run(100)
     pairs.unpersist()
     return {
         "edges_1x": n_pairs * 2,
         "edges_10x": n_pairs * 20,
+        "edges_100x": n_pairs * 200,
         "iterations": PR_ITERS,
         "one_x": one,
         "ten_x": ten,
+        "hundred_x": hundred,
         "time_growth": round(ten["sec"] / one["sec"], 4) if one["sec"] else None,
+        "time_growth_10x_to_100x": (
+            round(hundred["sec"] / ten["sec"], 4) if ten["sec"] else None
+        ),
     }
 
 
