@@ -98,11 +98,70 @@ def main() -> None:
                 2,
             ),
         },
+        "regression": _etl_regression_block(here, n, out),
     }
     with open(path, "w") as f:
         json.dump(doc, f, indent=1)
     print(json.dumps(doc["growth_10x_to_100x"]))
+    if doc["regression"]:
+        print(json.dumps({"etl_shuffle_regression": doc["regression"]["counts"]}))
     print(f"wrote {path}")
+    if doc["regression"] and doc["regression"]["counts"]["regressed"]:
+        sys.exit(1)
+
+
+def _etl_regression_block(here: str, this_round: int, out: dict) -> dict | None:
+    """Same deterministic gate as dump_shuffle.shuffle_regression_block,
+    applied per replay: total shuffle (write+read) must not grow >20% AND
+    >100 MiB against the newest committed prior-round ETL audit (the
+    absolute floor is 100 MiB here — these runs move GiBs, and kilobyte
+    jitter in the 1x point must not trip), and disk spill must not exceed
+    max(1 GiB, 1.2x the floor's spill) — the 100x point legitimately
+    spills ~50 GiB on one host (docs/SCALE.md), so the gate bounds its
+    GROWTH instead of forbidding it."""
+    import glob
+    import re
+
+    floors = sorted(
+        (int(re.search(r"SHUFFLE_ETL_r(\d+)", p).group(1)), p)
+        for p in glob.glob(os.path.join(here, "docs", "SHUFFLE_ETL_r*.json"))
+        if int(re.search(r"SHUFFLE_ETL_r(\d+)", p).group(1)) < this_round
+    )
+    if not floors:
+        return None
+    floor_round, floor_path = floors[-1]
+    with open(floor_path) as f:
+        floor = json.load(f)["replays"]
+    per, counts = {}, {"ok": 0, "regressed": 0, "new": 0}
+    for name, m in sorted(out.items()):
+        base = floor.get(name)
+        if base is None:
+            counts["new"] += 1
+            per[name] = "new"
+            continue
+        cur = m["shuffle_write_mb"] + m["shuffle_read_mb"]
+        ref = base["shuffle_write_mb"] + base["shuffle_read_mb"]
+        base_spill = base.get("spill_disk_mb", 0) or 0
+        spilled = m["spill_disk_mb"] > max(1024.0, base_spill * 1.2)
+        grew = cur > ref * 1.2 and cur - ref > 100.0
+        ratio = round(cur / ref, 2) if ref else None
+        shown = f"{ratio}x" if ratio is not None else "from 0 MiB"
+        if grew or spilled:
+            counts["regressed"] += 1
+            per[name] = (
+                f"REGRESSED shuffle:{shown}"
+                f" spill:{m['spill_disk_mb']} vs {base_spill} MiB"
+            )
+        else:
+            counts["ok"] += 1
+            per[name] = f"ok:{shown}"
+    return {
+        "floor": os.path.basename(floor_path),
+        "threshold": "shuffle(write+read) > 1.2x floor and > +100 MiB, "
+        "or spill > max(1 GiB, 1.2x floor spill)",
+        "counts": counts,
+        "per_replay": per,
+    }
 
 
 if __name__ == "__main__":
