@@ -24,6 +24,9 @@ SIM_JSON_OUT="CORRECTNESS_full_r${N}.json" python scripts/driver_sim.py
 echo "== shuffle audit =="
 python scripts/dump_shuffle.py
 
+echo "== ETL replay shuffle audit (1x/10x/100x) =="
+SPARK_GRAFT_DRIVER_MEM=16g python scripts/dump_etl_shuffle.py
+
 echo "== bench =="
 python bench.py
 

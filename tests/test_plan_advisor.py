@@ -107,3 +107,81 @@ def test_entire_catalog_has_no_fatal_plans(spark, sf_dir):
         if bad:
             fatal[name] = bad
     assert not fatal, fatal
+
+
+# ---------------------------------------------------------------------------
+# unbounded_nested_loops parser semantics, pinned on synthetic plan trees —
+# the classifier now backs every plan-shape guard, so a parser bug that
+# silently allowed a data-sized nested loop would disarm all of them.
+# ---------------------------------------------------------------------------
+
+_BENIGN_BUILD_RIGHT = """AdaptiveSparkPlan isFinalPlan=false
++- Project [doc_id#1L, n#2L]
+   +- BroadcastNestedLoopJoin BuildRight, Cross
+      :- FileScan parquet [doc_id#1L]
+      +- BroadcastExchange IdentityBroadcastMode, [plan_id=7]
+         +- HashAggregate(keys=[], functions=[count(1)], output=[n#2L])
+            +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=5]
+               +- HashAggregate(keys=[], functions=[partial_count(1)])
+                  +- FileScan parquet []"""
+
+_BENIGN_BUILD_LEFT = """*(3) Project [n#2L, doc_id#1L]
++- BroadcastNestedLoopJoin BuildLeft, Cross
+   :- BroadcastExchange IdentityBroadcastMode, [plan_id=7]
+   :  +- *(2) HashAggregate(keys=[], functions=[count(1)], output=[n#2L])
+   :     +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=5]
+   :        +- *(1) HashAggregate(keys=[], functions=[partial_count(1)])
+   :           +- FileScan parquet []
+   +- FileScan parquet [doc_id#1L]"""
+
+_DATA_SIZED = """Project [a#1L, b#2L]
++- BroadcastNestedLoopJoin BuildRight, Cross
+   :- FileScan parquet [a#1L]
+   +- BroadcastExchange IdentityBroadcastMode, [plan_id=3]
+      +- FileScan parquet [b#2L]"""
+
+_KEYED_AGG_BUILD = """Project [a#1L, n#3L]
++- BroadcastNestedLoopJoin BuildRight, Cross
+   :- FileScan parquet [a#1L]
+   +- BroadcastExchange IdentityBroadcastMode, [plan_id=9]
+      +- HashAggregate(keys=[k#2L], functions=[count(1)], output=[n#3L])
+         +- FileScan parquet [k#2L]"""
+
+_NESTED_MIXED = """Project [x#1L]
++- BroadcastNestedLoopJoin BuildRight, Cross
+   :- BroadcastNestedLoopJoin BuildRight, Cross
+   :  :- HashAggregate(keys=[], functions=[count(1)], output=[n1#2L])
+   :  :  +- FileScan parquet []
+   :  +- BroadcastExchange IdentityBroadcastMode, [plan_id=4]
+   :     +- HashAggregate(keys=[], functions=[count(1)], output=[n2#3L])
+   :        +- FileScan parquet []
+   +- BroadcastExchange IdentityBroadcastMode, [plan_id=8]
+      +- FileScan parquet [y#4L]"""
+
+
+def test_parser_allows_benign_both_build_sides():
+    assert unbounded_nested_loops(_BENIGN_BUILD_RIGHT) == []
+    assert unbounded_nested_loops(_BENIGN_BUILD_LEFT) == []
+
+
+def test_parser_flags_data_sized_build():
+    assert len(unbounded_nested_loops(_DATA_SIZED)) == 1
+
+
+def test_parser_rejects_keyed_aggregate_build():
+    # a keys=[k] aggregate is data-sized (one row PER KEY) — only the
+    # keys=[] global form is provably 1 row
+    assert len(unbounded_nested_loops(_KEYED_AGG_BUILD)) == 1
+
+
+def test_parser_judges_each_join_independently():
+    # inner BNLJ benign (keys=[] agg build), outer unbounded (raw scan
+    # build) — the nested benign join must not vouch for the outer one
+    off = unbounded_nested_loops(_NESTED_MIXED)
+    assert len(off) == 1, off
+
+
+def test_parser_fails_closed_on_malformed_tree():
+    # a BNLJ line whose children can't be located must be reported, not
+    # silently allowed
+    assert unbounded_nested_loops("BroadcastNestedLoopJoin BuildLeft, Cross")
