@@ -61,6 +61,64 @@ _TREE_UNIT = re.compile(r"^(?::  |:- |\+- |   )*")
 _GLOBAL_AGG = re.compile(
     r"(?:HashAggregate|ObjectHashAggregate|SortAggregate)\(keys=\[\]"
 )
+# operators that can NEVER increase the row count of their single child —
+# the only things allowed to sit between the broadcast exchange and the
+# 1-row aggregate that proves the build side bounded. Anything else
+# (joins, Generate/explode, Expand, Window, Union, raw scans) can multiply
+# rows, so a scalar aggregate buried BELOW it proves nothing about the
+# exchange's output size and the classifier fails closed.
+_ROW_BOUNDED_CHAIN = (
+    "Project",
+    "Filter",
+    "ColumnarToRow",
+    "RowToColumnar",
+    "InputAdapter",
+    "Coalesce",
+    "Sort",
+)
+
+
+def _build_is_one_row(parsed: list[tuple[int, str]], build: int, end: int) -> bool:
+    """True iff the build subtree parsed[build:end] is PROVABLY <=1 row:
+    a Broadcast(QueryStage/Exchange) whose chain of single, row-bounded
+    children reaches a keys=[] global aggregate with nothing in between
+    that could multiply rows (ADVICE r8: a scalar agg merely *somewhere*
+    in the subtree — e.g. below a join or a Generate — must not vouch
+    for a data-sized exchange)."""
+
+    def children_of(i: int) -> list[int]:
+        d = parsed[i][0]
+        out = []
+        for j in range(i + 1, end):
+            dj = parsed[j][0]
+            if dj <= d:
+                break
+            if dj == d + 1:
+                out.append(j)
+        return out
+
+    cur = build
+    # unwrap the AQE stage wrapper down to the exchange itself
+    if parsed[cur][1].startswith("BroadcastQueryStage"):
+        kids = children_of(cur)
+        if len(kids) != 1:
+            return False
+        cur = kids[0]
+    if not parsed[cur][1].startswith("BroadcastExchange"):
+        return False  # ReusedExchange etc.: not provable here — fail closed
+    if "IdentityBroadcastMode" not in parsed[cur][1]:
+        return False
+    # descend the single-child chain from the exchange to the aggregate
+    while True:
+        kids = children_of(cur)
+        if len(kids) != 1:
+            return False  # 0 = truncated tree, >1 = a join slipped in
+        body = parsed[kids[0]][1]
+        if _GLOBAL_AGG.match(body):
+            return True
+        if not body.startswith(_ROW_BOUNDED_CHAIN):
+            return False
+        cur = kids[0]
 
 
 def _depth_body(line: str) -> tuple[int, str]:
@@ -98,14 +156,7 @@ def unbounded_nested_loops(plan: str) -> list[str]:
             (j for j in range(build + 1, len(parsed)) if parsed[j][0] <= d + 1),
             len(parsed),
         )
-        build_body = parsed[build][1]
-        subtree = "\n".join(parsed[j][1] for j in range(build, end))
-        is_identity = "IdentityBroadcastMode" in build_body or (
-            build_body.startswith("BroadcastQueryStage")
-            and build + 1 < end
-            and "IdentityBroadcastMode" in parsed[build + 1][1]
-        )
-        if not (is_identity and _GLOBAL_AGG.search(subtree)):
+        if not _build_is_one_row(parsed, build, end):
             offending.append(body)
     return offending
 

@@ -244,11 +244,18 @@ def corpus_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("t_cnt"))
     )
     raw = bucketed.groupBy("bucket").agg(F.count("*").alias("r_cnt"))
-    totals = raw.agg(F.sum("r_cnt").alias("r_tot")).crossJoin(
-        target.agg(F.sum("t_cnt").alias("t_tot"))
+    # one global aggregate over the 64-row joined bucket table (target is a
+    # filtered subset of raw, so the left join loses no t_cnt mass) — a
+    # single keys=[] agg keeps the broadcast build provably 1-row under the
+    # strict nested-loop classifier, vs the old agg.crossJoin(agg) shape
+    # whose broadcast exchange hid a join above the aggregates.
+    joined_buckets = raw.join(target, "bucket", "left")
+    totals = joined_buckets.agg(
+        F.sum("r_cnt").alias("r_tot"),
+        F.sum(F.coalesce(F.col("t_cnt"), F.lit(0))).alias("t_tot"),
     )
     ratios = (
-        raw.join(target, "bucket", "left")
+        joined_buckets
         .crossJoin(F.broadcast(totals))
         .select(
             "bucket",

@@ -185,3 +185,68 @@ def test_parser_fails_closed_on_malformed_tree():
     # a BNLJ line whose children can't be located must be reported, not
     # silently allowed
     assert unbounded_nested_loops("BroadcastNestedLoopJoin BuildLeft, Cross")
+
+
+# r8 ADVICE: a data-sized build that merely CONTAINS a scalar aggregate
+# deeper in its tree (below a join, a Generate, …) used to pass because
+# the old check searched the whole build subtree for keys=[]. The agg
+# must now be the exchange's immediate row-bounded descendant.
+
+_DEEP_AGG_UNDER_JOIN = """Project [a#1L]
++- BroadcastNestedLoopJoin BuildRight, Cross
+   :- FileScan parquet [a#1L]
+   +- BroadcastExchange IdentityBroadcastMode, [plan_id=9]
+      +- BroadcastNestedLoopJoin BuildRight, Cross
+         :- FileScan parquet [b#2L]
+         +- BroadcastExchange IdentityBroadcastMode, [plan_id=7]
+            +- HashAggregate(keys=[], functions=[count(1)], output=[n#3L])
+               +- FileScan parquet []"""
+
+_GENERATE_OVER_AGG = """Project [a#1L]
++- BroadcastNestedLoopJoin BuildRight, Cross
+   :- FileScan parquet [a#1L]
+   +- BroadcastExchange IdentityBroadcastMode, [plan_id=9]
+      +- Generate explode(xs#4), false, [x#5L]
+         +- HashAggregate(keys=[], functions=[collect_list(b#2L)], output=[xs#4])
+            +- FileScan parquet [b#2L]"""
+
+_PROJECT_OVER_AGG = """Project [a#1L, n#3L]
++- BroadcastNestedLoopJoin BuildRight, Cross
+   :- FileScan parquet [a#1L]
+   +- BroadcastExchange IdentityBroadcastMode, [plan_id=9]
+      +- Project [(n#2L * 2) AS n#3L]
+         +- HashAggregate(keys=[], functions=[count(1)], output=[n#2L])
+            +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=5]
+               +- HashAggregate(keys=[], functions=[partial_count(1)])
+                  +- FileScan parquet []"""
+
+_REUSED_EXCHANGE_BUILD = """Project [a#1L]
++- BroadcastNestedLoopJoin BuildRight, Cross
+   :- FileScan parquet [a#1L]
+   +- ReusedExchange [n#2L], BroadcastExchange IdentityBroadcastMode, [plan_id=9]"""
+
+
+def test_parser_rejects_deep_agg_below_inner_join():
+    # the OUTER join's build side is data-sized (FileScan x scalar = n
+    # rows); the scalar agg two joins down must not vouch for it. The
+    # inner join itself is benign, so exactly one offender.
+    off = unbounded_nested_loops(_DEEP_AGG_UNDER_JOIN)
+    assert len(off) == 1, off
+
+
+def test_parser_rejects_generate_between_exchange_and_agg():
+    # explode() over a 1-row collect_list is data-sized again — Generate
+    # multiplies rows, so the chain to the aggregate is broken
+    assert len(unbounded_nested_loops(_GENERATE_OVER_AGG)) == 1
+
+
+def test_parser_allows_row_bounded_chain_to_agg():
+    # a Project between the exchange and the global agg keeps the 1-row
+    # guarantee and must stay benign
+    assert unbounded_nested_loops(_PROJECT_OVER_AGG) == []
+
+
+def test_parser_fails_closed_on_reused_exchange():
+    # a ReusedExchange hides its subtree — not provable 1-row from this
+    # parse, so it must be reported rather than trusted
+    assert len(unbounded_nested_loops(_REUSED_EXCHANGE_BUILD)) == 1
