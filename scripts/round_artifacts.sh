@@ -18,6 +18,9 @@ cd "$(dirname "$0")/.."
 
 N=$(printf '%02d' "${1:?usage: round_artifacts.sh <round-number>}")
 
+echo "== prior-round bench artifact equality (round-9 verdict item 2) =="
+python scripts/check_bench_artifact.py
+
 echo "== full-catalog correctness sweep =="
 SIM_JSON_OUT="CORRECTNESS_full_r${N}.json" python scripts/driver_sim.py
 
