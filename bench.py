@@ -399,6 +399,32 @@ def _current_round() -> int:
     return (max(driver_rounds) + 1) if driver_rounds else 1
 
 
+def _median_point(run, *, cleanup=None, warmup: bool = False, repeats: int = 3):
+    """Round-9 verdict item 1: replay points were timed ONCE, and round 8's
+    two same-HEAD runs measured dedup's 1x point 4.6x apart (2.22 s vs
+    10.16 s — first-touch codegen/JIT noise), swinging the published growth
+    ratios up to 3x. Same medicine the catalog queries got in round 5
+    (_timed_query): the published `sec` is the median of `repeats` timed
+    executions. `warmup` adds one untimed execution first and is only
+    needed on the FIRST point of a replay family — the smaller points of
+    the same operator warm the code path for the bigger ones. `cleanup`
+    releases scoped persists between runs so every timed run re-does the
+    full work. Returns (median_sec, last_run_result)."""
+    if warmup:
+        run()
+        if cleanup:
+            cleanup()
+    times = []
+    result = None
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        result = run()
+        times.append(time.perf_counter() - t0)
+        if cleanup:
+            cleanup()
+    return round(sorted(times)[repeats // 2], 4), result
+
+
 def _replicated_union(base, n_copies: int, per_copy):
     """The one replica builder every 10x replay shares: `per_copy(base, i)`
     must shift/salt keys so copies are DISJOINT (the invariant
@@ -457,13 +483,11 @@ def dedup_replay_10x(spark) -> dict:
     growth, the same evidence standard as the star ETL's 100x replay."""
     one_x, corpus10, n1 = _salted_docs_corpus(spark, 10)
 
-    one = _dedup_lsh_measure(one_x)  # salted 1x twin: same text shape as 10x
+    # salted 1x twin (same text shape as 10x); warmup on the 1x point only
+    one = _dedup_lsh_measure(one_x, warmup=True)
     ten = _dedup_lsh_measure(corpus10)
     _, corpus100, _ = _salted_docs_corpus(spark, 100)
     hundred = _dedup_lsh_measure(corpus100)
-    from sri_spark.operators.caching import unpersist_all
-
-    unpersist_all()
     return {
         "rows_1x": n1,
         "rows_10x": n1 * 10,
@@ -488,9 +512,9 @@ def dedup_replay_10x(spark) -> dict:
     }
 
 
-def _dedup_lsh_measure(docs) -> dict:
-    """Wall time + candidate/pair counts for one LSH dedup run (shared by
-    the 1x/10x/100x points of dedup_replay_10x)."""
+def _dedup_lsh_measure(docs, warmup: bool = False) -> dict:
+    """Median wall time + candidate/pair counts for one LSH dedup point
+    (shared by the 1x/10x/100x points of dedup_replay_10x)."""
     from pyspark.sql import functions as F
 
     from sri_spark.dedup.minhash import (
@@ -499,10 +523,13 @@ def _dedup_lsh_measure(docs) -> dict:
         minhash_signatures_from_shingles,
     )
     from sri_spark.dedup.shingles import shingle_hashes_df
+    from sri_spark.operators.caching import unpersist_all
 
-    t0 = time.perf_counter()
-    n_pairs = minhash_lsh_pairs(docs).count()
-    sec = time.perf_counter() - t0
+    sec, n_pairs = _median_point(
+        lambda: minhash_lsh_pairs(docs).count(),
+        cleanup=unpersist_all,
+        warmup=warmup,
+    )
     sh = shingle_hashes_df(docs, "text", "doc_id")
     sig = minhash_signatures_from_shingles(sh, id_col="doc_id")
     b = _band_buckets(sig, "doc_id")
@@ -515,7 +542,7 @@ def _dedup_lsh_measure(docs) -> dict:
         .distinct()
         .count()
     )
-    return {"sec": round(sec, 4), "candidates": n_cand, "pairs": n_pairs}
+    return {"sec": sec, "candidates": n_cand, "pairs": n_pairs}
 
 
 # the one binding ANN recall contract: tests/test_ann_planted.py fails CI
@@ -649,16 +676,17 @@ def events_replay_10x(spark) -> dict:
         ("ten_x", corpus(10)),
         ("hundred_x", corpus(100)),
     ):
-        t0 = time.perf_counter()
-        n_sessions = sessionize(df).count()
-        sess_sec = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        n_windows = window_agg(df).count()
-        win_sec = time.perf_counter() - t0
+        first = label == "one_x"
+        sess_sec, n_sessions = _median_point(
+            lambda: sessionize(df).count(), warmup=first
+        )
+        win_sec, n_windows = _median_point(
+            lambda: window_agg(df).count(), warmup=first
+        )
         out[label] = {
-            "sessionize_sec": round(sess_sec, 4),
+            "sessionize_sec": sess_sec,
             "n_sessions": n_sessions,
-            "window_agg_sec": round(win_sec, 4),
+            "window_agg_sec": win_sec,
             "n_window_rows": n_windows,
         }
     out["sessionize_time_growth"] = round(
@@ -715,11 +743,12 @@ def graph_replay_10x(spark) -> dict:
         edges = p.select(
             F.col("c_id").alias("src"), F.col("s_id").alias("dst")
         ).union(p.select(F.col("s_id").alias("src"), F.col("c_id").alias("dst")))
-        t0 = time.perf_counter()
-        n_nodes = pagerank(edges, iterations=PR_ITERS).count()
-        sec = time.perf_counter() - t0
-        unpersist_all()  # pagerank's per-round scoped persists
-        return {"sec": round(sec, 4), "n_nodes": n_nodes}
+        sec, n_nodes = _median_point(
+            lambda: pagerank(edges, iterations=PR_ITERS).count(),
+            cleanup=unpersist_all,  # pagerank's per-round scoped persists
+            warmup=n_copies == 1,
+        )
+        return {"sec": sec, "n_nodes": n_nodes}
 
     # round 8: hundred_x point (~117M directed arcs at sf0.1) — PageRank's
     # O(E·iters) class measured across two decades, like the other replays
@@ -770,37 +799,61 @@ def ann_replay_10x(spark) -> dict:
             ),
         )
 
-    out = {"rows_1x": n1, "rows_10x": n1 * 10, "k": K, "n_queries": len(qids)}
-    for label, n_copies in (("one_x", 1), ("ten_x", 10)):
+    # round 9: hundred_x point (200k vectors) — probe latency across two
+    # decades pins the bucketed-scan claim; per-point times are medians of
+    # three full 5-query panels (verdict item 1)
+    out = {
+        "rows_1x": n1,
+        "rows_10x": n1 * 10,
+        "rows_100x": n1 * 100,
+        "k": K,
+        "n_queries": len(qids),
+    }
+    for label, n_copies in (("one_x", 1), ("ten_x", 10), ("hundred_x", 100)):
         emb = corpus(n_copies).persist()
         emb.count()
-        t0 = time.perf_counter()
-        for qid in qids:
-            rp_ann_topk(emb, qid, k=K, hamming=3).collect()
-        lsh_sec = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        model, indexed = build_ivf_index(emb, n_lists=16)
-        indexed = indexed.persist()
-        indexed.count()
-        centroids = [
-            (i, [float(x) for x in c])
-            for i, c in enumerate(model.clusterCenters())
-        ]
-        ivf_build_sec = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        for qid in qids:
-            ivf_probe(indexed, centroids, qid, k=K, n_probe=4).collect()
-        ivf_probe_sec = time.perf_counter() - t0
+        first = label == "one_x"
+        lsh_sec, _ = _median_point(
+            lambda: [rp_ann_topk(emb, q, k=K, hamming=3).collect() for q in qids],
+            warmup=first,
+        )
+
+        indexed_holder: list = []
+
+        def _build():
+            if indexed_holder:  # release the previous repeat's index
+                indexed_holder.pop().unpersist()
+            model, idx = build_ivf_index(emb, n_lists=16)
+            idx = idx.persist()
+            idx.count()
+            indexed_holder.append(idx)
+            return [
+                (i, [float(x) for x in c])
+                for i, c in enumerate(model.clusterCenters())
+            ]
+
+        ivf_build_sec, centroids = _median_point(_build, warmup=first)
+        indexed = indexed_holder.pop()
+        ivf_probe_sec, _ = _median_point(
+            lambda: [
+                ivf_probe(indexed, centroids, q, k=K, n_probe=4).collect()
+                for q in qids
+            ],
+            warmup=first,
+        )
         indexed.unpersist()
         emb.unpersist()
         out[label] = {
             "lsh_probe_sec_per_query": round(lsh_sec / len(qids), 4),
-            "ivf_build_sec": round(ivf_build_sec, 4),
+            "ivf_build_sec": ivf_build_sec,
             "ivf_probe_sec_per_query": round(ivf_probe_sec / len(qids), 4),
         }
     for key in ("lsh_probe_sec_per_query", "ivf_probe_sec_per_query"):
         out[key.replace("_sec_per_query", "_time_growth")] = round(
             out["ten_x"][key] / out["one_x"][key], 4
+        )
+        out[key.replace("_sec_per_query", "_growth_10x_to_100x")] = round(
+            out["hundred_x"][key] / out["ten_x"][key], 4
         )
     return out
 
@@ -818,32 +871,47 @@ def keepbest_replay_10x(spark) -> dict:
     from sri_spark.operators.caching import unpersist_all
     from sri_spark.plans.curation_extra_queries import keep_best_members
 
-    def measure(docs) -> dict:
-        t0 = time.perf_counter()
-        n_clusters = (
-            keep_best_members(docs)
-            .groupBy("cluster_id")
-            .agg(F.count("*").alias("n_members"))
-            .count()
+    def measure(docs, warmup: bool = False) -> dict:
+        sec, n_clusters = _median_point(
+            lambda: (
+                keep_best_members(docs)
+                .groupBy("cluster_id")
+                .agg(F.count("*").alias("n_members"))
+                .count()
+            ),
+            cleanup=unpersist_all,
+            warmup=warmup,
         )
-        sec = time.perf_counter() - t0
-        unpersist_all()
-        return {"sec": round(sec, 4), "n_clusters": n_clusters}
+        return {"sec": sec, "n_clusters": n_clusters}
 
     one_x, corpus10, n1 = _salted_docs_corpus(spark, 10)
-    one = measure(one_x)
+    one = measure(one_x, warmup=True)
     ten = measure(corpus10)
+    # round 9: hundred_x point (500k docs) — closes the loop with the dedup
+    # 100x point this operator consumes (verdict item 5)
+    _, corpus100, _ = _salted_docs_corpus(spark, 100)
+    hundred = measure(corpus100)
     return {
         "rows_1x": n1,
         "rows_10x": n1 * 10,
+        "rows_100x": n1 * 100,
         "one_x": one,
         "ten_x": ten,
+        "hundred_x": hundred,
         "cluster_growth": (
             round(ten["n_clusters"] / one["n_clusters"], 4)
             if one["n_clusters"]
             else None
         ),
         "time_growth": round(ten["sec"] / one["sec"], 4) if one["sec"] else None,
+        "cluster_growth_10x_to_100x": (
+            round(hundred["n_clusters"] / ten["n_clusters"], 4)
+            if ten["n_clusters"]
+            else None
+        ),
+        "time_growth_10x_to_100x": (
+            round(hundred["sec"] / ten["sec"], 4) if ten["sec"] else None
+        ),
     }
 
 
@@ -1055,28 +1123,36 @@ def main() -> None:
     # of the query total so `value` stays comparable across rounds.
     replay = sri_etl_replay(spark)
     replay_10x = sri_etl_replay_10x(spark)
-    # the 100x point is the one block big enough to die on a starved host
-    # (it holds a 46M-row build); a failure there must cost THIS block, not
-    # the whole bench artifact the driver records for the round
-    try:
-        replay_100x = sri_etl_replay_100x(spark)
+
+    # every replay block that holds a 10x/100x build (46M-row star, 117M
+    # arcs, 10M events, 500k docs) is big enough to die on a starved host;
+    # a failure there must cost THAT block, not the whole bench artifact
+    # the driver records for the round (ADVICE r8: the guard the 100x ETL
+    # had, applied to all of them)
+    def _guarded(fn) -> dict:
+        try:
+            return fn(spark)
+        except Exception as ex:  # noqa: BLE001 — record, don't lose artifact
+            spark.catalog.clearCache()
+            unpersist_all()
+            return {"error": f"{type(ex).__name__}: {ex}"[:500]}
+
+    replay_100x = _guarded(sri_etl_replay_100x)
+    if "sec" in replay_100x:
         # the growth the judge reads: 10x more rows should cost ~10x, not 100x
         replay_100x["growth_vs_10x"] = round(
             replay_100x["sec"] / replay_10x["sec"], 2
         )
-    except Exception as ex:  # noqa: BLE001 — record, don't lose the artifact
-        replay_100x = {"error": f"{type(ex).__name__}: {ex}"[:500]}
-        spark.catalog.clearCache()
-    recall = ann_recall(spark)
-    recall["planted"] = ann_planted(spark)
-    dedup_replay = dedup_replay_10x(spark)
+    recall = _guarded(ann_recall)
+    recall["planted"] = _guarded(ann_planted)
     # round-5 verdict item 3: measured 10x growth curves for the remaining
     # headline families (ETL and LSH-dedup already had them above)
-    events_replay = events_replay_10x(spark)
-    graph_replay = graph_replay_10x(spark)
-    ann_replay = ann_replay_10x(spark)
-    keepbest_replay = keepbest_replay_10x(spark)
-    corpus_replay = corpus_pipeline_replay(spark)
+    dedup_replay = _guarded(dedup_replay_10x)
+    events_replay = _guarded(events_replay_10x)
+    graph_replay = _guarded(graph_replay_10x)
+    ann_replay = _guarded(ann_replay_10x)
+    keepbest_replay = _guarded(keepbest_replay_10x)
+    corpus_replay = _guarded(corpus_pipeline_replay)
 
     # CPU self-calibration: a fixed JVM-side workload whose time depends only
     # on host speed, not on this repo's code. Cross-round bench comparisons

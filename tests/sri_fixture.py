@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import csv
 import io
+import os
 import random
 
 HEADER = [
@@ -147,7 +148,12 @@ def write_sri_csv(
             # once (chunk 0), never in a chunk too small to hold them
             chunks.append((take, seed + len(chunks), n_codes, len(chunks) == 0))
             written += take
-    with open(path, "w", newline="", encoding="utf-8") as f:
+    # write to a temp sibling and rename: bench.py reuses the cached file
+    # whenever the path exists, so an interrupted multi-GB generation must
+    # never leave a truncated file at the final path (os.replace is atomic
+    # on the same filesystem)
+    tmp_path = path + ".tmp"
+    with open(tmp_path, "w", newline="", encoding="utf-8") as f:
         w = csv.writer(f)
         w.writerow(HEADER)
         if chunk_rows is None:
@@ -161,3 +167,4 @@ def write_sri_csv(
         else:
             for args in chunks:
                 f.write(_chunk_csv_text(args))
+    os.replace(tmp_path, path)
