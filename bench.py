@@ -120,17 +120,24 @@ def sri_etl_replay(spark) -> dict:
     out_dir = os.path.join(cache, "sri_star_out")
     shutil.rmtree(out_dir, ignore_errors=True)
 
-    t0 = time.perf_counter()
-    tables = run_pipeline(spark, csv_path, EtlConfig(mode="fixed"))
-    write_star(tables, out_dir)
-    elapsed = time.perf_counter() - t0
+    holder: dict = {}
+
+    def run():
+        shutil.rmtree(out_dir, ignore_errors=True)  # each repeat builds fresh
+        tables = run_pipeline(spark, csv_path, EtlConfig(mode="fixed"))
+        write_star(tables, out_dir)
+        holder["tables"] = tables
+
+    # median-of-3 + warm-up like every other replay point (verdict item 1);
+    # clearCache between repeats releases the 5 star tables AND the src scan
+    elapsed, _ = _median_point(run, cleanup=spark.catalog.clearCache, warmup=True)
     n_fact = spark.read.parquet(
         os.path.join(out_dir, "fact_registro_vehiculos")
     ).count()
-    n_veh = tables["dim_vehiculo"].count()
-    spark.catalog.clearCache()  # releases the 5 star tables AND the src scan
+    n_veh = holder["tables"]["dim_vehiculo"].count()
+    spark.catalog.clearCache()
     return {
-        "sec": round(elapsed, 4),
+        "sec": elapsed,
         "fact_rows": n_fact,
         "dim_vehiculo_rows": n_veh,
         "source_rows": 460550,
@@ -160,19 +167,23 @@ def sri_etl_replay_10x(spark) -> dict:
     out_dir = os.path.join(cache, "sri_star_out_10x")
     shutil.rmtree(out_dir, ignore_errors=True)
 
-    t0 = time.perf_counter()
-    tables = run_pipeline(
-        spark, csv_path, EtlConfig(mode="fixed", scalable_keys=True)
-    )
-    write_star(tables, out_dir)
-    elapsed = time.perf_counter() - t0
+    def run():
+        shutil.rmtree(out_dir, ignore_errors=True)  # each repeat builds fresh
+        tables = run_pipeline(
+            spark, csv_path, EtlConfig(mode="fixed", scalable_keys=True)
+        )
+        write_star(tables, out_dir)
+
+    # median-of-3, no separate warm-up: the 1x replay just ran the same
+    # pipeline code (verdict item 1)
+    elapsed, _ = _median_point(run, cleanup=spark.catalog.clearCache)
     n_fact = spark.read.parquet(
         os.path.join(out_dir, "fact_registro_vehiculos")
     ).count()
     spark.catalog.clearCache()
     shutil.rmtree(out_dir, ignore_errors=True)  # ~0.5 GB — don't accrete
     return {
-        "sec": round(elapsed, 4),
+        "sec": elapsed,
         "fact_rows": n_fact,
         "source_rows": n,
         "scalable_keys": True,
@@ -214,6 +225,11 @@ def sri_etl_replay_100x(spark) -> dict:
     out_dir = os.path.join(cache, "sri_star_out_100x")
     shutil.rmtree(out_dir, ignore_errors=True)
 
+    # single-shot BY CHOICE (the one replay point exempt from verdict
+    # item 1's median-of-3): an ~8-minute 46M-row build has <2% scheduler
+    # noise, a median would triple a 25-minute block, and its cross-round
+    # cost gate is shuffle BYTES (scripts/dump_etl_shuffle.py), which
+    # don't jitter with host load
     t0 = time.perf_counter()
     tables = run_pipeline(
         spark,
