@@ -441,6 +441,46 @@ def _median_point(run, *, cleanup=None, warmup: bool = False, repeats: int = 3):
     return round(sorted(times)[repeats // 2], 4), result
 
 
+def _interleaved_medians(
+    measures: dict, *, cleanup=None, repeats: int = 3, warmup_keys=()
+) -> dict:
+    """Time-INTERLEAVE the repeats across a replay family's points
+    (cycle 1: 1x,10x,100x; cycle 2: 1x,10x,100x; ...) instead of
+    exhausting each point's repeats consecutively.
+
+    Why: per-point medians (the first half of verdict item 1) cancel
+    burst noise but not SUSTAINED host-load shifts — round 9's two
+    same-HEAD runs measured dedup's 1x point 7.15 s vs 1.73 s with all
+    three consecutive repeats slow and a 44% different single-core
+    calibration, skewing the published growth ratios ~3x while every
+    individual point was a clean median. Interleaving puts every cycle's
+    points under the SAME host conditions, so a load shift moves the
+    family's absolute walls together and the ratios — the quantities the
+    scale argument rests on — stay comparable.
+
+    `measures` is {label: zero-arg callable}; returns
+    {label: (median_sec, last_result)}. `warmup_keys` run once untimed
+    first (JIT/codegen warm-up; the family's other points share the code
+    path)."""
+    for k in warmup_keys:
+        measures[k]()
+        if cleanup:
+            cleanup()
+    times: dict = {k: [] for k in measures}
+    results: dict = {}
+    for _ in range(repeats):
+        for k, fn in measures.items():
+            t0 = time.perf_counter()
+            results[k] = fn()
+            times[k].append(time.perf_counter() - t0)
+            if cleanup:
+                cleanup()
+    return {
+        k: (round(sorted(ts)[len(ts) // 2], 4), results[k])
+        for k, ts in times.items()
+    }
+
+
 def _replicated_union(base, n_copies: int, per_copy):
     """The one replica builder every 10x replay shares: `per_copy(base, i)`
     must shift/salt keys so copies are DISJOINT (the invariant
@@ -497,13 +537,26 @@ def dedup_replay_10x(spark) -> dict:
     copies, ~600k docs at sf0.1) rides in the same block, so the
     linear-candidates claim is measured across TWO decades of corpus
     growth, the same evidence standard as the star ETL's 100x replay."""
-    one_x, corpus10, n1 = _salted_docs_corpus(spark, 10)
+    from sri_spark.dedup.minhash import minhash_lsh_pairs
+    from sri_spark.operators.caching import unpersist_all
 
-    # salted 1x twin (same text shape as 10x); warmup on the 1x point only
-    one = _dedup_lsh_measure(one_x, warmup=True)
-    ten = _dedup_lsh_measure(corpus10)
+    one_x, corpus10, n1 = _salted_docs_corpus(spark, 10)
     _, corpus100, _ = _salted_docs_corpus(spark, 100)
-    hundred = _dedup_lsh_measure(corpus100)
+    # salted 1x twin: same text shape as the 10x/100x corpora
+    corpora = {"one_x": one_x, "ten_x": corpus10, "hundred_x": corpus100}
+    med = _interleaved_medians(
+        {k: (lambda d=d: minhash_lsh_pairs(d).count()) for k, d in corpora.items()},
+        cleanup=unpersist_all,
+        warmup_keys=("one_x",),
+    )
+    one, ten, hundred = (
+        {
+            "sec": med[k][0],
+            "pairs": med[k][1],
+            "candidates": _dedup_lsh_candidates(corpora[k]),
+        }
+        for k in ("one_x", "ten_x", "hundred_x")
+    )
     return {
         "rows_1x": n1,
         "rows_10x": n1 * 10,
@@ -528,37 +581,28 @@ def dedup_replay_10x(spark) -> dict:
     }
 
 
-def _dedup_lsh_measure(docs, warmup: bool = False) -> dict:
-    """Median wall time + candidate/pair counts for one LSH dedup point
-    (shared by the 1x/10x/100x points of dedup_replay_10x)."""
+def _dedup_lsh_candidates(docs) -> int:
+    """Untimed candidate-pair count for one dedup replay point."""
     from pyspark.sql import functions as F
 
     from sri_spark.dedup.minhash import (
         _band_buckets,
-        minhash_lsh_pairs,
         minhash_signatures_from_shingles,
     )
     from sri_spark.dedup.shingles import shingle_hashes_df
-    from sri_spark.operators.caching import unpersist_all
 
-    sec, n_pairs = _median_point(
-        lambda: minhash_lsh_pairs(docs).count(),
-        cleanup=unpersist_all,
-        warmup=warmup,
-    )
     sh = shingle_hashes_df(docs, "text", "doc_id")
     sig = minhash_signatures_from_shingles(sh, id_col="doc_id")
     b = _band_buckets(sig, "doc_id")
     left = b.select(F.col("doc_id").alias("a"), "band", "bucket")
     right = b.select(F.col("doc_id").alias("b"), "band", "bucket")
-    n_cand = (
+    return (
         left.join(right, ["band", "bucket"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
         .count()
     )
-    return {"sec": sec, "candidates": n_cand, "pairs": n_pairs}
 
 
 # the one binding ANN recall contract: tests/test_ann_planted.py fails CI
@@ -687,23 +731,24 @@ def events_replay_10x(spark) -> dict:
     # round 8: a hundred_x point (10M events at sf0.1) extends the curve a
     # decade — the same two-decade evidence standard as the ETL/dedup 100x
     out = {"rows_1x": n1, "rows_10x": n1 * 10, "rows_100x": n1 * 100}
-    for label, df in (
-        ("one_x", corpus(1)),
-        ("ten_x", corpus(10)),
-        ("hundred_x", corpus(100)),
-    ):
-        first = label == "one_x"
-        sess_sec, n_sessions = _median_point(
-            lambda: sessionize(df).count(), warmup=first
-        )
-        win_sec, n_windows = _median_point(
-            lambda: window_agg(df).count(), warmup=first
-        )
-        out[label] = {
-            "sessionize_sec": sess_sec,
-            "n_sessions": n_sessions,
-            "window_agg_sec": win_sec,
-            "n_window_rows": n_windows,
+    labels = ("one_x", "ten_x", "hundred_x")
+    frames = {k: corpus(c) for k, c in zip(labels, (1, 10, 100))}
+    cells: dict = {}
+    for k in labels:
+        cells[(k, "sess")] = lambda d=frames[k]: sessionize(d).count()
+        cells[(k, "win")] = lambda d=frames[k]: window_agg(d).count()
+    # repeats=5: the 1x cells are 0.1-0.5 s — pure scheduler-noise
+    # territory — and a full cycle costs ~10 s, so two extra cycles are
+    # cheap insurance on the family's smallest denominators
+    med = _interleaved_medians(
+        cells, repeats=5, warmup_keys=(("one_x", "sess"), ("one_x", "win"))
+    )
+    for k in labels:
+        out[k] = {
+            "sessionize_sec": med[(k, "sess")][0],
+            "n_sessions": med[(k, "sess")][1],
+            "window_agg_sec": med[(k, "win")][0],
+            "n_window_rows": med[(k, "win")][1],
         }
     out["sessionize_time_growth"] = round(
         out["ten_x"]["sessionize_sec"] / out["one_x"]["sessionize_sec"], 4
@@ -747,7 +792,7 @@ def graph_replay_10x(spark) -> dict:
     )
     n_pairs = pairs.count()
 
-    def run(n_copies) -> dict:
+    def edges_for(n_copies):
         p = _replicated_union(
             pairs,
             n_copies,
@@ -756,19 +801,26 @@ def graph_replay_10x(spark) -> dict:
                 (F.col("s_id") + F.lit(i * 1_000_000_000)).alias("s_id"),
             ),
         )
-        edges = p.select(
+        return p.select(
             F.col("c_id").alias("src"), F.col("s_id").alias("dst")
         ).union(p.select(F.col("s_id").alias("src"), F.col("c_id").alias("dst")))
-        sec, n_nodes = _median_point(
-            lambda: pagerank(edges, iterations=PR_ITERS).count(),
-            cleanup=unpersist_all,  # pagerank's per-round scoped persists
-            warmup=n_copies == 1,
-        )
-        return {"sec": sec, "n_nodes": n_nodes}
 
     # round 8: hundred_x point (~117M directed arcs at sf0.1) — PageRank's
     # O(E·iters) class measured across two decades, like the other replays
-    one, ten, hundred = run(1), run(10), run(100)
+    med = _interleaved_medians(
+        {
+            k: (
+                lambda e=edges_for(c): pagerank(e, iterations=PR_ITERS).count()
+            )
+            for k, c in (("one_x", 1), ("ten_x", 10), ("hundred_x", 100))
+        },
+        cleanup=unpersist_all,  # pagerank's per-round scoped persists
+        warmup_keys=("one_x",),
+    )
+    one, ten, hundred = (
+        {"sec": med[k][0], "n_nodes": med[k][1]}
+        for k in ("one_x", "ten_x", "hundred_x")
+    )
     pairs.unpersist()
     return {
         "edges_1x": n_pairs * 2,
@@ -887,26 +939,32 @@ def keepbest_replay_10x(spark) -> dict:
     from sri_spark.operators.caching import unpersist_all
     from sri_spark.plans.curation_extra_queries import keep_best_members
 
-    def measure(docs, warmup: bool = False) -> dict:
-        sec, n_clusters = _median_point(
-            lambda: (
-                keep_best_members(docs)
-                .groupBy("cluster_id")
-                .agg(F.count("*").alias("n_members"))
-                .count()
-            ),
-            cleanup=unpersist_all,
-            warmup=warmup,
-        )
-        return {"sec": sec, "n_clusters": n_clusters}
-
     one_x, corpus10, n1 = _salted_docs_corpus(spark, 10)
-    one = measure(one_x, warmup=True)
-    ten = measure(corpus10)
     # round 9: hundred_x point (500k docs) — closes the loop with the dedup
     # 100x point this operator consumes (verdict item 5)
     _, corpus100, _ = _salted_docs_corpus(spark, 100)
-    hundred = measure(corpus100)
+
+    med = _interleaved_medians(
+        {
+            k: (
+                lambda d=d: keep_best_members(d)
+                .groupBy("cluster_id")
+                .agg(F.count("*").alias("n_members"))
+                .count()
+            )
+            for k, d in (
+                ("one_x", one_x),
+                ("ten_x", corpus10),
+                ("hundred_x", corpus100),
+            )
+        },
+        cleanup=unpersist_all,
+        warmup_keys=("one_x",),
+    )
+    one, ten, hundred = (
+        {"sec": med[k][0], "n_clusters": med[k][1]}
+        for k in ("one_x", "ten_x", "hundred_x")
+    )
     return {
         "rows_1x": n1,
         "rows_10x": n1 * 10,
