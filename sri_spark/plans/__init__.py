@@ -20,6 +20,7 @@ from sri_spark.plans import (  # noqa: E402,F401
     embedding_queries,
     curation_extra_queries,
     curation_queries,
+    decorrelation_queries,
     dedup_queries,
     events_queries,
     governance_queries,
