@@ -120,22 +120,22 @@ def sri_etl_replay(spark) -> dict:
     out_dir = os.path.join(cache, "sri_star_out")
     shutil.rmtree(out_dir, ignore_errors=True)
 
-    holder: dict = {}
-
     def run():
         shutil.rmtree(out_dir, ignore_errors=True)  # each repeat builds fresh
         tables = run_pipeline(spark, csv_path, EtlConfig(mode="fixed"))
         write_star(tables, out_dir)
-        holder["tables"] = tables
 
     # median-of-3 + warm-up like every other replay point (verdict item 1);
     # clearCache between repeats releases the 5 star tables AND the src scan
     elapsed, _ = _median_point(run, cleanup=spark.catalog.clearCache, warmup=True)
+    # row counts from the WRITTEN star (shuffle-free parquet counts): the
+    # pipeline frames are uncached after cleanup, and recomputing
+    # dim_vehiculo from source costs a shuffle the byte audit would book
+    # against this block (+61 MiB on the r9 gate's first armed run)
     n_fact = spark.read.parquet(
         os.path.join(out_dir, "fact_registro_vehiculos")
     ).count()
-    n_veh = holder["tables"]["dim_vehiculo"].count()
-    spark.catalog.clearCache()
+    n_veh = spark.read.parquet(os.path.join(out_dir, "dim_vehiculo")).count()
     return {
         "sec": elapsed,
         "fact_rows": n_fact,
@@ -415,6 +415,21 @@ def _current_round() -> int:
     return (max(driver_rounds) + 1) if driver_rounds else 1
 
 
+# Byte-audit mode: scripts/dump_etl_shuffle.py (and any stage-metrics
+# consumer) sums shuffle/spill bytes across EVERY execution in a block, so
+# timing repeats would multiply the audited bytes by the repeat count and
+# trip the cross-round byte gate on methodology, not on plans. Setting
+# SPARK_GRAFT_REPLAY_REPEATS=1 makes every replay point run exactly once
+# (no warm-up) — wall times are then single-shot, but byte audits never
+# read wall time.
+_REPLAY_REPEATS_ENV = "SPARK_GRAFT_REPLAY_REPEATS"
+
+
+def _forced_repeats() -> int | None:
+    v = os.environ.get(_REPLAY_REPEATS_ENV)
+    return max(1, int(v)) if v else None
+
+
 def _median_point(run, *, cleanup=None, warmup: bool = False, repeats: int = 3):
     """Round-9 verdict item 1: replay points were timed ONCE, and round 8's
     two same-HEAD runs measured dedup's 1x point 4.6x apart (2.22 s vs
@@ -426,6 +441,9 @@ def _median_point(run, *, cleanup=None, warmup: bool = False, repeats: int = 3):
     the same operator warm the code path for the bigger ones. `cleanup`
     releases scoped persists between runs so every timed run re-does the
     full work. Returns (median_sec, last_run_result)."""
+    forced = _forced_repeats()
+    if forced is not None:
+        repeats, warmup = forced, forced > 1 and warmup
     if warmup:
         run()
         if cleanup:
@@ -462,6 +480,11 @@ def _interleaved_medians(
     {label: (median_sec, last_result)}. `warmup_keys` run once untimed
     first (JIT/codegen warm-up; the family's other points share the code
     path)."""
+    forced = _forced_repeats()
+    if forced is not None:
+        repeats = forced
+        if forced == 1:
+            warmup_keys = ()
     for k in warmup_keys:
         measures[k]()
         if cleanup:

@@ -30,6 +30,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
+    # byte-audit mode: one execution per replay point. The bench's
+    # median-of-3 timing repeats would otherwise multiply every audited
+    # shuffle/spill byte by the repeat count (r9: the gate's first armed
+    # run "regressed" 3-4.4x purely from counting three builds per point).
+    os.environ["SPARK_GRAFT_REPLAY_REPEATS"] = "1"
+
     from pyspark.sql import SparkSession
 
     import bench
