@@ -183,3 +183,45 @@ def test_committed_bench_artifact_schema():
     assert art["ann_recall"]["advisory"] is True
     assert art["ann_recall"]["planted"]["binding"] is True
     assert art["queries"], "per-query dict must be non-empty"
+
+
+def test_median_point_honors_single_shot_env(monkeypatch):
+    """SPARK_GRAFT_REPLAY_REPEATS=1 (set by the byte audits) must make a
+    replay point run exactly once with no warm-up — the stage-metrics
+    consumers sum bytes across every execution, so a stray repeat would
+    multiply the audited bytes and trip the cross-round gate on
+    methodology (the r9 gate's first armed run fired on exactly this)."""
+    import bench
+
+    monkeypatch.setenv("SPARK_GRAFT_REPLAY_REPEATS", "1")
+    calls = []
+    sec, result = bench._median_point(
+        lambda: calls.append(1) or "r", warmup=True, repeats=3
+    )
+    assert len(calls) == 1 and result == "r"
+
+    calls.clear()
+    med = bench._interleaved_medians(
+        {"a": lambda: calls.append("a"), "b": lambda: calls.append("b")},
+        repeats=3,
+        warmup_keys=("a",),
+    )
+    assert calls == ["a", "b"] and set(med) == {"a", "b"}
+
+
+def test_median_point_defaults_unchanged_without_env(monkeypatch):
+    import bench
+
+    monkeypatch.delenv("SPARK_GRAFT_REPLAY_REPEATS", raising=False)
+    calls = []
+    bench._median_point(lambda: calls.append(1), warmup=True, repeats=3)
+    assert len(calls) == 4  # warm-up + 3 timed
+
+    calls.clear()
+    bench._interleaved_medians(
+        {"a": lambda: calls.append("a"), "b": lambda: calls.append("b")},
+        repeats=3,
+        warmup_keys=("a",),
+    )
+    # warm-up a, then 3 interleaved cycles of (a, b)
+    assert calls == ["a", "a", "b", "a", "b", "a", "b"]
