@@ -22,6 +22,10 @@ SF = "/root/testdata/sf0.001"
 @pytest.fixture(autouse=True)
 def _small_sf(monkeypatch):
     monkeypatch.setattr(bench, "SF_DIR", SF)
+    # these tests assert COUNT invariants (sessions, clusters, nodes,
+    # candidate disjointness), never wall times — run every replay point
+    # once instead of paying for the interleaved timing cycles
+    monkeypatch.setenv("SPARK_GRAFT_REPLAY_REPEATS", "1")
 
 
 def test_events_replay_copies_preserve_session_structure(spark):
