@@ -427,7 +427,18 @@ _REPLAY_REPEATS_ENV = "SPARK_GRAFT_REPLAY_REPEATS"
 
 def _forced_repeats() -> int | None:
     v = os.environ.get(_REPLAY_REPEATS_ENV)
-    return max(1, int(v)) if v else None
+    if not v:
+        return None
+    try:
+        return max(1, int(v))
+    except ValueError:
+        # a malformed knob must not kill the whole bench run (ADVICE r9)
+        print(
+            f"WARNING: ignoring malformed {_REPLAY_REPEATS_ENV}={v!r} "
+            f"(expected an integer); replay points use default repeats",
+            file=sys.stderr,
+        )
+        return None
 
 
 def _median_point(run, *, cleanup=None, warmup: bool = False, repeats: int = 3):

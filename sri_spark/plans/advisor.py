@@ -66,16 +66,28 @@ _GLOBAL_AGG = re.compile(
 # 1-row aggregate that proves the build side bounded. Anything else
 # (joins, Generate/explode, Expand, Window, Union, raw scans) can multiply
 # rows, so a scalar aggregate buried BELOW it proves nothing about the
-# exchange's output size and the classifier fails closed.
-_ROW_BOUNDED_CHAIN = (
-    "Project",
-    "Filter",
-    "ColumnarToRow",
-    "RowToColumnar",
-    "InputAdapter",
-    "Coalesce",
-    "Sort",
+# exchange's output size and the classifier fails closed. Matched by the
+# EXACT operator token (text up to the first space or '('), never by
+# prefix: "Sort" must not vouch for SortMergeJoin/SortAggregate
+# (ADVICE r9 — prefix matching is fail-open in a fail-closed classifier).
+_ROW_BOUNDED_OPS = frozenset(
+    {
+        "Project",
+        "Filter",
+        "ColumnarToRow",
+        "RowToColumnar",
+        "InputAdapter",
+        "Coalesce",
+        "Sort",
+    }
 )
+
+
+def _op_token(body: str) -> str:
+    """The physical operator's name: the body text up to the first space
+    or '(' — 'Sort [x ASC], true, 0' -> 'Sort', 'SortMergeJoin(...' ->
+    'SortMergeJoin'."""
+    return re.split(r"[ (]", body, maxsplit=1)[0]
 
 
 def _build_is_one_row(parsed: list[tuple[int, str]], build: int, end: int) -> bool:
@@ -116,7 +128,7 @@ def _build_is_one_row(parsed: list[tuple[int, str]], build: int, end: int) -> bo
         body = parsed[kids[0]][1]
         if _GLOBAL_AGG.match(body):
             return True
-        if not body.startswith(_ROW_BOUNDED_CHAIN):
+        if _op_token(body) not in _ROW_BOUNDED_OPS:
             return False
         cur = kids[0]
 

@@ -720,3 +720,293 @@ def orders_revenue_gini_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("tn").cast("long").alias("n_customers"),
         F.round(1.0 - F.sum(term), 6).alias("gini"),
     )
+
+
+# --------------------------------------------------------------------------
+# Welch's unequal-variance t-test (view vs purchase event values)
+# --------------------------------------------------------------------------
+
+_WELCH_A, _WELCH_B = "view", "purchase"
+
+_WELCH_ORACLE = f"""
+WITH ev AS (
+  SELECT event_type, value FROM events
+  WHERE event_type IN ('{_WELCH_A}', '{_WELCH_B}')
+),
+s AS (
+  SELECT
+    count(CASE WHEN event_type = '{_WELCH_A}' THEN 1 END)::BIGINT AS n_a,
+    count(CASE WHEN event_type = '{_WELCH_B}' THEN 1 END)::BIGINT AS n_b,
+    avg(CASE WHEN event_type = '{_WELCH_A}' THEN value END) AS ma,
+    avg(CASE WHEN event_type = '{_WELCH_B}' THEN value END) AS mb,
+    var_samp(CASE WHEN event_type = '{_WELCH_A}' THEN value END) AS va,
+    var_samp(CASE WHEN event_type = '{_WELCH_B}' THEN value END) AS vb
+  FROM ev
+)
+SELECT n_a, n_b,
+       round(ma, 6) AS mean_a,
+       round(mb, 6) AS mean_b,
+       round((ma - mb) / sqrt(va / n_a + vb / n_b), 6) AS t_stat,
+       round((va / n_a + vb / n_b) * (va / n_a + vb / n_b)
+             / ((va / n_a) * (va / n_a) / (n_a - 1)
+                + (vb / n_b) * (vb / n_b) / (n_b - 1)), 6) AS df_welch
+FROM s
+"""
+
+
+@register("stats_welch_ttest", _WELCH_ORACLE)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between the 'view' and 'purchase'
+    event-value cohorts: means, sample variances, the t statistic and the
+    Welch-Satterthwaite degrees of freedom — the drift/AB-test companion
+    to the binned KS curve (stats_ks_two_sample), answering "did the mean
+    move" where KS answers "did the shape move".
+
+    Shape: ONE conditional hash aggregate over the filtered scan (count/
+    avg/var_samp per cohort via when()); everything after is scalar
+    arithmetic on a 1-row frame. No joins, no windows, one shuffle of
+    partial aggregates — the cheapest possible 100 TB pass."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(_WELCH_A, _WELCH_B))
+        .select("event_type", "value")
+    )
+    a = F.when(F.col("event_type") == _WELCH_A, F.col("value"))
+    b = F.when(F.col("event_type") == _WELCH_B, F.col("value"))
+    s = ev.agg(
+        F.count(a).cast("long").alias("n_a"),
+        F.count(b).cast("long").alias("n_b"),
+        F.avg(a).alias("ma"),
+        F.avg(b).alias("mb"),
+        F.var_samp(a).alias("va"),
+        F.var_samp(b).alias("vb"),
+    )
+    sea = F.col("va") / F.col("n_a")
+    seb = F.col("vb") / F.col("n_b")
+    return s.select(
+        "n_a",
+        "n_b",
+        F.round("ma", 6).alias("mean_a"),
+        F.round("mb", 6).alias("mean_b"),
+        F.round((F.col("ma") - F.col("mb")) / F.sqrt(sea + seb), 6).alias(
+            "t_stat"
+        ),
+        F.round(
+            (sea + seb) * (sea + seb)
+            / (sea * sea / (F.col("n_a") - 1) + seb * seb / (F.col("n_b") - 1)),
+            6,
+        ).alias("df_welch"),
+    )
+
+
+# --------------------------------------------------------------------------
+# binned Spearman rank correlation (quantity vs price per return flag)
+# --------------------------------------------------------------------------
+
+_SPEARMAN_BINS = 100
+
+_SPEARMAN_ORACLE = f"""
+WITH li AS (
+  SELECT l_returnflag AS flag, l_quantity AS q, l_extendedprice AS p
+  FROM lineitem
+),
+b AS (
+  SELECT min(q) AS loq, max(q) AS hiq, min(p) AS lop, max(p) AS hip FROM li
+),
+binned AS (
+  SELECT flag,
+         least(CAST(floor((q - loq)
+                          / greatest((hiq - loq) / {_SPEARMAN_BINS}, 1e-12))
+               AS BIGINT), {_SPEARMAN_BINS - 1}) AS bq,
+         least(CAST(floor((p - lop)
+                          / greatest((hip - lop) / {_SPEARMAN_BINS}, 1e-12))
+               AS BIGINT), {_SPEARMAN_BINS - 1}) AS bp
+  FROM li CROSS JOIN b
+),
+joint AS (
+  SELECT flag, bq, bp, count(*) * 1.0 AS n FROM binned GROUP BY 1, 2, 3
+),
+tot AS (SELECT flag, sum(n) AS nf FROM joint GROUP BY 1),
+ma AS (
+  SELECT flag, bq,
+         coalesce(sum(cnt) OVER (PARTITION BY flag ORDER BY bq
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (cnt + 1) / 2.0 AS ra
+  FROM (SELECT flag, bq, sum(n) AS cnt FROM joint GROUP BY 1, 2)
+),
+mb AS (
+  SELECT flag, bp,
+         coalesce(sum(cnt) OVER (PARTITION BY flag ORDER BY bp
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (cnt + 1) / 2.0 AS rb
+  FROM (SELECT flag, bp, sum(n) AS cnt FROM joint GROUP BY 1, 2)
+),
+scored AS (
+  SELECT j.flag, j.n, ma.ra / t.nf AS ra, mb.rb / t.nf AS rb
+  FROM joint j
+  JOIN ma USING (flag, bq)
+  JOIN mb USING (flag, bp)
+  JOIN tot t USING (flag)
+)
+SELECT flag,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       round((sum(n) * sum(n * ra * rb) - sum(n * ra) * sum(n * rb))
+             / greatest(sqrt(greatest(sum(n) * sum(n * ra * ra)
+                                      - sum(n * ra) * sum(n * ra), 0.0)
+                             * greatest(sum(n) * sum(n * rb * rb)
+                                        - sum(n * rb) * sum(n * rb), 0.0)),
+                        1e-12), 6) AS spearman_binned
+FROM scored GROUP BY flag
+"""
+
+
+@register("stats_spearman_binned", _SPEARMAN_ORACLE)
+def stats_spearman_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned Spearman rank correlation between l_quantity and
+    l_extendedprice per return flag — monotone dependence without a
+    global sort. Exact Spearman needs a total ranking of each variable
+    (a 100 TB sort per column); the binned estimator folds each variable
+    into {_SPEARMAN_BINS} fixed-width bins (one hash aggregate over the
+    joint (flag, bq, bp) cell grid — at most flags x bins^2 cells,
+    bounded by construction), assigns every cell the average rank of its
+    bin (the standard midrank treatment of ties), normalizes ranks to
+    [0, 1] so the closing sums stay O(1)-scaled (no catastrophic
+    cancellation in the corr identity), and evaluates weighted Pearson
+    corr of the midranks with plain SUM aggregates.
+
+    The cumulative midrank windows run over at most {_SPEARMAN_BINS} rows
+    per flag — driver-sized regardless of input, the same trick as the
+    binned KS ECDF. Oracle: identical arithmetic in DuckDB."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").alias("q"),
+        F.col("l_extendedprice").alias("p"),
+    )
+    b = li.agg(
+        F.min("q").alias("loq"),
+        F.max("q").alias("hiq"),
+        F.min("p").alias("lop"),
+        F.max("p").alias("hip"),
+    )
+    nb = _SPEARMAN_BINS
+
+    def _bin(v: str, lo: str, hi: str):
+        width = F.greatest((F.col(hi) - F.col(lo)) / nb, F.lit(1e-12))
+        return F.least(
+            F.floor((F.col(v) - F.col(lo)) / width).cast("long"),
+            F.lit(nb - 1),
+        )
+
+    binned = li.join(F.broadcast(b), F.lit(True)).select(
+        "flag",
+        _bin("q", "loq", "hiq").alias("bq"),
+        _bin("p", "lop", "hip").alias("bp"),
+    )
+    joint = binned.groupBy("flag", "bq", "bp").agg(
+        (F.count("*") * 1.0).alias("n")
+    )
+    tot = joint.groupBy("flag").agg(F.sum("n").alias("nf"))
+
+    def _midranks(key: str, rank_col: str) -> DataFrame:
+        marg = joint.groupBy("flag", key).agg(F.sum("n").alias("cnt"))
+        w = (
+            Window.partitionBy("flag")
+            .orderBy(key)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        before = F.coalesce(F.sum("cnt").over(w), F.lit(0.0))
+        return marg.select(
+            "flag", key, (before + (F.col("cnt") + 1) / 2.0).alias(rank_col)
+        )
+
+    scored = (
+        joint.join(F.broadcast(_midranks("bq", "ra")), ["flag", "bq"])
+        .join(F.broadcast(_midranks("bp", "rb")), ["flag", "bp"])
+        .join(F.broadcast(tot), "flag")
+        .select(
+            "flag",
+            "n",
+            (F.col("ra") / F.col("nf")).alias("ra"),
+            (F.col("rb") / F.col("nf")).alias("rb"),
+        )
+    )
+    sn = F.sum("n")
+    sa = F.sum(F.col("n") * F.col("ra"))
+    sb = F.sum(F.col("n") * F.col("rb"))
+    saa = F.sum(F.col("n") * F.col("ra") * F.col("ra"))
+    sbb = F.sum(F.col("n") * F.col("rb") * F.col("rb"))
+    sab = F.sum(F.col("n") * F.col("ra") * F.col("rb"))
+    denom = F.greatest(
+        F.sqrt(
+            F.greatest(sn * saa - sa * sa, F.lit(0.0))
+            * F.greatest(sn * sbb - sb * sb, F.lit(0.0))
+        ),
+        F.lit(1e-12),
+    )
+    return scored.groupBy("flag").agg(
+        sn.cast("long").alias("n_rows"),
+        F.round((sn * sab - sa * sb) / denom, 6).alias("spearman_binned"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit (order totals)
+# --------------------------------------------------------------------------
+
+_BENFORD_ORACLE = """
+WITH d AS (
+  SELECT CAST(floor(o_totalprice
+               / power(10, length(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                       AS VARCHAR)) - 1)) AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice >= 1
+),
+c AS (SELECT digit, count(*)::BIGINT AS n_obs FROM d GROUP BY 1),
+t AS (SELECT sum(n_obs) AS n FROM c)
+SELECT digit, n_obs,
+       round(n_obs * 1.0 / n, 6) AS obs_share,
+       round(log10(1 + 1.0 / digit), 6) AS exp_share,
+       round((n_obs * 1.0 / n - log10(1 + 1.0 / digit))
+             * (n_obs * 1.0 / n - log10(1 + 1.0 / digit))
+             / log10(1 + 1.0 / digit), 6) AS chi2_term
+FROM c CROSS JOIN t
+"""
+
+
+@register("stats_benford_first_digit", _BENFORD_ORACLE)
+def stats_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit over order totals: the
+    observed share of each leading digit 1-9 vs the Benford expectation
+    log10(1 + 1/d), with the per-digit chi-square term — the classic
+    fabricated-data / unit-mixing forensic check a warehouse runs on any
+    monetary column.
+
+    The first digit is extracted arithmetically but boundary-safely:
+    floor(x) is exact, its decimal digit count comes from a string length
+    (never floor(log10(x)), which puts exact powers of ten in the wrong
+    bucket when log10 returns 2.9999...), and one division by 10^(digits-1)
+    yields the digit. One hash aggregate to 9 rows, one scalar total
+    joined back — the full-data pass is a single scan."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") >= 1
+    )
+    n_digits = F.length(F.floor(F.col("o_totalprice")).cast("string"))
+    digit = F.floor(
+        F.col("o_totalprice") / F.pow(F.lit(10.0), n_digits - 1)
+    ).cast("long")
+    c = (
+        orders.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").cast("long").alias("n_obs"))
+    )
+    t = c.agg(F.sum("n_obs").alias("n"))
+    obs_share = F.col("n_obs") * 1.0 / F.col("n")
+    exp_share = F.log10(1 + 1.0 / F.col("digit"))
+    return c.join(F.broadcast(t), F.lit(True)).select(
+        "digit",
+        "n_obs",
+        F.round(obs_share, 6).alias("obs_share"),
+        F.round(exp_share, 6).alias("exp_share"),
+        F.round(
+            (obs_share - exp_share) * (obs_share - exp_share) / exp_share, 6
+        ).alias("chi2_term"),
+    )

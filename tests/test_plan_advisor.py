@@ -250,3 +250,32 @@ def test_parser_fails_closed_on_reused_exchange():
     # a ReusedExchange hides its subtree — not provable 1-row from this
     # parse, so it must be reported rather than trusted
     assert len(unbounded_nested_loops(_REUSED_EXCHANGE_BUILD)) == 1
+
+
+# r9 ADVICE: the row-bounded chain used to be matched by str.startswith,
+# so any operator sharing a listed prefix ("Sort" -> SortAggregate,
+# SortMergeJoin) slipped into the chain. The classifier must match the
+# EXACT operator token.
+
+_PREFIX_SHARING_OP_IN_CHAIN = """Project [a#1L]
++- BroadcastNestedLoopJoin BuildRight, Cross
+   :- FileScan parquet [a#1L]
+   +- BroadcastExchange IdentityBroadcastMode, [plan_id=9]
+      +- SortAggregate(keys=[k#2L], functions=[max(b#3L)], output=[m#4L])
+         +- HashAggregate(keys=[], functions=[count(1)], output=[n#5L])
+            +- FileScan parquet []"""
+
+
+def test_parser_matches_exact_operator_token_not_prefix():
+    # 'SortAggregate' shares the 'Sort' prefix but is NOT in the
+    # row-bounded allowlist (keyed aggregates are judged by _GLOBAL_AGG,
+    # never waved through as chain links) — prefix matching would descend
+    # past it to the global agg below and vouch for the exchange.
+    # Fail-closed: flag it.
+    assert len(unbounded_nested_loops(_PREFIX_SHARING_OP_IN_CHAIN)) == 1
+    # the genuine chain ops still pass by exact token
+    from sri_spark.plans.advisor import _op_token
+
+    assert _op_token("Sort [x#1L ASC NULLS FIRST], true, 0") == "Sort"
+    assert _op_token("SortMergeJoin [a#1L], [b#2L], Inner") == "SortMergeJoin"
+    assert _op_token("ColumnarToRow") == "ColumnarToRow"
