@@ -1141,6 +1141,14 @@ def regression_block(
         "host_factor": host,
         "calibrated": scalar is not None,
         "calibration_scalar": scalar,
+        # r10: a 1.71 host_factor (load-avg-14 neighbor tenant) flagged 3
+        # regressed / 38 improved on byte-identical plans. A factor this
+        # far from 1.0 means the calibration itself ran under contention,
+        # so per-query verdicts are unreliable in BOTH directions — the
+        # deterministic shuffle_regression block is the trustworthy gate
+        # on such a run, and wall verdicts need a quiet-host re-measure
+        # (scripts/pin_band.py) before anyone acts on them.
+        "host_factor_suspect": bool(host > 1.4 or host < 0.7),
         "counts": counts,
         "per_query": per_query,
     }
@@ -1326,6 +1334,10 @@ def main() -> None:
         "calibration": {
             "range_sum_500m_sec": round(calib, 4),
             "shuffle_groupby_sec": round(shuffle_calib, 4),
+            # host contention snapshot (r10: a load-avg-14 neighbor made
+            # host_factor read 1.71 and flagged 3 regressed / 38 improved
+            # on byte-identical plans — record the evidence in-artifact)
+            "load_avg_1m_5m_15m": [round(x, 2) for x in os.getloadavg()],
         },
         "regression": regression,
         # deterministic scale-cost gate (round-5 verdict item 2): the

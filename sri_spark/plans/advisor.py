@@ -176,7 +176,15 @@ def unbounded_nested_loops(plan: str) -> list[str]:
 def advise(df: DataFrame, *, max_exchanges: int = 6) -> list[dict]:
     """Scan the physical plan for scale hazards. Returns a list of
     findings: {rule, severity, detail}; empty list = nothing to flag."""
-    plan = _plan_text(df)
+    return advise_plan(_plan_text(df), max_exchanges=max_exchanges)
+
+
+def advise_plan(plan: str, *, max_exchanges: int = 6) -> list[dict]:
+    """advise() over an already-extracted physical-plan string — lets a
+    harness that builds every catalog plan ONCE (tests/conftest.py's
+    catalog_builds fixture) apply all plan gates without re-planning the
+    267-query registry per test module (the three catalog sweeps each
+    cost ~2 min of pure plan building before this split)."""
     findings: list[dict] = []
 
     if "CartesianProduct" in plan:

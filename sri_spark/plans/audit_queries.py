@@ -1010,3 +1010,125 @@ def stats_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (obs_share - exp_share) * (obs_share - exp_share) / exp_share, 6
         ).alias("chi2_term"),
     )
+
+
+# --------------------------------------------------------------------------
+# binned Mann-Whitney U (view vs purchase event values)
+# --------------------------------------------------------------------------
+
+_MW_BINS = 100
+
+_MW_ORACLE = f"""
+WITH ev AS (
+  SELECT event_type, value FROM events
+  WHERE event_type IN ('{_WELCH_A}', '{_WELCH_B}')
+),
+s AS (SELECT min(value) AS lo, max(value) AS hi FROM ev),
+binned AS (
+  SELECT least(CAST(floor((value - lo)
+                          / greatest((hi - lo) / {_MW_BINS}, 1e-12))
+               AS BIGINT), {_MW_BINS - 1}) AS bin,
+         sum(CASE WHEN event_type = '{_WELCH_A}' THEN 1 ELSE 0 END) * 1.0
+           AS na,
+         sum(CASE WHEN event_type = '{_WELCH_B}' THEN 1 ELSE 0 END) * 1.0
+           AS nb
+  FROM ev CROSS JOIN s GROUP BY 1
+),
+ranked AS (
+  SELECT na, nb, na + nb AS t,
+         coalesce(sum(na + nb) OVER (ORDER BY bin
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (na + nb + 1) / 2.0 AS midrank
+  FROM binned
+),
+agg AS (
+  SELECT sum(na) AS n_a, sum(nb) AS n_b, sum(na + nb) AS n,
+         sum(na * midrank) AS r_a,
+         sum(t * t * t - t) AS ties
+  FROM ranked
+)
+SELECT CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       round(r_a - n_a * (n_a + 1) / 2.0, 6) AS u_stat,
+       round((r_a - n_a * (n_a + 1) / 2.0 - n_a * n_b / 2.0)
+             / greatest(sqrt(n_a * n_b / 12.0
+                             * ((n + 1) - ties / (n * (n - 1)))), 1e-12), 6)
+         AS z_score
+FROM agg
+"""
+
+
+@register("stats_mann_whitney_binned", _MW_ORACLE)
+def stats_mann_whitney_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned Mann-Whitney U between the 'view' and 'purchase' event-value
+    cohorts: rank-sum U and the tie-corrected normal z-score — the
+    median-shift companion to Welch (means) and KS (shape), robust to the
+    heavy-tailed values where the t-test loses power.
+
+    Exact MW needs a global rank (a 100 TB sort); the binned estimator
+    folds values into {_MW_BINS} fixed-width bins with ONE hash aggregate
+    and treats each bin as one tie group with its textbook midrank and
+    tie-corrected variance term (t^3 - t). The cumulative midrank window
+    runs over at most {_MW_BINS} rows — driver-sized regardless of input,
+    the same trick as the binned KS ECDF and Spearman. Oracle: identical
+    arithmetic in DuckDB."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(_WELCH_A, _WELCH_B))
+        .select("event_type", "value")
+    )
+    s = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    width = F.greatest((F.col("hi") - F.col("lo")) / _MW_BINS, F.lit(1e-12))
+    binned = (
+        ev.join(F.broadcast(s), F.lit(True))
+        .select(
+            F.least(
+                F.floor((F.col("value") - F.col("lo")) / width).cast("long"),
+                F.lit(_MW_BINS - 1),
+            ).alias("bin"),
+            F.when(F.col("event_type") == _WELCH_A, 1).otherwise(0).alias("ia"),
+            F.when(F.col("event_type") == _WELCH_B, 1).otherwise(0).alias("ib"),
+        )
+        .groupBy("bin")
+        .agg(
+            (F.sum("ia") * 1.0).alias("na"),
+            (F.sum("ib") * 1.0).alias("nb"),
+        )
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    t = F.col("na") + F.col("nb")
+    ranked = binned.select(
+        "na",
+        "nb",
+        t.alias("t"),
+        (
+            F.coalesce(F.sum(t).over(w), F.lit(0.0)) + (t + 1) / 2.0
+        ).alias("midrank"),
+    )
+    agg = ranked.agg(
+        F.sum("na").alias("n_a"),
+        F.sum("nb").alias("n_b"),
+        F.sum(F.col("na") + F.col("nb")).alias("n"),
+        F.sum(F.col("na") * F.col("midrank")).alias("r_a"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("ties"),
+    )
+    u = F.col("r_a") - F.col("n_a") * (F.col("n_a") + 1) / 2.0
+    var = (
+        F.col("n_a")
+        * F.col("n_b")
+        / 12.0
+        * (
+            (F.col("n") + 1)
+            - F.col("ties") / (F.col("n") * (F.col("n") - 1))
+        )
+    )
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(u, 6).alias("u_stat"),
+        F.round(
+            (u - F.col("n_a") * F.col("n_b") / 2.0)
+            / F.greatest(F.sqrt(var), F.lit(1e-12)),
+            6,
+        ).alias("z_score"),
+    )

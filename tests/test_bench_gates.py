@@ -123,6 +123,33 @@ def test_walltime_gate_falls_back_to_singlecore_scalar(monkeypatch):
     reg = bench.regression_block({"q": 1.0}, calib=0.1, shuffle_calib=5.0)
     assert reg["calibration_scalar"] == "range_sum_500m_sec"
     assert reg["host_factor"] == 1.0
+    assert reg["host_factor_suspect"] is False
+
+
+def test_walltime_gate_flags_suspect_host_factor(monkeypatch):
+    """r10: a load-avg-14 neighbor made host_factor read 1.71 and the gate
+    flagged 3 regressed / 38 improved on byte-identical plans. A factor
+    far from 1.0 means the calibration itself ran under contention — the
+    artifact must say so, so per-query wall verdicts on such a run are
+    read as untrusted (the shuffle-bytes gate is the reliable one)."""
+    import bench
+
+    floor = {
+        "queries": {"q": 1.0},
+        "calibration": {"shuffle_groupby_sec": 1.0},
+    }
+    monkeypatch.setattr(
+        bench, "_load_floor_artifact", lambda: ("BENCH_full_rXX.json", floor)
+    )
+    assert bench.regression_block({"q": 1.0}, 0.1, 1.71)[
+        "host_factor_suspect"
+    ] is True
+    assert bench.regression_block({"q": 1.0}, 0.1, 0.65)[
+        "host_factor_suspect"
+    ] is True
+    assert bench.regression_block({"q": 1.0}, 0.1, 1.2)[
+        "host_factor_suspect"
+    ] is False
 
 
 def test_bench_and_audit_name_lists_resolve_in_catalog():

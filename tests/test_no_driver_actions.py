@@ -31,9 +31,7 @@ from __future__ import annotations
 
 
 
-from sri_spark.operators.caching import unpersist_all
 from sri_spark.plans import all_queries
-from sri_spark.plans.advisor import record_driver_actions
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -54,16 +52,18 @@ ITERATIVE_OK = {
 }
 
 
-def test_catalog_builders_are_action_free(spark):
-    """Build every catalog query under the action recorder; outside the
-    allowlist, zero driver actions are tolerated."""
+def test_catalog_builders_are_action_free(catalog_builds):
+    """Every catalog query built under the action recorder (once, via the
+    shared catalog_builds fixture); outside the allowlist, zero driver
+    actions are tolerated — and a build that crashes is an offender too,
+    never a silent skip."""
     offenders: dict[str, list[str]] = {}
-    for name, fn in sorted(all_queries().items()):
-        with record_driver_actions() as calls:
-            fn(spark, SF_DIR)
-        unpersist_all()
-        if calls and name not in ITERATIVE_OK:
-            offenders[name] = sorted(set(calls))
+    for name, rec in catalog_builds.items():
+        if rec["error"]:
+            offenders[name] = [f"build failed: {rec['error']}"]
+            continue
+        if rec["actions"] and name not in ITERATIVE_OK:
+            offenders[name] = rec["actions"]
     assert not offenders, (
         "catalog builders issued driver-side actions during plan "
         f"construction: {offenders} — move scalars into the plan as 1-row "

@@ -90,20 +90,25 @@ def test_ks_query_flags_its_bounded_window_honestly(spark, sf_dir):
     assert "single-partition-exchange" in _rules(advise(df))
 
 
-def test_entire_catalog_has_no_fatal_plans(spark, sf_dir):
+def test_entire_catalog_has_no_fatal_plans(catalog_builds):
     """Catalog-wide gate: no registered query may plan a CartesianProduct
     or row-at-a-time Python UDF — the two hazard classes with no
     legitimate bounded-by-construction excuse. (Warn-level findings like
     1-row nested-loop broadcasts and bounded single-partition windows are
-    allowed; their queries document why.)"""
+    allowed; their queries document why.) Plans come from the shared
+    catalog_builds fixture — built once for all three catalog sweeps."""
+    from sri_spark.plans.advisor import advise_plan
+
     fatal = {}
-    for name, fn in sorted(all_queries().items()):
-        try:
-            findings = advise(fn(spark, sf_dir))
-        except Exception as ex:  # building the plan must itself work
-            fatal[name] = f"plan build failed: {ex}"
+    for name, rec in catalog_builds.items():
+        if rec["error"]:
+            fatal[name] = f"plan build failed: {rec['error']}"
             continue
-        bad = [f["rule"] for f in findings if f["severity"] == "fatal"]
+        bad = [
+            f["rule"]
+            for f in advise_plan(rec["plan"])
+            if f["severity"] == "fatal"
+        ]
         if bad:
             fatal[name] = bad
     assert not fatal, fatal

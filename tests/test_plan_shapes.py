@@ -461,16 +461,20 @@ BOUNDED_BY_CONSTRUCTION_BNLJ = {
 }
 
 
-def test_catalog_nested_loops_bounded_or_allowlisted(spark, sf_dir):
+def test_catalog_nested_loops_bounded_or_allowlisted(catalog_builds):
     """EVERY registered query must either plan no nested loop, plan only
     the benign 1-row-aggregate kind, or appear in the documented
     allowlist above. A new query that sneaks in a data-sized nested loop
     fails here instead of OOMing a cluster; an allowlist entry without a
-    bounded-by-construction justification is a review failure."""
+    bounded-by-construction justification is a review failure. Plans come
+    from the shared catalog_builds fixture (built once per session); a
+    query whose build failed is an offender, never a silent skip."""
     offenders = {}
-    for name, fn in sorted(all_queries().items()):
-        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-        off = unbounded_nested_loops(plan)
+    for name, rec in catalog_builds.items():
+        if rec["error"]:
+            offenders[name] = [f"build failed: {rec['error']}"]
+            continue
+        off = unbounded_nested_loops(rec["plan"])
         if off and name not in BOUNDED_BY_CONSTRUCTION_BNLJ:
             offenders[name] = off[:2]
     assert not offenders, offenders
