@@ -1132,3 +1132,94 @@ def stats_mann_whitney_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_score"),
     )
+
+
+# --------------------------------------------------------------------------
+# one-pass bootstrap confidence interval (double-or-nothing multiplier)
+# --------------------------------------------------------------------------
+
+_BOOT_B = 100  # replicates
+_BOOT_M = 2147483647  # hash modulus (2^31 - 1)
+
+_BOOT_ORACLE = f"""
+WITH reps AS (
+  SELECT b, sum(w * x) / greatest(sum(w), 1e-12) AS mean_b
+  FROM (
+    SELECT o_totalprice AS x, r.b AS b,
+           2.0 * (CAST(floor((((o_orderkey % {_BOOT_M}) * 1103515245
+                               + r.b * 2654435761) % {_BOOT_M})
+                        / 65536) AS BIGINT) % 2) AS w
+    FROM orders CROSS JOIN range(1, {_BOOT_B + 1}) r(b)
+  ) GROUP BY b
+),
+pt AS (
+  SELECT count(*)::BIGINT AS n_rows, avg(o_totalprice) AS mean_est
+  FROM orders
+)
+SELECT pt.n_rows,
+       round(pt.mean_est, 6) AS mean_est,
+       round(stddev_samp(mean_b), 6) AS boot_se,
+       round(quantile_cont(mean_b, 0.05), 6) AS ci_lo,
+       round(quantile_cont(mean_b, 0.95), 6) AS ci_hi
+FROM reps CROSS JOIN pt
+GROUP BY pt.n_rows, pt.mean_est
+"""
+
+
+@register("stats_bootstrap_ci_mean", _BOOT_ORACLE)
+def stats_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap standard error and 90% CI for the mean order total in ONE
+    pass — the double-or-nothing multiplier bootstrap (each row enters
+    each replicate with weight 0 or 2, mean 1 / variance 1, matching the
+    Efron bootstrap's first-order variance) with fully DETERMINISTIC
+    weights from an arithmetic hash of (o_orderkey, replicate), so the
+    result is reproducible and cross-engine checkable with no RNG.
+
+    Scale shape: no resampling shuffle exists — the row x replicate
+    expansion is map-local (explode of a {_BOOT_B}-element sequence) and
+    partial aggregation collapses it to {_BOOT_B} rows per partition
+    before the exchange; the exchange then carries partitions x
+    {_BOOT_B} partial sums, never data. The replicate-mean frame is
+    {_BOOT_B} rows — driver-sized — so the closing percentile/stddev is
+    free. This is how a CI is computed at 100 TB, where materializing
+    even one resample is impossible."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").alias("x")
+    )
+    expanded = orders.select(
+        "o_orderkey",
+        "x",
+        F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("b"),
+    )
+    h = (
+        (F.col("o_orderkey") % _BOOT_M) * 1103515245
+        + F.col("b") * 2654435761
+    ) % _BOOT_M
+    w = 2.0 * (F.floor(h / 65536) % 2)
+    reps = (
+        expanded.select("b", "x", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            (
+                F.sum(F.col("w") * F.col("x"))
+                / F.greatest(F.sum("w"), F.lit(1e-12))
+            ).alias("mean_b")
+        )
+    )
+    pt = orders.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.avg("x").alias("mean_est"),
+    )
+    return reps.join(F.broadcast(pt), F.lit(True)).groupBy(
+        "n_rows", "mean_est"
+    ).agg(
+        F.round(F.stddev_samp("mean_b"), 6).alias("boot_se"),
+        F.round(F.percentile("mean_b", F.lit(0.05)), 6).alias("ci_lo"),
+        F.round(F.percentile("mean_b", F.lit(0.95)), 6).alias("ci_hi"),
+    ).select(
+        "n_rows",
+        F.round("mean_est", 6).alias("mean_est"),
+        "boot_se",
+        "ci_lo",
+        "ci_hi",
+    )
