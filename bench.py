@@ -95,6 +95,10 @@ EXTENDED = [
     "sql_recursive_cte_chain",
     "semi_json_variant",
     "sql_lateral_topn",
+    # round-10 additions: model-adjacent statistics batch
+    "stats_ols_regression",
+    "stats_anova_oneway",
+    "stats_cusum_drift",
 ]
 
 

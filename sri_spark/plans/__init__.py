@@ -37,6 +37,7 @@ from sri_spark.plans import (  # noqa: E402,F401
     sketch_queries,
     sql_modern_queries,
     stats_extra_queries,
+    stats_regression_queries,
     surface_extra,
     text_extra_queries,
     text_queries,
