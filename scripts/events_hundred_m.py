@@ -21,7 +21,27 @@ scale-soundness columns.
 
 Run alone on the host — the 100M sessionize shuffle holds ~4 GiB.
 
-    python scripts/events_hundred_m.py
+    python scripts/events_hundred_m.py [shuffle_partitions] [input_parts]
+
+The optional arguments drive the layout-knob experiment (the ETL 100x
+recipe, SCALE.md). Measured r10 findings at the 100M point:
+
+- spill is CAPACITY-driven, not layout-driven: disk/memory spill bytes
+  are identical (~3.27 GiB / ~18.2 GiB) under 32 vs 128 reducers AND
+  32 vs 256 input splits — the window/sort state (~21 GiB for 100M
+  rows) exceeds the host's fixed shared execution-memory pool by the
+  same margin however it is sliced. Only more aggregate memory (more
+  executors) removes it, which is the cluster reading.
+- wall IS layout-driven: `input_parts` (repartition the BASE before
+  the multiply, so each task inflates a small slice — what many real
+  128 MB splits give for free) cut sessionize 64.4 s -> 22.7 s and
+  window-agg 17.9 s -> 3.0 s. Repartitioning the inflated corpus
+  instead is strictly worse (adds a 5 GiB shuffle whose map side
+  streams the same inflated splits: 209 s, more spill).
+
+With either arg set, output lands in
+docs/EVENTS_100M_r{N}_p{P}[_i{I}].json instead of the standing
+artifact.
 """
 
 from __future__ import annotations
@@ -69,6 +89,9 @@ def main() -> None:
             "spark.driver.memory",
         ):
             b = b.config(k, v)
+    parts = int(sys.argv[1]) if len(sys.argv) > 1 else None
+    if parts:
+        b = b.config("spark.sql.shuffle.partitions", str(parts))
     spark = (
         b.config("spark.ui.enabled", "true")
         .config("spark.ui.port", "4048")
@@ -92,6 +115,10 @@ def main() -> None:
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 2).alias("total_value"),
         )
+
+    input_parts = int(sys.argv[2]) if len(sys.argv) > 2 else None
+    if input_parts:
+        base = base.repartition(input_parts)
 
     out: dict[str, dict] = {}
     seen: set = set()
@@ -151,7 +178,14 @@ def main() -> None:
     }
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     n = bench._current_round()
-    path = os.path.join(here, "docs", f"EVENTS_100M_r{n:02d}.json")
+    suffix = (f"_p{parts}" if parts else "") + (
+        f"_i{input_parts}" if input_parts else ""
+    )
+    doc["shuffle_partitions"] = parts or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    doc["input_parts"] = input_parts
+    path = os.path.join(here, "docs", f"EVENTS_100M_r{n:02d}{suffix}.json")
     with open(path, "w") as f:
         json.dump(doc, f, indent=1)
     print(json.dumps(doc["growth_100x_to_1000x"]))
