@@ -28,7 +28,11 @@ echo "== shuffle audit =="
 python scripts/dump_shuffle.py
 
 echo "== ETL replay shuffle audit (1x/10x/100x) =="
-SPARK_GRAFT_DRIVER_MEM=16g python scripts/dump_etl_shuffle.py
+# 24g since r10: the 100x fact write OOMed reproducibly at 16g (twice,
+# identical code/config/data as r9's passing run — the workload sits on
+# the heap edge by design, ~50 GiB spill). Heap is a single-host knob;
+# shuffle/spill bytes, the gate's actual signal, are unchanged by it.
+SPARK_GRAFT_DRIVER_MEM=24g python scripts/dump_etl_shuffle.py
 
 echo "== bench =="
 python bench.py
