@@ -99,6 +99,8 @@ EXTENDED = [
     "stats_ols_regression",
     "stats_anova_oneway",
     "stats_cusum_drift",
+    # round-11: fixed-unroll IRLS logistic regression (4 full scans)
+    "stats_logistic_irls",
 ]
 
 
@@ -306,6 +308,35 @@ def ann_recall(spark) -> dict:
             "scan_fraction": round(n_buckets / 2**N_PLANES, 4),
         }
 
+    # round-11 verdict item 3: the margin-ranked multiprobe path
+    # (similarity/lsh.py rp_ann_multiprobe_topk) on the SAME recall
+    # harness, at probe budgets equal to the hamming balls' bucket counts
+    # (9/37/93 of 256) — so each multiprobe point reads directly against
+    # the hamming point at the identical scan fraction. Advisory like the
+    # rest of the organic curve (the fixture's neighbors are near-random).
+    from sri_spark.similarity.lsh import rp_ann_multiprobe_topk
+
+    multiprobe_curve = {}
+    for n_probe in (9, 37, 93):
+        t0 = time.perf_counter()
+        hits = sum(
+            len(
+                {
+                    r["vec_id"]
+                    for r in rp_ann_multiprobe_topk(
+                        emb, qid, k=K, n_probe=n_probe
+                    ).collect()
+                }
+                & truth[qid]
+            )
+            for qid in qids
+        )
+        multiprobe_curve[f"probe_{n_probe}"] = {
+            "recall": round(hits / (K * len(qids)), 4),
+            "sec": round(time.perf_counter() - t0, 4),
+            "scan_fraction": round(n_probe / 2**N_PLANES, 4),
+        }
+
     # IVF in the amortized serving shape: ONE index build, many probes —
     # build cost reported separately from per-query probe cost
     t0 = time.perf_counter()
@@ -377,6 +408,7 @@ def ann_recall(spark) -> dict:
         "advisory": True,
         "brute_sec": round(brute_sec, 4),
         "lsh": lsh_curve,
+        "lsh_multiprobe": multiprobe_curve,
         "ivf": {
             "recall": round(ivf_hits / denom, 4),
             "build_sec": round(ivf_build_sec, 4),
@@ -661,7 +693,7 @@ def ann_planted(spark) -> dict:
 
     from sri_spark.similarity.cosine import cosine_topk
     from sri_spark.similarity.ivf import build_ivf_index, ivf_probe
-    from sri_spark.similarity.lsh import rp_ann_topk
+    from sri_spark.similarity.lsh import rp_ann_multiprobe_topk, rp_ann_topk
 
     rng = np.random.default_rng(20250814)
     n_clusters, per_cluster, dim = 20, 50, 64
@@ -693,6 +725,24 @@ def ann_planted(spark) -> dict:
     )
     lsh_sec = time.perf_counter() - t0
 
+    # margin-ranked multiprobe at a 16-bucket budget (6.25% scan vs the
+    # hamming-3 ball's 36%): planted siblings differ from the query only
+    # by sigma=0.01 noise, so any bucket disagreement is a low-margin
+    # straddle — exactly what the margin ranking probes first. Binding at
+    # the same contract as the other two paths.
+    t0 = time.perf_counter()
+    margin_hits = sum(
+        len(
+            {
+                r["vec_id"]
+                for r in rp_ann_multiprobe_topk(emb, q, k=K, n_probe=16).collect()
+            }
+            & truth[q]
+        )
+        for q in qids
+    )
+    margin_sec = time.perf_counter() - t0
+
     model, indexed = build_ivf_index(emb, n_lists=16)
     indexed = indexed.persist()
     centroids = [
@@ -721,6 +771,10 @@ def ann_planted(spark) -> dict:
         "lsh_hamming3": {
             "recall": round(lsh_hits / denom, 4),
             "sec": round(lsh_sec, 4),
+        },
+        "lsh_margin_probe16": {
+            "recall": round(margin_hits / denom, 4),
+            "sec": round(margin_sec, 4),
         },
         "ivf_probe4": {
             "recall": round(ivf_hits / denom, 4),
@@ -1052,11 +1106,37 @@ def corpus_pipeline_replay(spark) -> dict:
     return result
 
 
+# Floor-eligibility band (round-11 verdict item 1): the r10 floor was
+# captured at load-avg 17.5 with host_factor 1.286 vs its own floor, and
+# every r11 comparison would have inherited that contamination through the
+# scalar-calibration assumption. An artifact whose own recorded
+# host_factor (its capture host vs ITS floor's host) falls outside this
+# band is refused as a floor; the loader falls back to the next-older
+# parseable artifact.
+FLOOR_HOST_FACTOR_BAND = (0.85, 1.15)
+
+
+def _floor_eligible(doc: dict) -> bool:
+    """Whether a bench artifact may serve as the next round's floor.
+    Artifacts written at/after r11 carry an explicit `floor_eligible`
+    bool; older ones are judged by their recorded regression.host_factor
+    (absent = pre-calibration artifact, eligible by default)."""
+    if "floor_eligible" in doc:
+        return bool(doc["floor_eligible"])
+    hf = (doc.get("regression") or {}).get("host_factor")
+    if hf is None:
+        return True
+    return FLOOR_HOST_FACTOR_BAND[0] <= hf <= FLOOR_HOST_FACTOR_BAND[1]
+
+
 def _load_floor_artifact() -> tuple[str, dict] | None:
-    """Newest bench artifact (see _floor_candidates), with its bench line
-    extracted (the driver wraps the line in a {"tail": ...} envelope) and
-    any `extended_queries` merged into `queries` so pre-merge floors
-    compare."""
+    """Newest FLOOR-ELIGIBLE bench artifact (see _floor_candidates), with
+    its bench line extracted (the driver wraps the line in a
+    {"tail": ...} envelope) and any `extended_queries` merged into
+    `queries` so pre-merge floors compare. Artifacts captured under host
+    contention (_floor_eligible) are skipped; if NO candidate is eligible
+    the newest parseable one is returned with `_floor_ineligible_fallback`
+    set, so the gate degrades loudly instead of silently disabling."""
     candidates = _floor_candidates()
     # the floor is the previous ROUND's artifact: ignore any full copy this
     # script itself wrote for the CURRENT round (driver rounds are defined
@@ -1066,6 +1146,7 @@ def _load_floor_artifact() -> tuple[str, dict] | None:
     # newest PARSEABLE artifact wins: a driver tail truncated mid-line
     # (how r4's raw timings were lost) is skipped in favor of the next
     # older round rather than silently disabling the regression gate
+    fallback: tuple[str, dict] | None = None
     for _, _, path in reversed(candidates):
         with open(path) as f:
             text = f.read()
@@ -1089,7 +1170,14 @@ def _load_floor_artifact() -> tuple[str, dict] | None:
         if doc is None:
             continue
         doc["queries"] = {**doc["queries"], **doc.get("extended_queries", {})}
+        if not _floor_eligible(doc):
+            if fallback is None:
+                fallback = (os.path.basename(path), doc)
+            continue
         return os.path.basename(path), doc
+    if fallback is not None:
+        fallback[1]["_floor_ineligible_fallback"] = True
+        return fallback
     return None
 
 
@@ -1153,6 +1241,11 @@ def regression_block(
         # on such a run, and wall verdicts need a quiet-host re-measure
         # (scripts/pin_band.py) before anyone acts on them.
         "host_factor_suspect": bool(host > 1.4 or host < 0.7),
+        # set only when every prior artifact failed _floor_eligible and
+        # the loader fell back to the newest parseable one anyway
+        "floor_ineligible_fallback": bool(
+            floor.get("_floor_ineligible_fallback")
+        ),
         "counts": counts,
         "per_query": per_query,
     }
@@ -1344,6 +1437,20 @@ def main() -> None:
             "load_avg_1m_5m_15m": [round(x, 2) for x in os.getloadavg()],
         },
         "regression": regression,
+        # round-11 verdict item 1: whether THIS artifact may serve as a
+        # future round's floor — false when its own host_factor shows the
+        # capture host diverged >15% from the floor's (contention skews
+        # the scalar-calibration assumption every later comparison rests
+        # on, as the r10 floor captured at load-avg 17.5 demonstrated)
+        "floor_eligible": (
+            regression is None
+            or regression["host_factor"] is None
+            or (
+                FLOOR_HOST_FACTOR_BAND[0]
+                <= regression["host_factor"]
+                <= FLOOR_HOST_FACTOR_BAND[1]
+            )
+        ),
         # deterministic scale-cost gate (round-5 verdict item 2): the
         # newest committed shuffle audit's >20%-growth verdicts, produced
         # by scripts/dump_shuffle.py against the prior round's audit.

@@ -82,12 +82,14 @@ def main() -> None:
     base_sess = get_spark("events-100m")
     conf = dict(base_sess.sparkContext.getConf().getAll())
     base_sess.stop()
+    # NOTE: spark.driver.memory is deliberately NOT copied — get_spark
+    # already launched the gateway JVM, and a session built after stop()
+    # reuses that JVM, so heap was fixed at first launch (controlled by
+    # SPARK_GRAFT_DRIVER_MEM); copying the conf here would be a no-op that
+    # misleads about what governs memory (ADVICE r10).
     b = SparkSession.builder.master(conf.get("spark.master", "local[*]"))
     for k, v in conf.items():
-        if k.startswith("spark.sql") or k in (
-            "spark.serializer",
-            "spark.driver.memory",
-        ):
+        if k.startswith("spark.sql") or k == "spark.serializer":
             b = b.config(k, v)
     parts = int(sys.argv[1]) if len(sys.argv) > 1 else None
     if parts:
@@ -121,7 +123,11 @@ def main() -> None:
         base = base.repartition(input_parts)
 
     out: dict[str, dict] = {}
-    seen: set = set()
+    # snapshot stages BEFORE the loop: base.count() (and any input_parts
+    # repartition stages) already ran, and booking them into the first
+    # point's `fresh` inflates its n_stages/shuffle totals (ADVICE r10)
+    time.sleep(2.0)
+    seen: set = set(_stages(ui, app))
     for name, copies in (("hundred_x", 100), ("thousand_x", 1000)):
         corpus = _corpus(spark, base, copies)
         t0 = time.perf_counter()

@@ -87,10 +87,12 @@ s AS (
 SELECT CAST(k AS BIGINT) AS k_groups,
        CAST(n_tot AS BIGINT) AS n_total,
        round(grand_mean, 6) AS grand_mean,
-       round((ssb / (k - 1)) / (ssw / (n_tot - k)), 6) AS f_stat,
+       CASE WHEN k > 1 AND n_tot > k AND ssw > 0
+            THEN round((ssb / (k - 1)) / (ssw / (n_tot - k)), 6) END AS f_stat,
        CAST(k - 1 AS BIGINT) AS df_between,
        CAST(n_tot - k AS BIGINT) AS df_within,
-       round(ssb / (ssb + ssw), 6) AS eta_squared
+       CASE WHEN ssb + ssw > 0
+            THEN round(ssb / (ssb + ssw), 6) END AS eta_squared
 FROM s
 """
 
@@ -184,7 +186,7 @@ SELECT CAST(n AS BIGINT) AS n_rows,
        CAST(n_cells AS BIGINT) AS n_cells,
        round(chi2, 6) AS chi2,
        CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
-       round(sqrt(chi2 / (n * least(r - 1, c - 1))), 6) AS cramers_v
+       round(sqrt(greatest(chi2, 0) / (n * least(r - 1, c - 1))), 6) AS cramers_v
 FROM chi
 """
 
@@ -243,11 +245,15 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_cells").cast("long").alias("n_cells"),
         F.round("chi2", 6).alias("chi2"),
         ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
+        # chi2 = n·Σ(o²/(rs·cs)) − n can land epsilon-negative under float
+        # summation on an exactly-independent table; unclamped, DuckDB
+        # raises on sqrt(negative) while Spark returns NaN (ADVICE r10) —
+        # greatest(·, 0) on BOTH sides keeps the engines agreeing at 0.0.
         F.when(
             v_ok,
             F.round(
                 F.sqrt(
-                    F.col("chi2")
+                    F.greatest(F.col("chi2"), F.lit(0.0))
                     / (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1))
                 ),
                 6,
@@ -527,6 +533,274 @@ def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("psi_term"),
         )
         .orderBy("bin")
+    )
+
+
+# --------------------------------------------------------------------------
+# logistic regression via fixed-iteration IRLS (round-11 verdict item 4)
+# --------------------------------------------------------------------------
+
+_IRLS_ROUNDS = 3
+# relative det guard: a collinear design (constant feature) cancels det to
+# ~1e-13 of the matrix scale, so an ABSOLUTE epsilon can't separate
+# "singular" from "small units" — compare against the diagonal product
+_IRLS_DET_RTOL = 1e-10
+
+# shared expression text for the SQL oracle: eta clamp / sigmoid / weight
+# floor written as NULL-propagating CASE (greatest/least IGNORE nulls in
+# both engines, which would resurrect a NULL beta as a clamped constant)
+_IRLS_ETA_SQL = (
+    "CASE WHEN b0 + b1 * x1 + b2 * x2 > 30 THEN 30 "
+    "WHEN b0 + b1 * x1 + b2 * x2 < -30 THEN -30 "
+    "ELSE b0 + b1 * x1 + b2 * x2 END"
+)
+
+_IRLS_DET_SQL = (
+    "a11 * (a22 * a33 - a23 * a23) - a12 * (a12 * a33 - a13 * a23)"
+    " + a13 * (a12 * a23 - a13 * a22)"
+)
+_IRLS_NUM_SQL = {
+    "b0": (
+        "r1 * (a22 * a33 - a23 * a23) - a12 * (r2 * a33 - r3 * a23)"
+        " + a13 * (r2 * a23 - r3 * a22)"
+    ),
+    "b1": (
+        "a11 * (r2 * a33 - r3 * a23) - r1 * (a12 * a33 - a13 * a23)"
+        " + a13 * (a12 * r3 - a13 * r2)"
+    ),
+    "b2": (
+        "a11 * (a22 * r3 - a23 * r2) - a12 * (a12 * r3 - a13 * r2)"
+        " + r1 * (a12 * a23 - a13 * a22)"
+    ),
+}
+_IRLS_DET_OK_SQL = (
+    f"abs(det) > {_IRLS_DET_RTOL} * (abs(a11 * a22 * a33) + 1e-30)"
+)
+
+
+def _irls_oracle() -> str:
+    rounds = []
+    for i in range(1, _IRLS_ROUNDS + 1):
+        rounds.append(f"""
+m{i} AS (
+  SELECT sum(w) AS a11, sum(w * x1) AS a12, sum(w * x2) AS a13,
+         sum(w * x1 * x1) AS a22, sum(w * x1 * x2) AS a23,
+         sum(w * x2 * x2) AS a33,
+         sum(w * z) AS r1, sum(w * z * x1) AS r2, sum(w * z * x2) AS r3
+  FROM (
+    SELECT x1, x2, w, eta + (y - mu) / w AS z
+    FROM (
+      SELECT y, x1, x2, eta, mu,
+             CASE WHEN mu * (1 - mu) < 1e-12 THEN 1e-12
+                  ELSE mu * (1 - mu) END AS w
+      FROM (
+        SELECT y, x1, x2, eta, 1.0 / (1.0 + exp(-eta)) AS mu
+        FROM (
+          SELECT y, x1, x2, {_IRLS_ETA_SQL} AS eta
+          FROM d CROSS JOIN b{i - 1}r
+        ) q1
+      ) q2
+    ) q3
+  ) q4
+),
+b{i}r AS (
+  SELECT CASE WHEN {_IRLS_DET_OK_SQL}
+              THEN ({_IRLS_NUM_SQL["b0"]}) / det END AS b0,
+         CASE WHEN {_IRLS_DET_OK_SQL}
+              THEN ({_IRLS_NUM_SQL["b1"]}) / det END AS b1,
+         CASE WHEN {_IRLS_DET_OK_SQL}
+              THEN ({_IRLS_NUM_SQL["b2"]}) / det END AS b2
+  FROM (SELECT *, {_IRLS_DET_SQL} AS det FROM m{i}) q
+)""")
+    return f"""
+WITH d AS (
+  SELECT CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y,
+         l_quantity / 50.0 AS x1,
+         l_discount * 10.0 AS x2
+  FROM lineitem
+),
+b0r AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2),
+{",".join(rounds)},
+fin AS (
+  SELECT count(*) AS n, max(b0) AS b0, max(b1) AS b1, max(b2) AS b2,
+         avg(-(y * ln(mu) + (1 - y) * ln(1 - mu))) AS ll
+  FROM (
+    SELECT y, b0, b1, b2,
+           CASE WHEN mur < 1e-12 THEN 1e-12
+                WHEN mur > 1 - 1e-12 THEN 1 - 1e-12
+                ELSE mur END AS mu
+    FROM (
+      SELECT y, b0, b1, b2,
+             1.0 / (1.0 + exp(-({_IRLS_ETA_SQL}))) AS mur
+      FROM d CROSS JOIN b{_IRLS_ROUNDS}r
+    ) q1
+  ) q2
+)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       CAST({_IRLS_ROUNDS} AS BIGINT) AS irls_rounds,
+       round(b0, 6) AS beta_intercept,
+       round(b1, 6) AS beta_quantity,
+       round(b2, 6) AS beta_discount,
+       round(ll, 6) AS avg_log_loss
+FROM fin
+"""
+
+
+def _irls_design(li: DataFrame) -> DataFrame:
+    """(y, x1, x2): return-flag indicator on unit-scaled quantity/discount.
+    Features are scaled to O(1) so three Newton rounds from beta=0 land
+    near the optimum without step damping."""
+    return li.select(
+        F.when(F.col("l_returnflag") == "R", F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+        (F.col("l_quantity") / F.lit(50.0)).alias("x1"),
+        (F.col("l_discount") * F.lit(10.0)).alias("x2"),
+    )
+
+
+def _clamp_eta(raw):
+    """NULL-propagating clamp to [-30, 30]: F.least/F.greatest IGNORE
+    nulls (both engines), which would resurrect a NULL beta as ±30."""
+    return (
+        F.when(raw > 30.0, F.lit(30.0))
+        .when(raw < -30.0, F.lit(-30.0))
+        .otherwise(raw)
+    )
+
+
+def _irls_step(d: DataFrame, beta: DataFrame) -> DataFrame:
+    """One IRLS round: 1-row beta frame in, next 1-row beta frame out.
+    eta = clamp(Xb); mu = sigmoid(eta); w = max(mu(1-mu), 1e-12);
+    z = eta + (y-mu)/w; solve (X'WX) b = X'Wz in closed 3x3 Cramer form.
+    ONE pass over the data per round: the nine weighted power sums are a
+    single hash aggregate (map-side partials), the solve runs on the
+    1-row result."""
+    y, x1, x2 = F.col("y"), F.col("x1"), F.col("x2")
+    j = (
+        d.crossJoin(beta)
+        .withColumn(
+            "eta",
+            _clamp_eta(F.col("b0") + F.col("b1") * x1 + F.col("b2") * x2),
+        )
+        .withColumn("mu", 1.0 / (1.0 + F.exp(-F.col("eta"))))
+    )
+    w_raw = F.col("mu") * (1.0 - F.col("mu"))
+    j = j.withColumn(
+        "w", F.when(w_raw < 1e-12, F.lit(1e-12)).otherwise(w_raw)
+    ).withColumn("z", F.col("eta") + (y - F.col("mu")) / F.col("w"))
+    w, z = F.col("w"), F.col("z")
+    m = j.agg(
+        F.sum(w).alias("a11"),
+        F.sum(w * x1).alias("a12"),
+        F.sum(w * x2).alias("a13"),
+        F.sum(w * x1 * x1).alias("a22"),
+        F.sum(w * x1 * x2).alias("a23"),
+        F.sum(w * x2 * x2).alias("a33"),
+        F.sum(w * z).alias("r1"),
+        F.sum(w * z * x1).alias("r2"),
+        F.sum(w * z * x2).alias("r3"),
+    )
+    a11, a12, a13 = F.col("a11"), F.col("a12"), F.col("a13")
+    a22, a23, a33 = F.col("a22"), F.col("a23"), F.col("a33")
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    md = m.withColumn(
+        "det",
+        a11 * (a22 * a33 - a23 * a23)
+        - a12 * (a12 * a33 - a13 * a23)
+        + a13 * (a12 * a23 - a13 * a22),
+    )
+    det_ok = F.abs(F.col("det")) > _IRLS_DET_RTOL * (
+        F.abs(a11 * a22 * a33) + F.lit(1e-30)
+    )
+    num = {
+        "b0": r1 * (a22 * a33 - a23 * a23)
+        - a12 * (r2 * a33 - r3 * a23)
+        + a13 * (r2 * a23 - r3 * a22),
+        "b1": a11 * (r2 * a33 - r3 * a23)
+        - r1 * (a12 * a33 - a13 * a23)
+        + a13 * (a12 * r3 - a13 * r2),
+        "b2": a11 * (a22 * r3 - a23 * r2)
+        - a12 * (a12 * r3 - a13 * r2)
+        + r1 * (a12 * a23 - a13 * a22),
+    }
+    return md.select(
+        *[
+            F.when(det_ok, num[b] / F.col("det")).alias(b)
+            for b in ("b0", "b1", "b2")
+        ]
+    )
+
+
+@register("stats_logistic_irls", _irls_oracle())
+def stats_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression of P(returnflag = 'R') on scaled quantity and
+    discount, fit by THREE fixed iteratively-reweighted-least-squares
+    (Newton) rounds — the propensity/calibration tool next to OLS in a
+    corpus-weighting stack, expressed entirely as aggregate algebra. The
+    DuckDB oracle runs the IDENTICAL unrolled rounds, so coefficients are
+    value-verified cross-engine, not just smoke-checked.
+
+    Shape (the pagerank fixed-unroll trick): each round is ONE pass — a
+    single hash aggregate computing the nine weighted power sums of
+    X'WX / X'Wz (map-side partials; the shuffle carries 9 doubles), with
+    the 3x3 solve done in closed Cramer form ON the 1-row aggregate and
+    broadcast back via a classifier-provable 1-row crossJoin (the
+    KS/Spearman pattern). 3 rounds + the log-loss pass = 4 scans total;
+    at 100 TB that is 4x a count(*), with no driver loop, no ML library,
+    and no data-sized state.
+
+    Numeric guards (degenerate-sweep contract): eta clamped to ±30 and
+    the IRLS weight floored at 1e-12 via NULL-propagating CASE (separable
+    data stays finite); the det guard is RELATIVE to the matrix scale
+    (|det| > 1e-10·|a11·a22·a33|) so a collinear/constant feature yields
+    NULL coefficients instead of dividing by cancellation residue."""
+    d = _irls_design(load_table(spark, sf_dir, "lineitem"))
+    # beta^(0) = 0 as a keys=[] aggregate (not a bare Range+Project): the
+    # catalog BNLJ gate only admits crossJoins whose broadcast side is a
+    # provable 1-row global aggregate (plans/advisor.py:143)
+    beta = spark.range(1).agg(
+        F.max(F.lit(0.0)).alias("b0"),
+        F.max(F.lit(0.0)).alias("b1"),
+        F.max(F.lit(0.0)).alias("b2"),
+    )
+    for _ in range(_IRLS_ROUNDS):
+        beta = _irls_step(d, beta)
+    y = F.col("y")
+    mur = 1.0 / (
+        1.0
+        + F.exp(
+            -_clamp_eta(
+                F.col("b0") + F.col("b1") * F.col("x1") + F.col("b2") * F.col("x2")
+            )
+        )
+    )
+    fin = (
+        d.crossJoin(beta)
+        .withColumn("mur", mur)
+        .withColumn(
+            "mu",
+            F.when(F.col("mur") < 1e-12, F.lit(1e-12))
+            .when(F.col("mur") > 1 - 1e-12, F.lit(1 - 1e-12))
+            .otherwise(F.col("mur")),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.max("b0").alias("b0"),
+            F.max("b1").alias("b1"),
+            F.max("b2").alias("b2"),
+            F.avg(
+                -(y * F.log(F.col("mu")) + (1 - y) * F.log(1 - F.col("mu")))
+            ).alias("ll"),
+        )
+    )
+    return fin.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.lit(_IRLS_ROUNDS).cast("long").alias("irls_rounds"),
+        F.round("b0", 6).alias("beta_intercept"),
+        F.round("b1", 6).alias("beta_quantity"),
+        F.round("b2", 6).alias("beta_discount"),
+        F.round("ll", 6).alias("avg_log_loss"),
     )
 
 

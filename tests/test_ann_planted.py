@@ -31,6 +31,35 @@ def test_ivf_probe_recall_on_planted_clusters(planted):
     assert planted["ivf_probe4"]["recall"] >= PLANTED_RECALL_MIN, planted
 
 
+def test_margin_multiprobe_recall_on_planted_clusters(planted):
+    """Round-11 verdict item 3: the margin-ranked multiprobe path
+    (rp_ann_multiprobe_topk) must hit the same planted contract from a
+    16-bucket budget (6.25% scan) that the hamming-3 ball needs 93
+    buckets (36%) for — planted siblings only land in a different bucket
+    via a low-margin straddle, which the margin ranking probes first."""
+    assert planted["lsh_margin_probe16"]["recall"] >= PLANTED_RECALL_MIN, planted
+
+
+def test_margin_probe_sequence_properties():
+    """Driver-side probe enumeration: the query's own bucket is always
+    probed first (zero flips cost zero margin), the sequence is distinct
+    and deterministic, and a full 2^H budget enumerates every bucket —
+    i.e. n_probe=256 degrades gracefully to brute force."""
+    from sri_spark.similarity.lsh import N_PLANES, margin_probe_sequence
+
+    proj = [0.31, -0.02, 0.45, 0.01, -0.27, 0.09, -0.4, 0.15]
+    seq = margin_probe_sequence(proj, bucket=0b10110010, n_probe=16)
+    assert seq[0] == 0b10110010
+    assert len(seq) == 16 and len(set(seq)) == 16
+    assert seq == margin_probe_sequence(proj, bucket=0b10110010, n_probe=16)
+    # cheapest single flips come before expensive ones: bits 3 (|0.01|)
+    # and 1 (|0.02|) must appear in the first few probes
+    assert 0b10110010 ^ (1 << 3) in seq[:3]
+    assert 0b10110010 ^ (1 << 1) in seq[:3]
+    full = margin_probe_sequence(proj, bucket=0, n_probe=1 << N_PLANES)
+    assert sorted(full) == list(range(1 << N_PLANES))
+
+
 def test_planted_is_the_binding_gate_and_organic_is_advisory():
     """Round-5 verdict item 7: the bench artifact schema must mark the
     organic recall curve advisory and the planted block binding, so a

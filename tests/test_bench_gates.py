@@ -152,6 +152,68 @@ def test_walltime_gate_flags_suspect_host_factor(monkeypatch):
     ] is False
 
 
+def _mk_bench_floor(tmp_path, name, host_factor=None, **extra):
+    doc = {"queries": {"q": 1.0}, "calibration": {"shuffle_groupby_sec": 1.0}}
+    if host_factor is not None:
+        doc["regression"] = {"host_factor": host_factor}
+    doc.update(extra)
+    path = tmp_path / name
+    with open(path, "w") as f:
+        json.dump(doc, f)
+    return str(path)
+
+
+def test_floor_loader_rejects_contended_artifact(tmp_path, monkeypatch):
+    """Round-11 verdict item 1: the r10 floor was captured at load-avg
+    17.5 / host_factor 1.286, and every later comparison would have
+    inherited that contamination. An artifact whose own recorded
+    host_factor is outside FLOOR_HOST_FACTOR_BAND must be skipped as
+    floor in favor of the next-older in-band artifact."""
+    import bench
+
+    p9 = _mk_bench_floor(tmp_path, "BENCH_full_r09.json", host_factor=0.94)
+    p10 = _mk_bench_floor(tmp_path, "BENCH_full_r10.json", host_factor=1.29)
+    monkeypatch.setattr(
+        bench, "_floor_candidates", lambda: [(9, 1, p9), (10, 1, p10)]
+    )
+    monkeypatch.setattr(bench, "_current_round", lambda: 11)
+    name, doc = bench._load_floor_artifact()
+    assert name == "BENCH_full_r09.json"
+    assert not doc.get("_floor_ineligible_fallback")
+    # too-FAST capture hosts are equally ineligible (walls deflated vs
+    # history would flag the next quiet round as regressed)
+    p9b = _mk_bench_floor(tmp_path, "BENCH_full_r09b.json", host_factor=0.77)
+    monkeypatch.setattr(
+        bench, "_floor_candidates", lambda: [(9, 1, p9b), (10, 1, p10)]
+    )
+    name, doc = bench._load_floor_artifact()
+    # nothing eligible: loudly fall back to the newest parseable artifact
+    assert name == "BENCH_full_r10.json"
+    assert doc["_floor_ineligible_fallback"] is True
+
+
+def test_floor_loader_honors_explicit_eligibility_key(tmp_path, monkeypatch):
+    """r11+ artifacts carry an explicit floor_eligible bool that overrides
+    the derived host_factor heuristic — a quiet-window re-measure can be
+    marked eligible even when its factor vs a contaminated floor is off."""
+    import bench
+
+    p10 = _mk_bench_floor(
+        tmp_path,
+        "BENCH_full_r10.json",
+        host_factor=1.29,
+        floor_eligible=True,
+    )
+    monkeypatch.setattr(bench, "_floor_candidates", lambda: [(10, 1, p10)])
+    monkeypatch.setattr(bench, "_current_round", lambda: 11)
+    name, doc = bench._load_floor_artifact()
+    assert name == "BENCH_full_r10.json"
+    assert not doc.get("_floor_ineligible_fallback")
+    # pre-calibration artifacts (no regression block) stay eligible
+    assert bench._floor_eligible({"queries": {}}) is True
+    assert bench._floor_eligible({"floor_eligible": False}) is False
+
+
 def test_bench_and_audit_name_lists_resolve_in_catalog():
     """A typo'd or renamed query in bench.py's HEADLINE/EXTENDED or
     dump_shuffle's QUERIES silently drops out of measurement (both

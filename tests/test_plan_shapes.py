@@ -370,17 +370,41 @@ def test_chi_square_marginals_broadcast(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
 
 
-def test_ks_window_runs_on_binned_frame(spark, sf_dir):
-    """stats_ks_two_sample: the single-partition cumulative window must sit
-    ABOVE the bin hash-aggregate (bounded at 100 rows by construction) —
-    never over raw values, which would be a global sort of the input."""
-    plan = _plan(spark, sf_dir, "stats_ks_two_sample")
-    agg_pos = plan.find("HashAggregate")
-    win_pos = plan.find("Window")
-    assert agg_pos != -1 and win_pos != -1, plan
-    # executedPlan prints top-down: the Window node appears before (above)
-    # the aggregate that feeds it
-    assert win_pos < agg_pos, plan
+# every stats/audit query whose unbounded (or single-partition) window is
+# only safe because its input is a BOUNDED grid — value bins, calendar
+# days, KM event days — produced by a hash aggregate below it
+BINNED_WINDOW_QUERIES = [
+    "stats_ks_two_sample",
+    "stats_spearman_binned",
+    "stats_mann_whitney_binned",
+    "stats_autocorr_daily",
+    "stats_cusum_drift",
+    "stats_psi_drift",
+    "orders_revenue_gini_binned",
+    "customers_survival_km",
+]
+
+
+@pytest.mark.parametrize("name", BINNED_WINDOW_QUERIES)
+def test_window_runs_on_binned_frame(spark, sf_dir, name):
+    """Round-11 verdict item 7 (generalizing the r10 KS pin): these
+    queries' cumulative/rank windows are single-partition by design,
+    which is only safe because the window input is the bounded bin/day
+    grid (≤ ~100s of rows) built by a hash aggregate BELOW it. A future
+    edit that re-orders the plan so a window runs over raw values would
+    be a global sort of the full input — the exact scale-killer this
+    family's docstrings rule out. executedPlan prints top-down, so every
+    Window node must appear before (above) the bottom-most
+    HashAggregate (the binning aggregate sitting on the scan)."""
+    plan = _plan(spark, sf_dir, name)
+    last_win = plan.rfind("Window")
+    last_agg = plan.rfind("HashAggregate")
+    assert last_win != -1, f"{name}: expected a Window node\n{plan}"
+    assert last_agg != -1, f"{name}: expected a HashAggregate node\n{plan}"
+    assert last_win < last_agg, (
+        f"{name}: a Window runs below the binning aggregate "
+        f"(over unbounded rows)\n{plan}"
+    )
 
 
 def test_lateral_topn_decorrelates_to_window(spark, sf_dir):

@@ -85,6 +85,32 @@ def test_replay_growth_block_absent_from_both_is_skipped(tmp_path):
     assert r.returncode == 0, r.stdout
 
 
+def test_replay_growth_band_violation_fails(tmp_path):
+    """Round-11 verdict item 2: the pinned decade-growth bands are a
+    HARD check — a 100x point growing past the measured capacity
+    envelope (or collapsing to ~1x, i.e. a broken point) fails even when
+    the two runs agree with each other perfectly."""
+    bad = {
+        "sri_etl_replay_100x": {"sec": 100.0, "growth_vs_10x": 22.0},
+        "graph_replay_10x": {"sec": 50.0, "time_growth_10x_to_100x": 12.0},
+    }
+    a = _write(tmp_path, "a.json", bad)
+    b = _write(tmp_path, "b.json", bad)
+    r = _run("compare_replay_growth.py", a, b)
+    assert r.returncode == 1, r.stdout
+    assert "band:sri_etl_replay_100x.growth_vs_10x" in r.stdout
+    # in-band values (including IMPROVEMENTS below the observed range,
+    # down to the structural floor) pass
+    ok = {
+        "sri_etl_replay_100x": {"sec": 100.0, "growth_vs_10x": 8.5},
+        "graph_replay_10x": {"sec": 50.0, "time_growth_10x_to_100x": 12.0},
+    }
+    a = _write(tmp_path, "a2.json", ok)
+    b = _write(tmp_path, "b2.json", ok)
+    r = _run("compare_replay_growth.py", a, b)
+    assert r.returncode == 0, r.stdout
+
+
 def test_forced_repeats_ignores_malformed_env(monkeypatch, capsys):
     sys.path.insert(0, REPO)
     import bench

@@ -16,11 +16,13 @@ import pytest
 from pyspark.sql import Row
 
 from sri_spark.plans.stats_regression_queries import (
+    _IRLS_ROUNDS,
     _PSI_BINS,
     stats_anova_oneway,
     stats_autocorr_daily,
     stats_cramers_v,
     stats_cusum_drift,
+    stats_logistic_irls,
     stats_mutual_info,
     stats_ols_regression,
     stats_psi_drift,
@@ -369,6 +371,111 @@ def test_mutual_info_matches_direct(spark, statdir):
     assert row["h_status"] == pytest.approx(hs, abs=1e-6)
     assert row["h_priority"] == pytest.approx(hp, abs=1e-6)
     assert row["nmi"] == pytest.approx(mi / math.sqrt(hs * hp), abs=1e-6)
+
+
+# --- logistic regression (fixed-iteration IRLS) ------------------------------
+
+
+def _irls_numpy(y, x1, x2, rounds):
+    """The query's exact algorithm in numpy: clamp eta to ±30, floor the
+    IRLS weight at 1e-12, solve the normal equations each round."""
+    X = np.column_stack([np.ones_like(x1), x1, x2])
+    beta = np.zeros(3)
+    for _ in range(rounds):
+        eta = np.clip(X @ beta, -30.0, 30.0)
+        mu = 1.0 / (1.0 + np.exp(-eta))
+        w = np.maximum(mu * (1.0 - mu), 1e-12)
+        z = eta + (y - mu) / w
+        WX = X * w[:, None]
+        beta = np.linalg.solve(X.T @ WX, WX.T @ z)
+    return beta
+
+
+def _write_logit_lineitem(spark, out, x1, x2, y):
+    rows = [
+        Row(
+            l_returnflag="R" if yi else "N",
+            l_quantity=float(a * 50.0),
+            l_discount=float(b / 10.0),
+        )
+        for a, b, yi in zip(x1, x2, y)
+    ]
+    _write(spark, out, "lineitem",
+           rows, "l_returnflag string, l_quantity double, l_discount double")
+
+
+def test_irls_matches_numpy_twin_exactly(spark, statdir):
+    out = f"{statdir}/irls_twin"
+    x1 = _rng(74327).uniform(0, 1, size=400)
+    x2 = _rng(74328).uniform(0, 1, size=400)
+    p = 1.0 / (1.0 + np.exp(-(-1.0 + 2.0 * x1 - 1.5 * x2)))
+    y = (_rng(74329).uniform(size=400) < p).astype(float)
+    _write_logit_lineitem(spark, out, x1, x2, y)
+    row = stats_logistic_irls(spark, out).collect()[0]
+    beta = _irls_numpy(y, x1, x2, rounds=_IRLS_ROUNDS)
+    assert row["n_rows"] == 400 and row["irls_rounds"] == _IRLS_ROUNDS
+    assert row["beta_intercept"] == pytest.approx(beta[0], abs=2e-6)
+    assert row["beta_quantity"] == pytest.approx(beta[1], abs=2e-6)
+    assert row["beta_discount"] == pytest.approx(beta[2], abs=2e-6)
+    # and the reported loss is the mean negative log-likelihood at beta
+    eta = np.clip(np.column_stack([np.ones_like(x1), x1, x2]) @ beta, -30, 30)
+    mu = np.clip(1.0 / (1.0 + np.exp(-eta)), 1e-12, 1 - 1e-12)
+    ll = float(-np.mean(y * np.log(mu) + (1 - y) * np.log(1 - mu)))
+    assert row["avg_log_loss"] == pytest.approx(ll, abs=2e-6)
+
+
+def test_irls_three_rounds_near_converged(spark, statdir):
+    """Newton/IRLS is quadratically convergent: on a well-conditioned
+    2-feature problem, the fixed 3-round answer must sit close to the
+    fully-converged optimum (25 numpy rounds) — documenting that the
+    fixed unroll is a fit, not a warm-up."""
+    out = f"{statdir}/irls_conv"
+    x1 = _rng(74330).uniform(0, 1, size=600)
+    x2 = _rng(74331).uniform(0, 1, size=600)
+    p = 1.0 / (1.0 + np.exp(-(0.5 - 1.2 * x1 + 0.8 * x2)))
+    y = (_rng(74332).uniform(size=600) < p).astype(float)
+    _write_logit_lineitem(spark, out, x1, x2, y)
+    row = stats_logistic_irls(spark, out).collect()[0]
+    full = _irls_numpy(y, x1, x2, rounds=25)
+    assert row["beta_intercept"] == pytest.approx(full[0], abs=5e-3)
+    assert row["beta_quantity"] == pytest.approx(full[1], abs=5e-3)
+    assert row["beta_discount"] == pytest.approx(full[2], abs=5e-3)
+
+
+def test_irls_separable_data_stays_finite(spark, statdir):
+    """Perfectly separable labels drive the unregularized MLE to ±inf;
+    the fixed unroll plus the eta clamp and weight floor must return
+    FINITE coefficients and a small loss, never NaN/inf or an ANSI
+    error (degenerate-sweep contract)."""
+    out = f"{statdir}/irls_sep"
+    x1 = np.linspace(0.0, 1.0, 200)
+    x2 = _rng(74333).uniform(0, 1, size=200)
+    y = (x1 > 0.5).astype(float)
+    _write_logit_lineitem(spark, out, x1, x2, y)
+    row = stats_logistic_irls(spark, out).collect()[0]
+    for c in ("beta_intercept", "beta_quantity", "beta_discount",
+              "avg_log_loss"):
+        assert row[c] is not None and math.isfinite(row[c]), (c, row)
+    assert row["beta_quantity"] > 0  # separating direction recovered
+    assert row["avg_log_loss"] < 0.3
+
+
+def test_irls_constant_feature_yields_null_not_garbage(spark, statdir):
+    """A constant feature makes X'WX singular; float cancellation leaves
+    det at ~1e-13 of the matrix scale, so an absolute epsilon would
+    divide by residue and emit garbage coefficients. The RELATIVE det
+    guard must yield NULL coefficients (and NULL loss) instead."""
+    out = f"{statdir}/irls_const"
+    n = 150
+    x1 = np.full(n, 0.5)
+    x2 = _rng(74334).uniform(0, 1, size=n)
+    y = (_rng(74335).uniform(size=n) < 0.4).astype(float)
+    _write_logit_lineitem(spark, out, x1, x2, y)
+    row = stats_logistic_irls(spark, out).collect()[0]
+    assert row["n_rows"] == n
+    for c in ("beta_intercept", "beta_quantity", "beta_discount",
+              "avg_log_loss"):
+        assert row[c] is None, (c, row)
 
 
 def test_cusum_stable_series_stat_is_small(spark, statdir):
