@@ -235,15 +235,29 @@ def sri_etl_replay_100x(spark) -> dict:
     # item 1's median-of-3): an ~8-minute 46M-row build has <2% scheduler
     # noise, a median would triple a 25-minute block, and its cross-round
     # cost gate is shuffle BYTES (scripts/dump_etl_shuffle.py), which
-    # don't jitter with host load
+    # don't jitter with host load.
+    #
+    # 128 shuffle partitions, not the session's cores=32 default: the r11
+    # knob forensics (docs/ETL_100X_knobs_r11.json) measured this point
+    # LAYOUT-bound — 128 reducers cut wall 646->416 s (-35%) and disk
+    # spill 35.7->10.6 GiB (-70%) at byte-identical shuffle volume
+    # (~87 GiB, +1.2%) — and 128 is inside the tuning.py prescription for
+    # the build's widest shuffles (~8-20 GiB / 128 MiB-per-task => 64-160
+    # tasks). This is the config a cluster would run, so it is the config
+    # the growth curve should measure.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "128")
     t0 = time.perf_counter()
-    tables = run_pipeline(
-        spark,
-        csv_path,
-        EtlConfig(mode="fixed", scalable_keys=True, broadcast_lookups=False),
-    )
-    write_star(tables, out_dir)
-    elapsed = time.perf_counter() - t0
+    try:
+        tables = run_pipeline(
+            spark,
+            csv_path,
+            EtlConfig(mode="fixed", scalable_keys=True, broadcast_lookups=False),
+        )
+        write_star(tables, out_dir)
+        elapsed = time.perf_counter() - t0
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     n_fact = spark.read.parquet(
         os.path.join(out_dir, "fact_registro_vehiculos")
     ).count()
@@ -257,6 +271,7 @@ def sri_etl_replay_100x(spark) -> dict:
         "source_rows": n,
         "scalable_keys": True,
         "broadcast_lookups": False,
+        "shuffle_partitions": 128,
     }
 
 
@@ -1294,6 +1309,16 @@ def _timed_query(run) -> float:
 
 
 def main() -> None:
+    # 24g heap unless the caller overrides: the 100x ETL fact write sits on
+    # the execution-memory edge BY DESIGN (~50 GiB spill), and at the old
+    # 12g default it OOMed (UNABLE_TO_ACQUIRE_MEMORY) for the first time in
+    # r11 once the catalog grew past 275 sessions-worth of codegen/broadcast
+    # residue — the same marginal failure dump_etl_shuffle hit in r10 and
+    # fixed the same way (round_artifacts.sh). Heap is a single-host knob;
+    # every gated signal (shuffle/spill bytes, calibrated walls) is
+    # unchanged by it.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+
     from sri_spark.plans import all_queries
     from sri_spark.session import get_spark
 

@@ -272,6 +272,11 @@ def test_committed_bench_artifact_schema():
     assert art["ann_recall"]["advisory"] is True
     assert art["ann_recall"]["planted"]["binding"] is True
     assert art["queries"], "per-query dict must be non-empty"
+    # r11+: artifacts declare their own floor eligibility, and the margin
+    # multiprobe curve rides in both recall blocks
+    assert "floor_eligible" in art
+    assert "lsh_multiprobe" in art["ann_recall"]
+    assert "lsh_margin_probe16" in art["ann_recall"]["planted"]
 
 
 def test_median_point_honors_single_shot_env(monkeypatch):
