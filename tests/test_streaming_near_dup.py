@@ -128,6 +128,8 @@ def test_compaction_on_missing_index_is_noop(spark, tmp_path):
     assert compact_near_dup_index(spark, str(tmp_path / "nope")) == 0
 
 
+@pytest.mark.slow  # ~4.6 min, 16% of the suite: the one multi-minute soak.
+# Round-close runs it; iteration may skip with -m "not slow" (pytest.ini).
 def test_soak_state_bounded_over_50_microbatches(spark, tmp_path):
     """Round-7 verdict item 6: the persistent bucket index's O(corpus)
     state bound, TESTED over a long run instead of claimed. 50
