@@ -45,6 +45,7 @@ ITERATIVE_OK = {
     "dedup_duplicate_clusters": "min-label propagation fixpoint convergence checks",
     "dedup_semantic_clusters": "components fixpoint over embedding near-pairs",
     "graph_components_trade": "components fixpoint (dimension-sized trade graph)",
+    "similarity_ann_margin_multiprobe_topk": "1-row query projections/bucket fetch: probe enumeration is index metadata, like IVF centroids",
     "similarity_ann_multiprobe_topk": "1-row query-vector fetch for broadcast",
     "similarity_ivf_pq_pipeline": "KMeans fit + sample-trained PQ codebooks + query fetch",
     "similarity_ivf_topk": "KMeans coarse-quantizer training",

@@ -472,6 +472,7 @@ BOUNDED_BY_CONSTRUCTION_BNLJ = {
     "expr_fuzzy_brand_pairs",
     "retrieval_hybrid_rrf",
     "retrieval_phrase_top_docs",
+    "similarity_ann_margin_multiprobe_topk",
     "similarity_ann_multiprobe_topk",
     "similarity_cosine_topk",
     "similarity_ivf_pq_pipeline",
