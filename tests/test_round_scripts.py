@@ -111,6 +111,38 @@ def test_replay_growth_band_violation_fails(tmp_path):
     assert r.returncode == 0, r.stdout
 
 
+def test_knob_forensics_classification():
+    """replay_knob_forensics._classify semantics (round-11 item 2): spill
+    byte-stability across layouts is what separates capacity-bound from
+    layout-bound, and a spill-free family is labeled as such rather than
+    vacuously 'capacity_bound'. These labels feed SCALE.md's conclusions,
+    so a refactor must not silently flip them."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "rkf", os.path.join(REPO, "scripts", "replay_knob_forensics.py")
+    )
+    rkf = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rkf)
+
+    def run(sec, disk, mem):
+        return {"sec": sec, "spill_disk_mb": disk, "spill_mem_mb": mem}
+
+    # byte-stable spill + stable wall -> capacity_bound
+    c = rkf._classify({"a": run(100, 3000, 18000), "b": run(110, 3100, 18100)})
+    assert c["conclusion"] == "capacity_bound" and c["spill_byte_stable"]
+    # spill moves 2.5x with layout -> layout_bound (the r11 ETL finding)
+    c = rkf._classify({"a": run(646, 35724, 95484), "b": run(416, 10570, 41412)})
+    assert c["conclusion"] == "layout_bound" and not c["spill_byte_stable"]
+    # zero spill everywhere -> explicitly not a capacity story (graph)
+    c = rkf._classify({"a": run(58, 0.0, 0.0), "b": run(455, 0.0, 0.0)})
+    assert c["conclusion"] == "no_spill_either_layout"
+    assert c["spill_byte_stable"] is None
+    # stable spill but layout-sensitive wall -> the hybrid label
+    c = rkf._classify({"a": run(100, 3000, 18000), "b": run(60, 3050, 18050)})
+    assert c["conclusion"] == "capacity_bound_spill_layout_sensitive_wall"
+
+
 def test_forced_repeats_ignores_malformed_env(monkeypatch, capsys):
     sys.path.insert(0, REPO)
     import bench
