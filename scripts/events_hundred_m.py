@@ -130,11 +130,16 @@ def main() -> None:
     seen: set = set(_stages(ui, app))
     for name, copies in (("hundred_x", 100), ("thousand_x", 1000)):
         corpus = _corpus(spark, base, copies)
+        # r12: noop-counted full-plan evaluation (bench._noop_counted) —
+        # under a bare count Catalyst prunes window_agg's sum(value)
+        # expression and the value-column scan, so pre-r12 window walls
+        # under-measured the real aggregate (r11 verdict item 1's lesson
+        # applied to every measurement script)
         t0 = time.perf_counter()
-        n_sessions = sessionize(corpus).count()
+        n_sessions = bench._noop_counted(sessionize(corpus))
         sess_sec = round(time.perf_counter() - t0, 4)
         t0 = time.perf_counter()
-        n_window_rows = window_agg(corpus).count()
+        n_window_rows = bench._noop_counted(window_agg(corpus))
         win_sec = round(time.perf_counter() - t0, 4)
         time.sleep(2.0)  # async listener bus: let finished stages land
         stages = _stages(ui, app)

@@ -25,10 +25,16 @@ Usage (run SOLO on the host, one family at a time):
 
     SPARK_GRAFT_DRIVER_MEM=24g python scripts/replay_knob_forensics.py etl
     python scripts/replay_knob_forensics.py graph
+    python scripts/replay_knob_forensics.py events   # 100x window_agg (r12)
 
-Writes docs/ETL_100X_knobs_r{N}.json / docs/GRAPH_100X_knobs_r{N}.json;
-docs/SCALE.md carries the conclusion; scripts/compare_replay_growth.py
-pins the growth bands.
+Writes docs/{ETL,GRAPH,EVENTS}_100X_knobs_r{N}.json; docs/SCALE.md
+carries the conclusion; scripts/compare_replay_growth.py pins the
+growth bands.
+
+r12 measurement fixes: graph evaluates through bench._noop_counted (the
+r11 `.count()` join-eliminated the rank rounds), and the ETL point runs
+at the sweep's OWN layout (shuffle_partitions=None) instead of being
+silently forced to 128 by the bench pin.
 """
 
 from __future__ import annotations
@@ -46,43 +52,28 @@ LAYOUTS = (32, 128)
 def _etl_point(spark) -> dict:
     import bench
 
-    return bench.sri_etl_replay_100x(spark)
+    # shuffle_partitions=None: honor the builder-level layout _run_layout
+    # set — ADVICE r11 found the replay's own unconditional 128 override
+    # silently defeated the sweep (both labeled layouts actually ran 128)
+    return bench.sri_etl_replay_100x(spark, shuffle_partitions=None)
 
 
 def _graph_point(spark) -> dict:
-    from pyspark.sql import functions as F
-
     import bench
     from sri_spark.graph.pagerank import pagerank
     from sri_spark.operators.caching import unpersist_all
     from sri_spark.plans.graph_queries import PR_ITERS
-    from sri_spark.sources.testdata import load_table
 
-    orders = load_table(spark, bench.SF_DIR, "orders")
-    li = load_table(spark, bench.SF_DIR, "lineitem")
-    pairs = (
-        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
-        .select(
-            (F.col("o_custkey") * 2).alias("c_id"),
-            (F.col("l_suppkey") * 2 + 1).alias("s_id"),
-        )
-        .distinct()
-        .persist()
-    )
+    pairs = bench._trade_pairs(spark).persist()
     n_pairs = pairs.count()
-    p = bench._replicated_union(
-        pairs,
-        100,
-        lambda df, i: df.select(
-            (F.col("c_id") + F.lit(i * 1_000_000_000)).alias("c_id"),
-            (F.col("s_id") + F.lit(i * 1_000_000_000)).alias("s_id"),
-        ),
-    )
-    edges = p.select(F.col("c_id").alias("src"), F.col("s_id").alias("dst")).union(
-        p.select(F.col("s_id").alias("src"), F.col("c_id").alias("dst"))
-    )
+    edges = bench._trade_edges(pairs, 100)
+    # r11 verdict item 1: evaluate through the bench's noop-counted helper,
+    # never `.count()` — under a count Catalyst join-eliminates pagerank's
+    # unique-key left joins (1 join / 6 aggs remain of 13 / 29; >20x faster
+    # than the real plan), so the r11 knob conclusions characterized the
+    # pruned distinct/degree skeleton, not the rank recurrence.
     t0 = time.perf_counter()
-    n_nodes = pagerank(edges, iterations=PR_ITERS).count()
+    n_nodes = bench._noop_counted(pagerank(edges, iterations=PR_ITERS))
     sec = round(time.perf_counter() - t0, 4)
     pairs.unpersist()
     unpersist_all()
@@ -91,7 +82,32 @@ def _graph_point(spark) -> dict:
         "n_nodes": n_nodes,
         "edges": n_pairs * 200,
         "iterations": PR_ITERS,
+        "action": "noop_sink",
     }
+
+
+def _events_point(spark) -> dict:
+    """The events family's superlinear cell only (r11 verdict item 5): the
+    100x (10M-event at sf0.1) hourly window_agg, noop-counted — sessionize
+    already carried a per-stage attribution; window_agg's 10x->100x growth
+    (7.07x in r11, measured via a sum-pruning `.count()`) did not."""
+    import bench
+
+    base = bench._events_base(spark)
+    n1 = base.count()
+    corpus = bench._events_corpus(base, 100)
+    t0 = time.perf_counter()
+    n_rows = bench._noop_counted(bench._events_window_agg(corpus))
+    sec = round(time.perf_counter() - t0, 4)
+    return {
+        "sec": sec,
+        "n_window_rows": n_rows,
+        "rows": n1 * 100,
+        "action": "noop_sink",
+    }
+
+
+_POINTS = {"etl": _etl_point, "graph": _graph_point, "events": _events_point}
 
 
 def _run_layout(family: str, parts: int, ui_port: int) -> dict:
@@ -125,7 +141,7 @@ def _run_layout(family: str, parts: int, ui_port: int) -> dict:
         # the guard is free) never inflate this layout's totals (ADVICE r10)
         time.sleep(1.0)
         seen = set(_stages(ui, app))
-        block = (_etl_point if family == "etl" else _graph_point)(spark)
+        block = _POINTS[family](spark)
         time.sleep(2.0)  # async listener bus: let finished stages land
         fresh = [s for k, s in _stages(ui, app).items() if k not in seen]
         block.update(
@@ -183,7 +199,7 @@ def _classify(runs: dict[str, dict]) -> dict:
 
 def main() -> None:
     family = sys.argv[1] if len(sys.argv) > 1 else "etl"
-    assert family in ("etl", "graph"), family
+    assert family in _POINTS, family
     os.environ["SPARK_GRAFT_REPLAY_REPEATS"] = "1"  # single-shot points
 
     import bench

@@ -1,0 +1,64 @@
+"""Fixed-iteration HITS (hubs & authorities) on a bipartite edge set,
+as pure DataFrame algebra.
+
+Kleinberg's update is hub(c) = sum of auth over c's neighbors and
+auth(s) = sum of hub over s's neighbors. This implementation runs a FIXED
+number of rounds UNNORMALIZED: starting from hub = 1, every intermediate
+score is a count of alternating paths — an INTEGER carried exactly in a
+double — so the DuckDB oracle matches bit-for-bit with no rounding channel
+and no flake risk from summation order (cf. the IRLS flake note in
+plans/stats_regression_queries.py). Per-round L1/L2 normalization only
+rescales scores (the ranking is identical), and skipping it keeps the lazy
+plan LINEAR in rounds: a normalizing round references its raw aggregate
+twice, doubling the plan tree per iteration — the exact optimizer trap
+documented for iterative plans in this repo's verify notes.
+
+Scale shape: the edge list is scoped-persisted once; each half-round is
+one join of the arcs against a node-sized score frame (AQE broadcasts it)
+followed by one (node, double) hash aggregate with map-side partials.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hits_bipartite(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """(hubs, authorities) after `iterations` unnormalized HITS rounds.
+
+    `edges` is the DIRECTED bipartite edge list (src = hub side, dst =
+    authority side), one row per distinct edge. Returns two frames:
+    (id, hub) over the src side and (id, auth) over the dst side. Scores
+    are alternating-path counts (exact integers in doubles).
+    """
+    from sri_spark.operators.caching import scoped_persist
+
+    e = scoped_persist(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    )
+    hubs = (
+        e.select("src").distinct().withColumn("hub", F.lit(1.0))
+    )
+    auth: DataFrame | None = None
+    for _ in range(iterations):
+        auth = (
+            e.join(hubs, "src")
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("auth"))
+        )
+        hubs = (
+            e.join(auth, "dst")
+            .groupBy("src")
+            .agg(F.sum("auth").alias("hub"))
+        )
+    return (
+        hubs.select(F.col("src").alias("id"), "hub"),
+        auth.select(F.col("dst").alias("id"), "auth"),
+    )

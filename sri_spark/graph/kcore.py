@@ -1,0 +1,61 @@
+"""Fixed-round k-core peeling as pure DataFrame algebra.
+
+The k-core of a graph is the maximal subgraph where every node has degree
+>= k; the classic algorithm peels sub-k nodes until a fixed point. A FIXED
+round count keeps the operator oracle-checkable (DuckDB runs the same
+unrolled peels) and matches how core-ness is used as a feature in data
+pipelines (spam/boilerplate nodes die in the first peel or two; deep
+cores stabilize geometrically). Same fixed-unroll contract as
+graph/pagerank.py's PR_ITERS.
+
+Scale shape: each round is one degree aggregate — a (node, count) shuffle,
+never adjacency lists — plus two semi-joins of the surviving arcs against
+a NODE-sized keep set, which AQE broadcast-joins at runtime, so the
+arc-sized frame is never reshuffled. Arcs shrink monotonically, so round
+cost is non-increasing; each round's survivor arcs are scoped-persisted
+because the next round reads them twice (degree + semi-join left side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def kcore_peel(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 2,
+    rounds: int = 3,
+) -> DataFrame:
+    """Surviving nodes and their within-subgraph degree after `rounds`
+    peels at threshold `k`.
+
+    `edges` must contain both directions of every undirected edge (the
+    pagerank convention), so the degree-by-src aggregate is the full
+    undirected degree. Returns (id, deg) where deg is the node's degree
+    among round-`rounds` survivors — after convergence every deg >= k; a
+    fixed unroll may legitimately emit sub-k stragglers whose neighbors
+    died in the final round (documented contract, verified cross-engine).
+    """
+    from sri_spark.operators.caching import scoped_persist
+
+    arcs = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    for _ in range(rounds):
+        arcs = scoped_persist(arcs)
+        keep = (
+            arcs.groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("src")
+        )
+        arcs = arcs.join(keep, "src", "left_semi").join(
+            keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
+        )
+    return (
+        arcs.groupBy("src")
+        .agg(F.count("*").alias("deg"))
+        .select(F.col("src").alias("id"), "deg")
+    )

@@ -232,3 +232,152 @@ def graph_components_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         comp.groupBy(F.col("component").cast("long").alias("component"))
         .agg(F.count("*").cast("long").alias("n_nodes"))
     )
+
+
+# ---------------------------------------------------------------------------
+# fixed-round k-core peel over the full customer-supplier trade graph (r12)
+
+KCORE_K = 2
+KCORE_ROUNDS = 3
+
+
+def _kcore_oracle(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
+    peels = []
+    for i in range(1, rounds + 1):
+        peels.append(
+            f"""k{i} AS (
+      SELECT src FROM a{i - 1} GROUP BY src HAVING count(*) >= {k}
+    ),
+    a{i} AS (
+      SELECT a.src, a.dst FROM a{i - 1} a
+      JOIN k{i} x ON a.src = x.src
+      JOIN k{i} y ON a.dst = y.src
+    )"""
+        )
+    joined = ",\n    ".join(peels)
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT 'c' || o_custkey AS c_id, 's' || l_suppkey AS s_id
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    a0 AS (
+      SELECT c_id AS src, s_id AS dst FROM pairs
+      UNION ALL
+      SELECT s_id AS src, c_id AS dst FROM pairs
+    ),
+    {joined}
+    SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+    FROM a{rounds} GROUP BY src
+    """
+
+
+@register("graph_kcore_peel", _kcore_oracle())
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round k-core peel (k=2, KCORE_ROUNDS/KCORE_K) of the
+    customer-supplier trade graph — the graph-cleaning primitive next to
+    PageRank in a feature stack: low-core nodes (one-off buyers, spam
+    accounts, boilerplate pages in a link graph) die in the first peel.
+    Emits every surviving node with its within-subgraph degree; the
+    DuckDB oracle runs the identical unrolled peels (graph/kcore.py
+    documents the fixed-unroll contract and the straggler semantics).
+
+    Node ids are LONGS through every round (customer 2k, supplier 2k+1 —
+    the pagerank trick) and stringify only in the final projection, so
+    each round's degree shuffle moves 8-byte keys. The keep sets are
+    node-sized and AQE broadcast-joins them: the arc-sized frame is
+    never reshuffled."""
+    from sri_spark.graph.kcore import kcore_peel
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("c_id"),
+            (F.col("l_suppkey") * 2 + 1).alias("s_id"),
+        )
+        .distinct()
+    )
+    both = pairs.select(
+        F.col("c_id").alias("src"), F.col("s_id").alias("dst")
+    ).union(pairs.select(F.col("s_id").alias("src"), F.col("c_id").alias("dst")))
+    out = kcore_peel(both, k=KCORE_K, rounds=KCORE_ROUNDS)
+    return out.select(
+        F.when(F.col("id") % 2 == 0, F.concat(F.lit("c"), F.expr("id div 2")))
+        .otherwise(F.concat(F.lit("s"), F.expr("(id - 1) div 2")))
+        .alias("id"),
+        F.col("deg").cast("long").alias("deg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# fixed-iteration HITS (hubs & authorities) on the bipartite trade graph
+
+HITS_ITERS = 3
+
+
+def _hits_oracle(iters: int = HITS_ITERS) -> str:
+    rounds = []
+    for i in range(1, iters + 1):
+        rounds.append(
+            f"""a{i} AS (
+      SELECT p.s, sum(h.hub) AS auth
+      FROM pairs p JOIN h{i - 1} h ON p.c = h.c GROUP BY p.s
+    ),
+    h{i} AS (
+      SELECT p.c, sum(a.auth) AS hub
+      FROM pairs p JOIN a{i} a ON p.s = a.s GROUP BY p.c
+    )"""
+        )
+    joined = ",\n    ".join(rounds)
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    h0 AS (SELECT DISTINCT c, CAST(1.0 AS DOUBLE) AS hub FROM pairs),
+    {joined}
+    SELECT 'c' || c AS id, 'hub' AS role, CAST(hub AS BIGINT) AS score
+    FROM h{iters}
+    UNION ALL
+    SELECT 's' || s AS id, 'authority' AS role, CAST(auth AS BIGINT) AS score
+    FROM a{iters}
+    """
+
+
+@register("graph_hits_trade", _hits_oracle())
+def graph_hits_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round HITS (HITS_ITERS) over the bipartite customer-supplier trade
+    graph: customers are hubs (they aggregate strong suppliers), suppliers
+    are authorities. Runs UNNORMALIZED by design — from hub=1 every score
+    is an alternating-path COUNT, an exact integer in a double, so the
+    oracle matches with no rounding channel and zero summation-order
+    flake risk, and the lazy plan stays linear in rounds (a normalizing
+    round references its raw aggregate twice, doubling the plan tree per
+    iteration — graph/hits.py documents both choices). Normalization only
+    rescales; the ranking is identical.
+
+    Shape: the distinct edge list persists once; each half-round is one
+    arcs x node-scores join (AQE broadcasts the node side) plus one
+    (node, double) hash aggregate with map-side partials."""
+    from sri_spark.graph.hits import hits_bipartite
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        .distinct()
+    )
+    hubs, auth = hits_bipartite(pairs, iterations=HITS_ITERS)
+    h = hubs.select(
+        F.concat(F.lit("c"), F.col("id")).alias("id"),
+        F.lit("hub").alias("role"),
+        F.col("hub").cast("long").alias("score"),
+    )
+    a = auth.select(
+        F.concat(F.lit("s"), F.col("id")).alias("id"),
+        F.lit("authority").alias("role"),
+        F.col("auth").cast("long").alias("score"),
+    )
+    return h.unionByName(a)

@@ -40,6 +40,31 @@ def test_margin_multiprobe_recall_on_planted_clusters(planted):
     assert planted["lsh_margin_probe16"]["recall"] >= PLANTED_RECALL_MIN, planted
 
 
+def test_high_noise_geometry_binds_the_margin_envelope(planted):
+    """Round-12 (r11 verdict item 7): the second planted geometry
+    (sigma=0.08, noise comparable to the planes' own margins) binds the
+    margin ranking's operating ENVELOPE, not just its tight-cluster win:
+
+    - hamming-1 visibly fails: siblings flip more than one plane;
+    - margin-16 beats the radius-1 ball by >= 0.1 recall at 2x its
+      budget, but no longer holds the 0.9 contract — and at the EQUAL
+      9-bucket budget margin probing is no better than hamming-1, because
+      high noise decorrelates flips from plane margins (the signal the
+      ranking spends);
+    - the data-adaptive IVF path still holds the full contract here:
+      the clusters persist, they just stop aligning with fixed planes.
+
+    If margin-9 ever starts holding the contract at this noise, the
+    method changed — re-derive the envelope before relaxing this."""
+    hn = planted["high_noise_sigma008"]
+    h1 = hn["lsh_hamming1"]["recall"]
+    assert h1 <= 0.6, hn
+    assert hn["lsh_margin_probe16"]["recall"] >= h1 + 0.1, hn
+    assert hn["lsh_margin_probe9"]["recall"] < PLANTED_RECALL_MIN, hn
+    assert hn["lsh_margin_probe16"]["recall"] < PLANTED_RECALL_MIN, hn
+    assert hn["ivf_probe4"]["recall"] >= PLANTED_RECALL_MIN, hn
+
+
 def test_margin_probe_sequence_properties():
     """Driver-side probe enumeration: the query's own bucket is always
     probed first (zero flips cost zero margin), the sequence is distinct

@@ -180,16 +180,32 @@ def test_floor_loader_rejects_contended_artifact(tmp_path, monkeypatch):
     name, doc = bench._load_floor_artifact()
     assert name == "BENCH_full_r09.json"
     assert not doc.get("_floor_ineligible_fallback")
-    # too-FAST capture hosts are equally ineligible (walls deflated vs
-    # history would flag the next quiet round as regressed)
+    # FAST capture hosts are ELIGIBLE (one-sided since r12): contention
+    # can only inflate times, so a below-band factor means the artifact's
+    # FLOOR was the noisy capture, not this run — refusing it would pin
+    # the floor at contended grade forever (exactly what happened when
+    # the r12 quiet run, shuffle calib 0.79 = the known quiet level, read
+    # factor 0.736 against the contended r11 driver-rerun floor)
     p9b = _mk_bench_floor(tmp_path, "BENCH_full_r09b.json", host_factor=0.77)
     monkeypatch.setattr(
         bench, "_floor_candidates", lambda: [(9, 1, p9b), (10, 1, p10)]
     )
     name, doc = bench._load_floor_artifact()
-    # nothing eligible: loudly fall back to the newest parseable artifact
+    assert name == "BENCH_full_r09b.json"
+    assert not doc.get("_floor_ineligible_fallback")
+    # with ONLY the contended artifact available, fall back loudly
+    monkeypatch.setattr(bench, "_floor_candidates", lambda: [(10, 1, p10)])
+    name, doc = bench._load_floor_artifact()
     assert name == "BENCH_full_r10.json"
     assert doc["_floor_ineligible_fallback"] is True
+    # an r11-era doc refused purely for a below-band factor is re-admitted
+    assert bench._floor_eligible(
+        {"floor_eligible": False, "regression": {"host_factor": 0.74}}
+    )
+    # but an explicit refusal for an above-band (contended) capture holds
+    assert not bench._floor_eligible(
+        {"floor_eligible": False, "regression": {"host_factor": 1.29}}
+    )
 
 
 def test_floor_loader_honors_explicit_eligibility_key(tmp_path, monkeypatch):

@@ -417,6 +417,12 @@ def test_irls_matches_numpy_twin_exactly(spark, statdir):
     assert row["beta_intercept"] == pytest.approx(beta[0], abs=2e-6)
     assert row["beta_quantity"] == pytest.approx(beta[1], abs=2e-6)
     assert row["beta_discount"] == pytest.approx(beta[2], abs=2e-6)
+    # convergence evidence (r11 verdict item 6): the reported final-round
+    # max |Δbeta| equals the numpy twin's round-2 -> round-3 movement
+    prev = _irls_numpy(y, x1, x2, rounds=_IRLS_ROUNDS - 1)
+    assert row["max_delta_beta"] == pytest.approx(
+        float(np.max(np.abs(beta - prev))), abs=2e-6
+    )
     # and the reported loss is the mean negative log-likelihood at beta
     eta = np.clip(np.column_stack([np.ones_like(x1), x1, x2]) @ beta, -30, 30)
     mu = np.clip(1.0 / (1.0 + np.exp(-eta)), 1e-12, 1 - 1e-12)
@@ -454,7 +460,7 @@ def test_irls_separable_data_stays_finite(spark, statdir):
     _write_logit_lineitem(spark, out, x1, x2, y)
     row = stats_logistic_irls(spark, out).collect()[0]
     for c in ("beta_intercept", "beta_quantity", "beta_discount",
-              "avg_log_loss"):
+              "max_delta_beta", "avg_log_loss"):
         assert row[c] is not None and math.isfinite(row[c]), (c, row)
     assert row["beta_quantity"] > 0  # separating direction recovered
     assert row["avg_log_loss"] < 0.3
@@ -474,7 +480,7 @@ def test_irls_constant_feature_yields_null_not_garbage(spark, statdir):
     row = stats_logistic_irls(spark, out).collect()[0]
     assert row["n_rows"] == n
     for c in ("beta_intercept", "beta_quantity", "beta_discount",
-              "avg_log_loss"):
+              "max_delta_beta", "avg_log_loss"):
         assert row[c] is None, (c, row)
 
 
