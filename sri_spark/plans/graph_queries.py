@@ -381,3 +381,76 @@ def graph_hits_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("auth").cast("long").alias("score"),
     )
     return h.unionByName(a)
+
+
+# ---------------------------------------------------------------------------
+# degree assortativity of the trade graph (r12)
+
+_ASSORT_ORACLE = """
+    WITH pairs AS (
+      SELECT DISTINCT 'c' || o_custkey AS c_id, 's' || l_suppkey AS s_id
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    arcs AS (
+      SELECT c_id AS src, s_id AS dst FROM pairs
+      UNION ALL
+      SELECT s_id AS src, c_id AS dst FROM pairs
+    ),
+    deg AS (SELECT src, count(*) * 1.0 AS d FROM arcs GROUP BY src),
+    j AS (
+      SELECT ds.d AS dsrc, dd.d AS ddst
+      FROM arcs a
+      JOIN deg ds ON a.src = ds.src
+      JOIN deg dd ON a.dst = dd.src
+    )
+    SELECT (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
+           count(*)::BIGINT AS n_arcs,
+           round(corr(dsrc, ddst), 6) AS assortativity
+    FROM j
+    """
+
+
+@register("graph_degree_assortativity", _ASSORT_ORACLE)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-degree Pearson assortativity of the customer-supplier trade
+    graph: the correlation of endpoint degrees across every directed arc
+    (both directions included, the standard symmetric treatment). The
+    single scalar that says whether hubs attach to hubs (assortative,
+    social-network-like) or to leaves (disassortative, the typical
+    bipartite commerce signature) — a structural health probe next to
+    PageRank/k-core in a graph feature stack.
+
+    Shape: one degree aggregate (map-side partials, 8-byte keys), two
+    equi-joins of the arc list against the NODE-sized degree frame (AQE
+    broadcasts it — the arcs are never reshuffled), one corr() scalar
+    aggregate (algebraic, map-side partials). At 100 TB this is two
+    scans' worth of work with kilobyte shuffles. corr() is the same
+    sample-Pearson both engines share (the stats_autocorr convention);
+    an empty or single-degree-value graph yields NULL, never an error."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("c_id"),
+            (F.col("l_suppkey") * 2 + 1).alias("s_id"),
+        )
+        .distinct()
+    )
+    arcs = pairs.select(
+        F.col("c_id").alias("src"), F.col("s_id").alias("dst")
+    ).union(pairs.select(F.col("s_id").alias("src"), F.col("c_id").alias("dst")))
+    deg = arcs.groupBy("src").agg(F.count("*").cast("double").alias("d"))
+    ds = deg.select(F.col("src").alias("__s"), F.col("d").alias("dsrc"))
+    dd = deg.select(F.col("src").alias("__d"), F.col("d").alias("ddst"))
+    j = (
+        arcs.join(ds, arcs["src"] == ds["__s"])
+        .join(dd, arcs["dst"] == dd["__d"])
+        .select("dsrc", "ddst")
+    )
+    n_nodes = deg.agg(F.count("*").cast("long").alias("n_nodes"))
+    stats = j.agg(
+        F.count("*").cast("long").alias("n_arcs"),
+        F.round(F.corr("dsrc", "ddst"), 6).alias("assortativity"),
+    )
+    return n_nodes.crossJoin(stats)

@@ -937,3 +937,133 @@ def stats_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("mi") / F.sqrt(F.col("hs") * F.col("hp")), 6),
         ).alias("nmi"),
     )
+
+
+# --------------------------------------------------------------------------
+# Theil–Sen robust trend (median of all pairwise slopes) — round 12
+# --------------------------------------------------------------------------
+
+_THEIL_SEN_ORACLE = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS x,
+         round(sum(o_totalprice), 2) AS rev
+  FROM orders GROUP BY 1
+),
+slopes AS (
+  SELECT (b.rev - a.rev) / (b.x - a.x) AS slope
+  FROM daily a JOIN daily b ON b.x > a.x
+),
+m AS (SELECT quantile_cont(slope, 0.5) AS m_slope FROM slopes),
+icpt AS (
+  SELECT quantile_cont(rev - m.m_slope * x, 0.5) AS m_icpt
+  FROM daily CROSS JOIN m
+)
+SELECT (SELECT count(*) FROM daily)::BIGINT AS n_days,
+       (SELECT count(*) FROM slopes)::BIGINT AS n_pairs,
+       round(m.m_slope, 6) AS ts_slope,
+       round(icpt.m_icpt, 4) AS ts_intercept
+FROM m CROSS JOIN icpt
+"""
+
+
+@register("stats_theil_sen_trend", _THEIL_SEN_ORACLE)
+def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of daily order revenue: the EXACT median of
+    all pairwise day-to-day slopes plus the median-residual intercept —
+    the outlier-proof alternative to OLS (breakdown point 29% vs 0%),
+    the estimator behind robust drift monitors. The DuckDB oracle runs
+    the classic formulation (inequality self-join + quantile_cont).
+
+    Shape (scale-safe by the calendar bound): the only data-sized work
+    is the hash aggregate to the DAY GRID (revenue rounded to 2 at the
+    sum, the repo's determinism convention). The O(n²) pair set is
+    day-grid² (~2.4M rows for 6 years of days — CONSTANT in data volume,
+    like orders_backlog_sweepline's argument), and it is generated
+    WITHOUT a non-equi join: each day explodes sequence(x+1, max_x) and
+    equi-joins the partner day, so the plan is Generate + hash join —
+    no BroadcastNestedLoopJoin for the advisor gate to flag, and the
+    explode parallelizes across the grid instead of nesting loops.
+    max_x rides the plan as a classifier-provable 1-row aggregate
+    crossJoin (the KS/Spearman scalar-broadcast pattern), as does the
+    median slope when the intercept residuals are formed.
+
+    Cross-engine determinism AND memory safety: medians are computed as
+    ORDER STATISTICS — one spillable single-partition sort (bounded by
+    grid², like the repo's other day-grid windows) + row_number, taking
+    the average of the two central positions, which is bit-identical to
+    DuckDB's quantile_cont(0.5) interpolation. Spark's exact
+    `percentile` aggregate is deliberately NOT used: it buffers a
+    value→count hash map per map task, and 2.4M mostly-distinct slope
+    doubles OOM'd the driver's plain 1 GiB session during the full-sweep
+    run (sort-based order statistics spill instead of ballooning).
+    Slopes divide by (x_j - x_i) >= 1 by construction; NULL revenues
+    (degenerate fixtures) are filtered before ranking so positions never
+    shift; an empty orders table yields NULL outputs in both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).alias("x")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    max_x = daily.agg(F.max("x").alias("__mx"))
+    right = daily.select(F.col("x").alias("xj"), F.col("rev").alias("revj"))
+    slopes = (
+        daily.crossJoin(max_x)
+        .select(
+            "x",
+            "rev",
+            F.explode(
+                F.when(
+                    F.col("x") < F.col("__mx"),
+                    F.sequence(F.col("x") + 1, F.col("__mx")),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("xj"),
+        )
+        .join(right, "xj")
+        .select(
+            ((F.col("revj") - F.col("rev")) / (F.col("xj") - F.col("x"))).alias(
+                "slope"
+            )
+        )
+    )
+
+    def exact_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        """1-row (n_<out>, <out>) frame: quantile_cont(0.5) as order
+        statistics — avg of the two central row_number positions over a
+        spillable sort (NULLs dropped first so ranks never shift)."""
+        vals = df.filter(F.col(col).isNotNull()).select(col)
+        n = vals.agg(F.count("*").alias(f"__n_{out}"))
+        ranked = vals.withColumn(
+            "__rn", F.row_number().over(Window.orderBy(col))
+        )
+        return (
+            ranked.crossJoin(n)
+            .filter(
+                (F.col("__rn") == F.expr(f"(__n_{out} + 1) div 2"))
+                | (F.col("__rn") == F.expr(f"(__n_{out} + 2) div 2"))
+            )
+            .agg(
+                F.max(f"__n_{out}").alias(f"__n_{out}"),
+                F.avg(col).alias(out),
+            )
+        )
+
+    m = exact_median(slopes, "slope", "m_slope")
+    icpt = exact_median(
+        daily.crossJoin(m.select("m_slope")).select(
+            (F.col("rev") - F.col("m_slope") * F.col("x")).alias("resid")
+        ),
+        "resid",
+        "m_icpt",
+    )
+    n_days = daily.agg(F.count("*").cast("long").alias("n_days"))
+    n_pairs = slopes.agg(F.count("*").cast("long").alias("n_pairs"))
+    return (
+        n_days.crossJoin(n_pairs)
+        .crossJoin(m.select("m_slope"))
+        .crossJoin(icpt.select("m_icpt"))
+        .select(
+            "n_days",
+            "n_pairs",
+            F.round("m_slope", 6).alias("ts_slope"),
+            F.round("m_icpt", 4).alias("ts_intercept"),
+        )
+    )
