@@ -104,8 +104,9 @@ EXTENDED = [
     # round-12: fixed-unroll graph additions (k-core peel, bipartite HITS)
     "graph_kcore_peel",
     "graph_hits_trade",
-    # round-12 late additions: robust trend + graph structure scalar
+    # round-12 late additions: robust trend duo + graph structure scalar
     "stats_theil_sen_trend",
+    "stats_mann_kendall_trend",
     "graph_degree_assortativity",
 ]
 

@@ -107,6 +107,21 @@ for name in sorted(only or qs):
                          "err": f"{type(ex).__name__}: {str(ex)[:200]}"}
         print(f"{name}: ERROR {type(ex).__name__}: {str(ex)[:200]}")
         fails.append(name)
+    finally:
+        # r12: release each query's scoped persists before the next one —
+        # without this, 282 queries' cached frames and broadcasts pile up
+        # in the plain session's default 1 GiB driver (cached blocks are
+        # evictable but broadcasts are not until GC'd), and by query ~250
+        # AQE stage materialization starts failing with
+        # UNABLE_TO_ACQUIRE_MEMORY / STAGE_MATERIALIZATION_MULTIPLE_
+        # FAILURES on queries that run fine in a fresh 1 GiB session.
+        # The pytest catalog harness has always done this per build
+        # (tests/conftest.py catalog_builds); the sweep now matches it.
+        try:
+            from sri_spark.operators.caching import unpersist_all
+            unpersist_all()
+        except Exception:
+            pass
 print("FAILS:", fails if fails else "none")
 
 import json, os

@@ -987,18 +987,20 @@ def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     crossJoin (the KS/Spearman scalar-broadcast pattern), as does the
     median slope when the intercept residuals are formed.
 
-    Cross-engine determinism AND memory safety: medians are computed as
-    ORDER STATISTICS — one spillable single-partition sort (bounded by
-    grid², like the repo's other day-grid windows) + row_number, taking
-    the average of the two central positions, which is bit-identical to
-    DuckDB's quantile_cont(0.5) interpolation. Spark's exact
-    `percentile` aggregate is deliberately NOT used: it buffers a
-    value→count hash map per map task, and 2.4M mostly-distinct slope
-    doubles OOM'd the driver's plain 1 GiB session during the full-sweep
-    run (sort-based order statistics spill instead of ballooning).
-    Slopes divide by (x_j - x_i) >= 1 by construction; NULL revenues
-    (degenerate fixtures) are filtered before ranking so positions never
-    shift; an empty orders table yields NULL outputs in both engines."""
+    Cross-engine determinism AND memory safety: medians come from
+    operators/median.py::exact_median_1row — the two-phase histogram
+    selection (range-bucket counts locate the two central order
+    statistics; only the target bucket(s), ~n/1024 of the rows, are ever
+    sorted) whose result is bit-identical to DuckDB's quantile_cont(0.5)
+    interpolation. Spark's exact `percentile` aggregate is deliberately
+    NOT used (its per-task value→count hash map OOM'd the plain 1 GiB
+    driver-contract session on 2.4M mostly-distinct slopes), and neither
+    is a global row_number window (one sort task holding every row — the
+    same concentration anti-pattern, which also failed under the full
+    sweep's accumulated memory pressure). Slopes divide by
+    (x_j - x_i) >= 1 by construction; NULL revenues (degenerate
+    fixtures) are ignored by the median operator; an empty orders table
+    yields NULL outputs in both engines."""
     orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(
         F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).alias("x")
@@ -1025,30 +1027,11 @@ def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def exact_median(df: DataFrame, col: str, out: str) -> DataFrame:
-        """1-row (n_<out>, <out>) frame: quantile_cont(0.5) as order
-        statistics — avg of the two central row_number positions over a
-        spillable sort (NULLs dropped first so ranks never shift)."""
-        vals = df.filter(F.col(col).isNotNull()).select(col)
-        n = vals.agg(F.count("*").alias(f"__n_{out}"))
-        ranked = vals.withColumn(
-            "__rn", F.row_number().over(Window.orderBy(col))
-        )
-        return (
-            ranked.crossJoin(n)
-            .filter(
-                (F.col("__rn") == F.expr(f"(__n_{out} + 1) div 2"))
-                | (F.col("__rn") == F.expr(f"(__n_{out} + 2) div 2"))
-            )
-            .agg(
-                F.max(f"__n_{out}").alias(f"__n_{out}"),
-                F.avg(col).alias(out),
-            )
-        )
+    from sri_spark.operators.median import exact_median_1row
 
-    m = exact_median(slopes, "slope", "m_slope")
-    icpt = exact_median(
-        daily.crossJoin(m.select("m_slope")).select(
+    m = exact_median_1row(slopes, "slope", "m_slope")
+    icpt = exact_median_1row(
+        daily.crossJoin(m).select(
             (F.col("rev") - F.col("m_slope") * F.col("x")).alias("resid")
         ),
         "resid",
@@ -1065,5 +1048,122 @@ def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_pairs",
             F.round("m_slope", 6).alias("ts_slope"),
             F.round("m_icpt", 4).alias("ts_intercept"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Mann–Kendall trend test — the significance companion to Theil–Sen
+# --------------------------------------------------------------------------
+
+_MANN_KENDALL_ORACLE = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS x,
+         round(sum(o_totalprice), 2) AS rev
+  FROM orders GROUP BY 1
+),
+pairs AS (
+  SELECT sign(b.rev - a.rev) AS sgn
+  FROM daily a JOIN daily b ON b.x > a.x
+),
+s AS (SELECT count(*) AS n_pairs, coalesce(sum(sgn), 0) AS s_stat FROM pairs),
+n AS (SELECT count(*) * 1.0 AS n FROM daily),
+ties AS (
+  SELECT coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS tie_corr
+  FROM (SELECT count(*) * 1.0 AS t FROM daily GROUP BY rev
+        HAVING count(*) > 1) q
+),
+v AS (
+  SELECT (n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie_corr) / 18.0 AS var_s
+  FROM n CROSS JOIN ties
+)
+SELECT CAST(n.n AS BIGINT) AS n_days,
+       CAST(s.n_pairs AS BIGINT) AS n_pairs,
+       CAST(s.s_stat AS BIGINT) AS s_stat,
+       CASE WHEN n.n > 1
+            THEN round(s.s_stat / (n.n * (n.n - 1) / 2.0), 6) END AS kendall_tau,
+       CASE WHEN v.var_s > 0
+            THEN round((s.s_stat - sign(s.s_stat)) / sqrt(v.var_s), 6)
+       END AS z_score
+FROM s CROSS JOIN n CROSS JOIN v
+"""
+
+
+@register("stats_mann_kendall_trend", _MANN_KENDALL_ORACLE)
+def stats_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotone-trend test on daily order revenue — the
+    nonparametric significance companion to stats_theil_sen_trend (the
+    standard robust-trend pairing: Theil–Sen estimates the slope,
+    Mann–Kendall says whether a monotone trend exists at all). Emits the
+    S statistic (concordant minus discordant day pairs), Kendall's tau-a,
+    and the tie-corrected normal-approximation z with the textbook
+    continuity correction (S - sign(S)).
+
+    Shape: identical to the Theil–Sen machinery — one data-sized hash
+    aggregate to the DAY GRID, then the O(grid²) pair set via
+    explode(sequence)+equi-join (calendar-bounded, no nested loop); the
+    tie correction is a second aggregate over the grid. Everything
+    downstream of the day rollup is integer arithmetic (signs, counts,
+    tie multiplicities), so S, n and the tie term are EXACT in both
+    engines; the only float ops are the final tau/z divisions, identical
+    double expressions both sides. Degenerate inputs: an empty grid
+    yields NULL tau/z (n <= 1 and var_s = 0 guards); all-tied revenue
+    zeroes S and var_s, yielding tau 0 and NULL z, never a divide error."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).alias("x")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    max_x = daily.agg(F.max("x").alias("__mx"))
+    right = daily.select(F.col("x").alias("xj"), F.col("rev").alias("revj"))
+    pairs = (
+        daily.crossJoin(max_x)
+        .select(
+            "x",
+            "rev",
+            F.explode(
+                F.when(
+                    F.col("x") < F.col("__mx"),
+                    F.sequence(F.col("x") + 1, F.col("__mx")),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("xj"),
+        )
+        .join(right, "xj")
+        .select(F.signum(F.col("revj") - F.col("rev")).alias("sgn"))
+    )
+    s = pairs.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.coalesce(F.sum("sgn"), F.lit(0.0)).alias("s_stat"),
+    )
+    n = daily.agg(F.count("*").cast("double").alias("n"))
+    ties = (
+        daily.groupBy("rev")
+        .agg(F.count("*").cast("double").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0.0),
+            ).alias("tie_corr")
+        )
+    )
+    nn = F.col("n")
+    var_s = (nn * (nn - 1) * (2 * nn + 5) - F.col("tie_corr")) / 18.0
+    ss = F.col("s_stat")
+    return (
+        s.crossJoin(n)
+        .crossJoin(ties)
+        .select(
+            nn.cast("long").alias("n_days"),
+            "n_pairs",
+            ss.cast("long").alias("s_stat"),
+            F.when(
+                nn > 1, F.round(ss / (nn * (nn - 1) / 2.0), 6)
+            ).alias("kendall_tau"),
+            F.when(
+                var_s > 0,
+                F.round((ss - F.signum(ss)) / F.sqrt(var_s), 6),
+            ).alias("z_score"),
         )
     )
