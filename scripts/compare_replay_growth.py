@@ -24,6 +24,9 @@ REPLAY_BLOCKS = (
     "sri_etl_replay_10x",
     "sri_etl_replay_100x",
     "dedup_replay_10x",
+    # r13 (round-12 verdict item 4): span-grain dedup, the most
+    # shuffle-intensive dedup grain, gets the same decade evidence
+    "spans_replay_10x",
     "events_replay_10x",
     "graph_replay_10x",
     "ann_replay_10x",

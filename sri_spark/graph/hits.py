@@ -37,7 +37,15 @@ def hits_bipartite(
     authority side), one row per distinct edge. Returns two frames:
     (id, hub) over the src side and (id, auth) over the dst side. Scores
     are alternating-path counts (exact integers in doubles).
+
+    `iterations` must be >= 1: round 0 has no authority frame (auth is
+    only defined after the first half-round), so a 0-round call has no
+    meaningful (hubs, auth) pair to return.
     """
+    if iterations < 1:
+        raise ValueError(
+            f"hits_bipartite requires iterations >= 1, got {iterations}"
+        )
     from sri_spark.operators.caching import scoped_persist
 
     e = scoped_persist(

@@ -39,6 +39,7 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 3,
     damping: float = DAMPING,
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """PageRank over the DIRECTED edge set after `iterations` power rounds.
 
@@ -46,6 +47,19 @@ def pagerank(
     undirected. Returns (id, rank). The only actions are inside Spark; the
     node count N enters the plan as a scalar via a cross join with a 1-row
     aggregate (no driver round-trip in the lazy plan).
+
+    `broadcast_ranks=True` forces each round's arcs⋈ranks join to
+    broadcast the node-sized ranks frame instead of letting the planner
+    fall back to a sort-merge join once the node count crosses the
+    autoBroadcast estimate. With the arc table persisted pre-partitioned
+    by dst, a broadcast join keeps every round EXCHANGE- AND SORT-FREE on
+    the data-sized side (the contribution aggregate finishes partition-
+    locally) — the r13 spill attribution of the 117M-arc 100x point
+    (docs/GRAPH_SPILL_ATTRIB_r13.json) traced its 2.2 GiB disk spill to
+    the per-round SMJ sorting the arcs. Use it when ranks (16 bytes/node)
+    fit comfortably in executor memory — ~1.6M nodes ≈ 26 MiB at the
+    100x point; leave it False for billion-node graphs, where the SMJ's
+    spill is the memory-safe trade.
     """
     from sri_spark.operators.caching import scoped_persist
 
@@ -66,8 +80,9 @@ def pagerank(
 
     ranks = nodes.join(n1).select("id", (F.lit(1.0) / F.col("__n")).alias("rank"))
     for _ in range(iterations):
+        rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
         contrib = (
-            out.join(ranks, out["src"] == ranks["id"])
+            out.join(rank_side, out["src"] == rank_side["id"])
             .select(F.col("dst").alias("id"), (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("inflow"))

@@ -88,7 +88,7 @@ MERGE_NEW_KEY_MOD = 97
     )
     SELECT COALESCE(t.c_custkey, s.c_custkey) AS c_custkey,
            t.c_name AS c_name,
-           t.c_nationkey AS c_nationkey,
+           CAST(t.c_nationkey AS DOUBLE) AS c_nationkey,
            round(CASE WHEN s.c_custkey IS NOT NULL
                       THEN s.c_acctbal ELSE t.c_acctbal END, 2) AS c_acctbal,
            CASE WHEN s.c_custkey IS NOT NULL
@@ -122,7 +122,13 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         key="c_custkey",
         update_cols=["c_acctbal", "c_mktsegment"],
     )
-    return merged.withColumn("c_acctbal", F.round("c_acctbal", 2))
+    # c_nationkey is NULL for inserted keys; pandas widens a nullable int
+    # to float64 on the oracle side, so pin BOTH sides to double (values
+    # are exact small integers — lossless) to keep schema/dtype parity
+    # even on a fixture where the column goes all-NULL.
+    return merged.withColumn("c_acctbal", F.round("c_acctbal", 2)).withColumn(
+        "c_nationkey", F.col("c_nationkey").cast("double")
+    )
 
 
 _PROFILE_NUM = ["o_orderkey", "o_custkey", "o_totalprice"]

@@ -335,3 +335,49 @@ def test_median_point_defaults_unchanged_without_env(monkeypatch):
     )
     # warm-up a, then 3 interleaved cycles of (a, b)
     assert calls == ["a", "a", "b", "a", "b", "a", "b"]
+
+
+def test_compact_final_line_fits_driver_tail_window():
+    """Round-12 verdict item 1: the driver tail-captures the last 2,000
+    chars of stdout, so the final bench line must stay under budget or
+    the round envelope reads parsed:null (as it did for 12 rounds). Pin
+    the invariant against the real committed artifact, not a toy dict."""
+    import glob
+
+    import bench
+
+    paths = sorted(glob.glob(os.path.join(REPO, "docs", "BENCH_full_r*.json")))
+    assert paths, "no committed bench artifact"
+    with open(paths[-1]) as f:
+        art = json.load(f)
+    line = bench.compact_final_line(
+        art, art.get("regression"), os.path.relpath(paths[-1], REPO)
+    )
+    assert len(line) <= bench.COMPACT_LINE_BUDGET
+    doc = json.loads(line)
+    # the keys the driver's parser and a human skim both need
+    assert doc["metric"] == "all_queries_total"
+    assert doc["unit"] == "sec"
+    assert doc["queries"], "headline queries should fit the budget"
+    assert set(doc["queries"]) <= set(bench.HEADLINE)
+    assert doc["full_artifact"].startswith("docs/")
+
+
+def test_compact_final_line_drops_queries_rather_than_overflow():
+    """If headline growth ever pushes the line past budget, the fallback
+    must shed the per-query dict, never emit an unparseable tail."""
+    import bench
+
+    art = {
+        "queries": {n: 1.23456 for n in bench.HEADLINE},
+        "value": 1.0,
+        "sf": 0.1,
+        "headline_total": 1.0,
+        "extended_total": 1.0,
+        # a calibration blob big enough to force the fallback path
+        "calibration": {"pad": "x" * 2000},
+        "floor_eligible": True,
+    }
+    line = bench.compact_final_line(art, None, "docs/x.json")
+    assert len(line) <= bench.COMPACT_LINE_BUDGET
+    assert "queries" not in json.loads(line)

@@ -62,3 +62,68 @@ def test_median_tiny_bucket_count_still_exact(spark):
     assert _med(spark, vals, buckets=3) == pytest.approx(
         float(np.median(vals)), abs=1e-12
     )
+
+
+# ---------------------------------------------------------------------------
+# grouped form (round-12 verdict item 8): exact_quantile_by_group
+# ---------------------------------------------------------------------------
+
+def _gq(spark, rows, p, **kw):
+    from sri_spark.operators.median import exact_quantile_by_group
+
+    df = spark.createDataFrame(rows, "k string, v double")
+    res = exact_quantile_by_group(df, ["k"], "v", "q", p=p, **kw)
+    return {r["k"]: r["q"] for r in res.collect()}
+
+
+def test_grouped_quantile_skewed_group_sizes(spark):
+    """The verdict-mandated shape: group sizes spanning 4 orders of
+    magnitude (1 / 20 / 1,000 / 60,000 rows) plus an outlier-stretched
+    group — per-group results must match numpy's linear interpolation
+    exactly regardless of how unevenly the groups fill partitions."""
+    rng = np.random.default_rng(13)
+    groups = {
+        "one": [3.25],
+        "tiny": rng.normal(size=20).tolist(),
+        "mid": rng.normal(scale=50, size=1_000).tolist(),
+        "big": rng.standard_cauchy(size=60_000).tolist(),
+        "outlier": [1e15] + rng.normal(size=5_000).tolist(),
+    }
+    rows = [(k, float(v)) for k, vs in groups.items() for v in vs]
+    for p in (0.5, 0.9, 0.25):
+        got = _gq(spark, rows, p)
+        for k, vs in groups.items():
+            want = float(np.quantile(np.array(vs), p))
+            assert got[k] == pytest.approx(want, rel=1e-12, abs=1e-9), (p, k)
+
+
+def test_grouped_quantile_ties_and_null_keys(spark):
+    """Tie runs collapse to single cells (no raw-row sort), and a NULL
+    group key must survive the internal joins with SQL GROUP BY
+    semantics (struct equality is null-safe)."""
+    rows = (
+        [("t", 5.0)] * 999
+        + [("t", 0.0), ("t", 10.0)]
+        + [(None, float(v)) for v in range(11)]
+    )
+    got = _gq(spark, rows, 0.5)
+    assert got["t"] == 5.0
+    assert got[None] == 5.0
+
+
+def test_grouped_quantile_extremes_and_empty(spark):
+    rows = [("a", float(v)) for v in range(101)]
+    assert _gq(spark, rows, 0.0)["a"] == 0.0
+    assert _gq(spark, rows, 1.0)["a"] == 100.0
+    from sri_spark.operators.median import exact_quantile_by_group
+
+    df = spark.createDataFrame([], "k string, v double")
+    assert exact_quantile_by_group(df, ["k"], "v", "q").count() == 0
+
+
+def test_grouped_quantile_rejects_bad_p(spark):
+    from sri_spark.operators.median import exact_quantile_by_group
+
+    df = spark.createDataFrame([("a", 1.0)], "k string, v double")
+    with pytest.raises(ValueError, match="quantile p"):
+        exact_quantile_by_group(df, ["k"], "v", "q", p=1.5)

@@ -70,3 +70,15 @@ def test_hits_scores_are_exact_integers(spark):
     hubs, auth = hits_bipartite(e, iterations=3)
     vals = [r["hub"] for r in hubs.collect()] + [r["auth"] for r in auth.collect()]
     assert vals and all(v == int(v) for v in vals)
+
+
+def test_hits_rejects_zero_iterations(spark):
+    """iterations=0 has no authority frame — the contract requires >=1
+    and the guard must say so instead of crashing on auth=None."""
+    import pytest as _pytest
+
+    from sri_spark.graph.hits import hits_bipartite
+
+    edges = spark.createDataFrame([(1, 2)], "src int, dst int")
+    with _pytest.raises(ValueError, match="iterations >= 1"):
+        hits_bipartite(edges, iterations=0)

@@ -27,13 +27,16 @@ structural:
 from __future__ import annotations
 
 import inspect
+import os
 
 import pytest
 from pyspark.sql import functions as F
 
 import bench
 
-SF = "/root/testdata/sf0.001"
+# honor the same fixture-location override every other test goes through
+# (tests/conftest.py) instead of hard-coding the driver host's path
+SF = os.environ.get("SRI_SPARK_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 # logical operators whose disappearance under a measuring action means the
 # measurement no longer executes the work the replay claims to time
