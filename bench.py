@@ -427,6 +427,58 @@ def ann_recall(spark) -> dict:
         ivfpq_hits += len(got & truth[qid])
     ivfpq_sec = time.perf_counter() - t0
     codes.unpersist()
+
+    # round-12 verdict item 2: the BINDING organic contract. The curve
+    # above stays advisory (the fixture's neighbors are near-random, so
+    # fixed operating points track the fixture); what IS defensible on
+    # any corpus is the serving discipline — tune n_probe on a held-out
+    # TUNING panel at build time, then bind the EVALUATION panel's
+    # recall at that operating point. tests/test_ann_organic.py runs the
+    # same procedure as a gate; this block records the bench-corpus
+    # numbers with binding: true.
+    from sri_spark.similarity.ivf import tune_n_probe
+
+    tune_qids = [ids[((2 * i + 1) * len(ids)) // 10] for i in range(5)]
+    tune_truth = {
+        qid: {r["vec_id"] for r in cosine_topk(emb, qid, k=K).collect()}
+        for qid in tune_qids
+    }
+    t0 = time.perf_counter()
+    n_probe_star, tune_recall = tune_n_probe(
+        indexed,
+        centroids,
+        tune_qids,
+        tune_truth,
+        k=K,
+        recall_min=ORGANIC_TUNE_RECALL_MIN,
+    )
+    organic_hits = sum(
+        len(
+            {
+                r["vec_id"]
+                for r in ivf_probe(
+                    indexed, centroids, qid, k=K, n_probe=n_probe_star
+                ).collect()
+            }
+            & truth[qid]
+        )
+        for qid in qids
+    )
+    organic_recall = organic_hits / (K * len(qids))
+    organic_contract = {
+        "binding": True,
+        "recall_min": ORGANIC_EVAL_RECALL_MIN,
+        "max_scan_fraction": ORGANIC_MAX_SCAN_FRACTION,
+        "n_probe_tuned": n_probe_star,
+        "tuning_recall": tune_recall,
+        "recall": round(organic_recall, 4),
+        "scan_fraction": round(n_probe_star / 16, 4),
+        "sec": round(time.perf_counter() - t0, 4),
+        "pass": bool(
+            organic_recall >= ORGANIC_EVAL_RECALL_MIN
+            and n_probe_star / 16 <= ORGANIC_MAX_SCAN_FRACTION
+        ),
+    }
     indexed.unpersist()
     emb.unpersist()
 
@@ -457,6 +509,9 @@ def ann_recall(spark) -> dict:
             "n_lists": 16,
             "n_probe": 4,
         },
+        # r13: the tuned-operating-point contract — binding, unlike the
+        # fixed-point curve above (see ORGANIC_* constants)
+        "organic_contract": organic_contract,
     }
 
 
@@ -829,10 +884,24 @@ def _dedup_lsh_candidates(docs) -> int:
     )
 
 
-# the one binding ANN recall contract: tests/test_ann_planted.py fails CI
-# when either path's planted recall drops below this; the organic
-# ann_recall curve is marked advisory and gates nothing (round-5 item 7)
+# the binding planted ANN recall contract: tests/test_ann_planted.py
+# fails CI when either path's planted recall drops below this; the
+# organic ann_recall CURVE stays advisory (round-5 item 7) but the tuned
+# organic operating point binds too since r13 — see the constants below
 PLANTED_RECALL_MIN = 0.9
+
+# r13 (round-12 verdict item 2): the ORGANIC binding contract. n_probe is
+# tuned on a held-out 5-query panel to reach TUNE_RECALL_MIN, then the
+# evaluation panel's recall at that point must clear EVAL_RECALL_MIN
+# (margin absorbs panel-to-panel variance) without scanning more than
+# MAX_SCAN_FRACTION of the 16 cells — i.e. the index must beat a full
+# scan even on a corpus whose neighbors are near-random (measured IVF
+# curve: recall 0.30/0.45/0.72/0.96/1.0 at n_probe 2/4/8/12/16 on the
+# sf0.1 organic fixture; the tuned point lands at 12). Gate:
+# tests/test_ann_organic.py.
+ORGANIC_TUNE_RECALL_MIN = 0.9
+ORGANIC_EVAL_RECALL_MIN = 0.85
+ORGANIC_MAX_SCAN_FRACTION = 0.75
 
 
 def _planted_emb(spark, *, sigma: float, seed: int):

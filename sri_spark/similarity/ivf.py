@@ -191,3 +191,56 @@ def ivf_probe(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+def tune_n_probe(
+    indexed: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    tuning_query_ids: list[int],
+    truth: dict[int, set],
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    recall_min: float = 0.9,
+    candidates: tuple[int, ...] = (2, 4, 8, 12, 16),
+) -> tuple[int, float]:
+    """Smallest `n_probe` whose recall@k on the TUNING panel reaches
+    `recall_min`, with that recall — the build-split half of the organic
+    ANN contract (round-12 verdict item 2).
+
+    The organic corpus has near-random neighbors (true top-10 cosines
+    ~0.3-0.4), so no fixed n_probe is defensible a priori: the honest
+    serving contract measures, on held-out tuning queries at index-build
+    time, how many cells a query must probe for the target recall, and
+    BINDS the evaluation-panel recall at that operating point. Falls
+    back to the largest candidate (full scan when it covers n_lists —
+    recall 1.0 by construction) if no smaller budget reaches the target,
+    so the tuned point always exists; a gate that also bounds the tuned
+    n_probe (scan fraction) is what makes degradation loud.
+
+    `truth` maps query id -> set of true top-k neighbor ids (from the
+    brute-force cosine path on the same corpus)."""
+    last = (candidates[-1], 0.0)
+    denom = k * len(tuning_query_ids)
+    for n_probe in candidates:
+        hits = 0
+        for qid in tuning_query_ids:
+            got = {
+                r[id_col]
+                for r in ivf_probe(
+                    indexed,
+                    centroids,
+                    qid,
+                    vec_col=vec_col,
+                    id_col=id_col,
+                    k=k,
+                    n_probe=n_probe,
+                ).collect()
+            }
+            hits += len(got & truth[qid])
+        recall = hits / denom
+        last = (n_probe, recall)
+        if recall >= recall_min:
+            return n_probe, round(recall, 4)
+    return last[0], round(last[1], 4)
