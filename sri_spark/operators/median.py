@@ -263,3 +263,208 @@ def exact_quantile_by_group(
     return guarded.select(
         *[F.col(f"__g.{k}").alias(k) for k in keys], out
     ).localCheckpoint()
+
+
+def weighted_quantile_by_group(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    weight_col: str,
+    out: str,
+    *,
+    p: float = 0.5,
+    buckets: int = 1024,
+    max_cell_values: int = 100_000,
+    max_rounds: int = 12,
+    persist_input: bool = True,
+) -> DataFrame:
+    """Per-group EXACT WEIGHTED quantile: the smallest value v whose
+    cumulative weight reaches p x (group's total weight) — the
+    inverted-CDF convention (numpy's `method='inverted_cdf'` with
+    weights; the weighted median at p=0.5). Rows with NULL value, NULL
+    weight, or weight <= 0 are ignored.
+
+    Weighted ranks have no GK sketch (percentile_approx is frequency-1
+    only), so this uses the ITERATIVE range-narrowing selection: each
+    round buckets the in-range rows of every unresolved group into
+    `buckets` value-range cells, aggregates each cell's weight, exact
+    [min, max] and an approx distinct-value count, locates the target
+    cell with a cumulative-weight window (cell-sized, <= `buckets` rows
+    per group), and narrows to that cell's observed [min, max] — so an
+    outlier-stretched or heavy-tailed distribution re-buckets against
+    its own sub-range instead of degenerating (the round-13 advisory
+    fix, applied here from birth). A cell that collapses to one value
+    (min == max) IS the answer regardless of its weight — billion-row
+    tie runs resolve without any sort. The loop is driver-paced
+    (bounded 1-row probes, like dedup/components.py's convergence
+    check) and exits once every unresolved cell holds <= `max_cell_values`
+    distinct values (approx count — a sizing heuristic only, never a
+    correctness input); the finale tie-collapses those cells to
+    (value, weight) rows and takes the first value whose running weight
+    crosses the target. `max_rounds` overruns raise loudly.
+
+    Cross-engine determinism: weights are summed as decimal(38,6) —
+    EXACT, order-independent — so the boundary comparison
+    cum_weight >= p*W cannot flip on float summation order between this
+    plan and a DuckDB window oracle. Use p values exactly representable
+    in decimal(12,10) (0.5, 0.25, 0.9, ...), which covers any p a query
+    would write literally.
+
+    At 100 TB: every pass is a map-side-combined aggregate; shuffles
+    carry per-cell rows (<= buckets x groups) except the finale's
+    (value, weight) collapse, bounded by max_cell_values per group.
+    """
+    if not 0.0 <= p <= 1.0:
+        raise ValueError(f"quantile p must be in [0,1], got {p}")
+    from sri_spark.operators.caching import scoped_persist
+
+    w_dec = F.col(weight_col).cast("decimal(38,6)")
+    vals = (
+        df.filter(
+            F.col(col).isNotNull()
+            & F.col(weight_col).isNotNull()
+            & (F.col(weight_col) > 0)
+        )
+        .select(
+            F.struct(*[F.col(k) for k in keys]).alias("__g"),
+            F.col(col).cast("double").alias("__v"),
+            w_dec.alias("__w"),
+        )
+    )
+    if persist_input:
+        vals = scoped_persist(vals)
+
+    p_dec = F.lit(p).cast("decimal(12,10)")
+    g0 = vals.groupBy("__g").agg(
+        F.min("__v").alias("__lo"),
+        F.max("__v").alias("__hi"),
+        F.sum("__w").alias("__W"),
+        F.approx_count_distinct("__v").alias("__nd"),
+    )
+    state = g0.select(
+        "__g",
+        "__lo",
+        "__hi",
+        (F.col("__W") * p_dec).alias("__t"),
+        F.lit(0).cast("decimal(38,6)").alias("__below"),
+        F.when(F.col("__lo") == F.col("__hi"), F.col("__lo"))
+        .when(F.lit(p == 0.0), F.col("__lo"))
+        .alias("__val"),
+        F.col("__nd"),
+    ).localCheckpoint()
+    maxnd = (
+        state.filter(F.col("__val").isNull()).agg(F.max("__nd")).first()[0]
+    )
+
+    rounds = 0
+    while maxnd is not None and maxnd > max_cell_values:
+        if rounds >= max_rounds:
+            raise RuntimeError(
+                f"weighted_quantile_by_group: a target cell still holds "
+                f"~{maxnd} distinct values after {max_rounds} narrowing "
+                f"rounds (buckets={buckets}, "
+                f"max_cell_values={max_cell_values}) — raise the knobs "
+                "for this distribution"
+            )
+        rounds += 1
+        active = state.filter(F.col("__val").isNull()).drop("__val", "__nd")
+        rows = vals.join(F.broadcast(active), "__g").filter(
+            (F.col("__v") >= F.col("__lo")) & (F.col("__v") <= F.col("__hi"))
+        )
+        span = F.col("__hi") - F.col("__lo")
+        bid = F.greatest(
+            F.lit(0).cast("long"),
+            F.least(
+                F.lit(buckets - 1).cast("long"),
+                F.floor((F.col("__v") - F.col("__lo")) / span * buckets).cast(
+                    "long"
+                ),
+            ),
+        )
+        cells = (
+            rows.select(
+                "__g", "__t", "__below", bid.alias("__b"), "__v", "__w"
+            )
+            .groupBy("__g", "__t", "__below", "__b")
+            .agg(
+                F.sum("__w").alias("__cw"),
+                F.min("__v").alias("__cmn"),
+                F.max("__v").alias("__cmx"),
+                F.approx_count_distinct("__v").alias("__nd"),
+            )
+        )
+        win = (
+            Window.partitionBy("__g")
+            .orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        end_cum = F.col("__below") + F.col("__cum_before") + F.col("__cw")
+        start_cum = F.col("__below") + F.col("__cum_before")
+        narrowed = (
+            cells.withColumn(
+                "__cum_before",
+                F.coalesce(
+                    F.sum("__cw").over(win), F.lit(0).cast("decimal(38,6)")
+                ),
+            )
+            # first cell whose END cumulative weight reaches the target
+            # (start < t <= end); p == 0 resolved at init, so t > 0 here
+            .filter((start_cum < F.col("__t")) & (F.col("__t") <= end_cum))
+            .select(
+                "__g",
+                F.col("__cmn").alias("__lo"),
+                F.col("__cmx").alias("__hi"),
+                "__t",
+                start_cum.alias("__below"),
+                F.when(F.col("__cmn") == F.col("__cmx"), F.col("__cmn")).alias(
+                    "__val"
+                ),
+                F.col("__nd"),
+            )
+        )
+        new_state = (
+            state.filter(F.col("__val").isNotNull())
+            .unionByName(narrowed)
+            .localCheckpoint()
+        )
+        maxnd = (
+            new_state.filter(F.col("__val").isNull())
+            .agg(F.max("__nd"))
+            .first()[0]
+        )
+        state.unpersist()
+        state = new_state
+
+    unresolved = state.filter(F.col("__val").isNull()).drop("__val", "__nd")
+    finale_cells = (
+        vals.join(F.broadcast(unresolved), "__g")
+        .filter(
+            (F.col("__v") >= F.col("__lo")) & (F.col("__v") <= F.col("__hi"))
+        )
+        .groupBy("__g", "__t", "__below", "__v")
+        .agg(F.sum("__w").alias("__cw"))
+    )
+    vwin = (
+        Window.partitionBy("__g")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    picked = (
+        finale_cells.withColumn("__cum", F.sum("__cw").over(vwin))
+        .groupBy("__g")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("__below") + F.col("__cum") >= F.col("__t"),
+                    F.col("__v"),
+                )
+            ).alias("__val")
+        )
+    )
+    allvals = state.filter(F.col("__val").isNotNull()).select(
+        "__g", "__val"
+    ).unionByName(picked)
+    return allvals.select(
+        *[F.col(f"__g.{k}").alias(k) for k in keys],
+        F.col("__val").alias(out),
+    ).localCheckpoint()

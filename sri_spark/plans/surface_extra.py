@@ -101,6 +101,49 @@ def agg_group_scalable_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_weighted_median_price",
+    """
+    WITH c AS (
+      SELECT l_returnflag,
+             l_extendedprice AS v,
+             sum(CAST(l_quantity AS DECIMAL(38,6)))
+                 OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS cw,
+             sum(CAST(l_quantity AS DECIMAL(38,6)))
+                 OVER (PARTITION BY l_returnflag) AS W
+      FROM lineitem
+    )
+    SELECT l_returnflag AS flag,
+           round(min(CASE WHEN cw >= CAST(0.5 AS DECIMAL(12,10)) * W
+                          THEN v END), 4) AS mediana_ponderada
+    FROM c GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-WEIGHTED median line price per return flag — the
+    inverted-CDF weighted median via
+    operators/median.py::weighted_quantile_by_group. The oracle's window
+    formulation sorts every row per group; the operator's iterative
+    range-narrowing touches only cell aggregates (decimal-exact weight
+    sums, so the cum_weight >= p*W boundary cannot flip on float
+    summation order between engines). The weighted shape is what a
+    training-corpus budget stage needs (median quality weighted by token
+    count) where per-document weights make quantile_cont unusable."""
+    from sri_spark.operators.median import weighted_quantile_by_group
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").cast("double").alias("precio"),
+        F.col("l_quantity").alias("cantidad"),
+    )
+    med = weighted_quantile_by_group(
+        li, ["flag"], "precio", "cantidad", "med_raw", p=0.5
+    )
+    return med.select(
+        "flag", F.round("med_raw", 4).alias("mediana_ponderada")
+    )
+
+
+@register(
     "string_functions",
     """
     SELECT p_partkey,

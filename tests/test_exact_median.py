@@ -127,3 +127,71 @@ def test_grouped_quantile_rejects_bad_p(spark):
     df = spark.createDataFrame([("a", 1.0)], "k string, v double")
     with pytest.raises(ValueError, match="quantile p"):
         exact_quantile_by_group(df, ["k"], "v", "q", p=1.5)
+
+
+# ---------------------------------------------------------------------------
+# weighted form: weighted_quantile_by_group (inverted-CDF convention)
+# ---------------------------------------------------------------------------
+
+def _wq(spark, rows, p, **kw):
+    from sri_spark.operators.median import weighted_quantile_by_group
+
+    df = spark.createDataFrame(rows, "k string, v double, w double")
+    res = weighted_quantile_by_group(df, ["k"], "v", "w", "q", p=p, **kw)
+    return {r["k"]: r["q"] for r in res.collect()}
+
+
+def _np_weighted(vs, ws, p):
+    order = np.argsort(vs)
+    v, w = np.asarray(vs)[order], np.asarray(ws)[order]
+    cum = np.cumsum(w)
+    target = p * cum[-1]
+    return float(v[np.searchsorted(cum, target, side="left")])
+
+
+def test_weighted_median_matches_inverted_cdf(spark):
+    rng = np.random.default_rng(99)
+    groups = {
+        "sm": (rng.normal(size=20) * 5, rng.uniform(0.5, 2, 20).round(3)),
+        "big": (
+            rng.standard_cauchy(30_000) * 1e4,
+            rng.integers(1, 9, 30_000).astype(float),
+        ),
+        "out": (
+            np.concatenate([[1e13], rng.normal(size=2_000)]),
+            np.ones(2_001),
+        ),
+    }
+    rows = [
+        (k, float(v), float(w))
+        for k, (vs, ws) in groups.items()
+        for v, w in zip(vs, ws)
+    ]
+    for p in (0.5, 0.9, 0.25):
+        got = _wq(spark, rows, p, buckets=64, max_cell_values=200)
+        for k, (vs, ws) in groups.items():
+            assert got[k] == _np_weighted(vs, ws, p), (p, k)
+
+
+def test_weighted_median_tie_run_resolves_without_sort(spark):
+    """A dominant tie run must resolve via the cell min == max shortcut
+    (the narrowing loop can never shrink it) — and its value must win
+    whenever the target weight lands inside the run."""
+    rows = (
+        [("t", 7.0, 5.0)] * 10_000
+        + [("t", 0.0, 1.0), ("t", 99.0, 1.0)]
+    )
+    assert _wq(spark, rows, 0.5, buckets=8, max_cell_values=10)["t"] == 7.0
+
+
+def test_weighted_median_ignores_nonpositive_weights(spark):
+    rows = [("a", 1.0, 1.0), ("a", 2.0, 1.0), ("a", 100.0, 0.0),
+            ("a", -50.0, -3.0), ("a", 3.0, 1.0)]
+    # effective values {1,2,3} weight 1 each: target 1.5 -> v=2
+    assert _wq(spark, rows, 0.5)["a"] == 2.0
+
+
+def test_weighted_quantile_extremes(spark):
+    rows = [("a", float(v), 2.0) for v in range(10)]
+    assert _wq(spark, rows, 0.0)["a"] == 0.0
+    assert _wq(spark, rows, 1.0)["a"] == 9.0
