@@ -106,9 +106,9 @@ def exact_quantile_by_group(
        bracket is guaranteed to contain both target order statistics
        ⌊(n-1)p⌋+1 and ⌈(n-1)p⌉+1, and the bracket's rank width is
        ≤ ~8n/accuracy regardless of how concentrated or heavy-tailed
-       the values are. The result is group-sized; it is materialized as
-       a lineage leaf (localCheckpoint).
-    2. pass 2 (one lazy plan, two scan legs) —
+       the values are. The result is group-sized and referenced exactly
+       once, so it fuses into the single job below.
+    2. pass 2 (same job, one more scan leg) —
        a. `below` = per-group count of values strictly under a;
        b. band rows in [a, b] collapse to (value, count) CELLS — a tie
           run of any size becomes ONE cell, so the per-group window that

@@ -8,6 +8,7 @@ from __future__ import annotations
 import importlib.util
 import json
 import os
+import re
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -261,6 +262,15 @@ def test_committed_bench_artifact_schema():
     assert paths, "no committed bench artifact"
     with open(paths[-1]) as f:
         art = json.load(f)
+    m = re.search(r"BENCH_full_r(\d+)\.json", paths[-1])
+    artifact_round = int(m.group(1)) if m else 0
+    if artifact_round >= 13:
+        # r13 additions: span-dedup decade replay + the binding organic
+        # ANN operating-point contract
+        assert "spans_replay_10x" in art
+        oc = art["ann_recall"]["organic_contract"]
+        assert oc["binding"] is True
+        assert oc["pass"] is True, oc
     for key in (
         "metric",
         "value",
