@@ -66,10 +66,16 @@ def exact_median_1row(
     )
     # grouped semantics drop empty/all-NULL input entirely; re-anchor on a
     # literal 1-row frame so the scalar contract (always exactly 1 row,
-    # NULL when undefined) survives
+    # NULL when undefined) survives. The final keys=[] aggregate matters:
+    # it makes the result PROVABLY one row again (the checkpoint leaf
+    # underneath has no such guarantee in its plan), so callers may
+    # crossJoin it as a scalar without the plan advisor's
+    # cartesian-product gate firing — the physical cost is a first() over
+    # a single cached row.
     one = df.sparkSession.range(1).select(F.lit(1).alias("__one"))
-    return one.join(med, "__one", "left").select(
-        F.col(out).cast("double").alias(out)
+    return (
+        one.join(med, "__one", "left")
+        .agg(F.first(F.col(out).cast("double")).alias(out))
     )
 
 

@@ -39,6 +39,7 @@ def test_events_replay_copies_preserve_session_structure(spark):
     assert out["ten_x"]["n_window_rows"] == out["one_x"]["n_window_rows"]
 
 
+@pytest.mark.slow  # r13: 143s — replay-harness invariant, re-proven at round close
 def test_graph_replay_copies_are_disjoint(spark):
     out = bench.graph_replay_10x(spark)
     assert out["edges_10x"] == 10 * out["edges_1x"]
@@ -47,6 +48,7 @@ def test_graph_replay_copies_are_disjoint(spark):
     assert out["ten_x"]["n_nodes"] == 10 * out["one_x"]["n_nodes"]
 
 
+@pytest.mark.slow  # r13: 27s — replay-harness invariant, re-proven at round close
 def test_keepbest_replay_salting_keeps_duplication_rate(spark):
     out = bench.keepbest_replay_10x(spark)
     assert out["rows_10x"] == 10 * out["rows_1x"]
@@ -56,6 +58,7 @@ def test_keepbest_replay_salting_keeps_duplication_rate(spark):
     assert out["cluster_growth"] == pytest.approx(10.0, abs=0.5)
 
 
+@pytest.mark.slow  # r13: 43s — replay-harness invariant, re-proven at round close
 def test_ann_replay_buckets_grow_tenfold(spark):
     from pyspark.sql import functions as F
 
