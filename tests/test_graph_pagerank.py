@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from sri_spark.graph import pagerank
@@ -74,3 +76,22 @@ def test_trade_graph_triangles_and_components(spark, sf_dir):
     # every component is at most one region's 5 nations
     assert 1 <= len(comps) <= 5
     assert all(1 <= r.n_nodes <= 5 for r in comps)
+
+
+def test_broadcast_ranks_variant_matches_default(spark):
+    """The r13 spill-attribution knob (broadcast the node-sized ranks
+    frame per round) must be a pure physical-plan change: identical
+    scores to the default join path on every node, up to summation-order
+    ulps."""
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in [(1, 2), (2, 3), (3, 1), (3, 4), (4, 1), (2, 4)]],
+        "src int, dst int",
+    )
+    base = {r["id"]: r["rank"] for r in pagerank(edges, iterations=3).collect()}
+    bc = {
+        r["id"]: r["rank"]
+        for r in pagerank(edges, iterations=3, broadcast_ranks=True).collect()
+    }
+    assert set(base) == set(bc)
+    for node in base:
+        assert bc[node] == pytest.approx(base[node], rel=1e-12)
