@@ -30,6 +30,7 @@ def hits_bipartite(
     src: str = "src",
     dst: str = "dst",
     iterations: int = 3,
+    broadcast_scores: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """(hubs, authorities) after `iterations` unnormalized HITS rounds.
 
@@ -41,6 +42,14 @@ def hits_bipartite(
     `iterations` must be >= 1: round 0 has no authority frame (auth is
     only defined after the first half-round), so a 0-round call has no
     meaningful (hubs, auth) pair to return.
+
+    `broadcast_scores=True` forces each half-round's arcs⋈scores join to
+    broadcast the NODE-sized score frame (16 bytes/node) instead of
+    letting the planner sort-merge the edge list against it — the same
+    node-count rule as pagerank's `broadcast_ranks` (graph/pagerank.py
+    documents the billion-node cutoff where the SMJ's spill is the
+    memory-safe trade). With it on, every half-round is one exchange-free
+    broadcast join of the cached edges plus the hash aggregate.
     """
     if iterations < 1:
         raise ValueError(
@@ -55,14 +64,19 @@ def hits_bipartite(
         e.select("src").distinct().withColumn("hub", F.lit(1.0))
     )
     auth: DataFrame | None = None
-    for _ in range(iterations):
+    for i in range(iterations):
         auth = (
-            e.join(hubs, "src")
+            e.join(F.broadcast(hubs) if broadcast_scores else hubs, "src")
             .groupBy("dst")
             .agg(F.sum("hub").alias("auth"))
         )
+        if i == iterations - 1:
+            # the FINAL auth frame is read twice — once by the last hub
+            # half-round below and once as the returned authorities leg —
+            # so persist it (node-sized) to compute the subtree once
+            auth = scoped_persist(auth)
         hubs = (
-            e.join(auth, "dst")
+            e.join(F.broadcast(auth) if broadcast_scores else auth, "dst")
             .groupBy("src")
             .agg(F.sum("auth").alias("hub"))
         )

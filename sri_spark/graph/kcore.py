@@ -29,6 +29,7 @@ def kcore_peel(
     dst: str = "dst",
     k: int = 2,
     rounds: int = 3,
+    broadcast_keep: bool = False,
 ) -> DataFrame:
     """Surviving nodes and their within-subgraph degree after `rounds`
     peels at threshold `k`.
@@ -39,6 +40,14 @@ def kcore_peel(
     among round-`rounds` survivors — after convergence every deg >= k; a
     fixed unroll may legitimately emit sub-k stragglers whose neighbors
     died in the final round (documented contract, verified cross-engine).
+
+    `broadcast_keep=True` forces both per-round semi-joins to broadcast
+    the NODE-sized keep set (8 bytes/node) instead of letting the planner
+    sort-merge the arc table against it — the same node-count rule as
+    pagerank's `broadcast_ranks` (graph/pagerank.py documents the
+    billion-node cutoff where the SMJ's spill is the memory-safe trade).
+    With it on, every round is one degree aggregate plus two
+    exchange-free broadcast semi-joins of the cached arcs.
     """
     from sri_spark.operators.caching import scoped_persist
 
@@ -51,8 +60,11 @@ def kcore_peel(
             .filter(F.col("deg") >= k)
             .select("src")
         )
+        keep_dst = keep.withColumnRenamed("src", "dst")
+        if broadcast_keep:
+            keep, keep_dst = F.broadcast(keep), F.broadcast(keep_dst)
         arcs = arcs.join(keep, "src", "left_semi").join(
-            keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
+            keep_dst, "dst", "left_semi"
         )
     return (
         arcs.groupBy("src")

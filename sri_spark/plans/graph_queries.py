@@ -79,7 +79,15 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = pairs.select(
         F.col("c_id").alias("src"), F.col("s_id").alias("dst")
     ).union(pairs.select(F.col("s_id").alias("src"), F.col("c_id").alias("dst")))
-    ranks = pagerank(both, iterations=PR_ITERS)
+    # broadcast_ranks: the ranks frame is NODE-sized (16 bytes/node —
+    # ~26 MiB even at the replay's 1.6M-node 100x point), so each round's
+    # arcs⋈ranks join broadcasts instead of sort-merging the arc table:
+    # the r13 spill attribution (docs/GRAPH_SPILL_ATTRIB_r13.json)
+    # measured the SMJ variant at 10.1 GiB memory spill / +17% wall at
+    # matched load. Billion-node graphs flip this off (pagerank docstring
+    # has the node-count rule); the bench replay keeps the default SMJ
+    # path so the decade band models that regime.
+    ranks = pagerank(both, iterations=PR_ITERS, broadcast_ranks=True)
     return ranks.select(
         F.when(
             F.col("id") % 2 == 0, F.concat(F.lit("c"), F.expr("id div 2"))
@@ -301,7 +309,9 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = pairs.select(
         F.col("c_id").alias("src"), F.col("s_id").alias("dst")
     ).union(pairs.select(F.col("s_id").alias("src"), F.col("c_id").alias("dst")))
-    out = kcore_peel(both, k=KCORE_K, rounds=KCORE_ROUNDS)
+    # broadcast_keep: node-sized keep sets (8 bytes/node) broadcast to the
+    # arc-sized side — same scale rule as pagerank's broadcast_ranks
+    out = kcore_peel(both, k=KCORE_K, rounds=KCORE_ROUNDS, broadcast_keep=True)
     return out.select(
         F.when(F.col("id") % 2 == 0, F.concat(F.lit("c"), F.expr("id div 2")))
         .otherwise(F.concat(F.lit("s"), F.expr("(id - 1) div 2")))
@@ -369,7 +379,11 @@ def graph_hits_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
         .distinct()
     )
-    hubs, auth = hits_bipartite(pairs, iterations=HITS_ITERS)
+    # broadcast_scores: node-sized score frames (16 bytes/node) broadcast
+    # to the edge-sized side — same scale rule as pagerank's broadcast_ranks
+    hubs, auth = hits_bipartite(
+        pairs, iterations=HITS_ITERS, broadcast_scores=True
+    )
     h = hubs.select(
         F.concat(F.lit("c"), F.col("id")).alias("id"),
         F.lit("hub").alias("role"),
@@ -437,15 +451,27 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    arcs = pairs.select(
-        F.col("c_id").alias("src"), F.col("s_id").alias("dst")
-    ).union(pairs.select(F.col("s_id").alias("src"), F.col("c_id").alias("dst")))
-    deg = arcs.groupBy("src").agg(F.count("*").cast("double").alias("d"))
+    from sri_spark.operators.caching import scoped_persist
+
+    # the arc list feeds TWO data-sized legs (the degree aggregate and the
+    # endpoint join) and the degree frame feeds THREE (both endpoint sides
+    # plus n_nodes) — persist each so the orders⋈lineitem distinct and the
+    # degree shuffle run once per execution instead of per leg; the degree
+    # frame is NODE-sized, so both endpoint joins broadcast it (the
+    # pagerank broadcast_ranks scale rule) and the arcs never reshuffle
+    arcs = scoped_persist(
+        pairs.select(F.col("c_id").alias("src"), F.col("s_id").alias("dst")).union(
+            pairs.select(F.col("s_id").alias("src"), F.col("c_id").alias("dst"))
+        )
+    )
+    deg = scoped_persist(
+        arcs.groupBy("src").agg(F.count("*").cast("double").alias("d"))
+    )
     ds = deg.select(F.col("src").alias("__s"), F.col("d").alias("dsrc"))
     dd = deg.select(F.col("src").alias("__d"), F.col("d").alias("ddst"))
     j = (
-        arcs.join(ds, arcs["src"] == ds["__s"])
-        .join(dd, arcs["dst"] == dd["__d"])
+        arcs.join(F.broadcast(ds), arcs["src"] == ds["__s"])
+        .join(F.broadcast(dd), arcs["dst"] == dd["__d"])
         .select("dsrc", "ddst")
     )
     n_nodes = deg.agg(F.count("*").cast("long").alias("n_nodes"))

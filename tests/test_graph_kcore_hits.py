@@ -82,3 +82,31 @@ def test_hits_rejects_zero_iterations(spark):
     edges = spark.createDataFrame([(1, 2)], "src int, dst int")
     with _pytest.raises(ValueError, match="iterations >= 1"):
         hits_bipartite(edges, iterations=0)
+
+
+def test_kcore_broadcast_keep_variant_matches_default(spark):
+    """broadcast_keep (the r13 node-sized-broadcast knob) must be a pure
+    physical-plan change: identical surviving (id, deg) rows."""
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3), (1, 4), (4, 5), (5, 6)])
+    base = {r["id"]: r["deg"] for r in kcore_peel(e, k=2, rounds=3).collect()}
+    bc = {
+        r["id"]: r["deg"]
+        for r in kcore_peel(e, k=2, rounds=3, broadcast_keep=True).collect()
+    }
+    assert base == bc
+
+
+def test_hits_broadcast_scores_variant_matches_default(spark):
+    """broadcast_scores must be a pure physical-plan change: identical
+    integer hub/authority scores (exact in doubles, so == is right)."""
+    e = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (3, 11), (3, 12)], "src long, dst long"
+    )
+    h0, a0 = hits_bipartite(e, iterations=3)
+    h1, a1 = hits_bipartite(e, iterations=3, broadcast_scores=True)
+    assert {(r["id"], r["hub"]) for r in h0.collect()} == {
+        (r["id"], r["hub"]) for r in h1.collect()
+    }
+    assert {(r["id"], r["auth"]) for r in a0.collect()} == {
+        (r["id"], r["auth"]) for r in a1.collect()
+    }
