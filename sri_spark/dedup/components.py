@@ -107,24 +107,40 @@ def connected_components_star(
     (count + xor-style hash sum), not an edge-set collect. Raises
     RuntimeError after `max_iter` rounds without convergence — explicit
     failure beats silently-wrong clusters."""
+    def _both_dirs(df: DataFrame) -> DataFrame:
+        # (u,v) + (v,u) in ONE narrow pass — a union would plant two
+        # copies of the upstream subtree (for the INITIAL edge set that
+        # subtree is the whole LSH candidate pipeline) into the same
+        # checkpoint job; the explode reads it once (r13 optimization)
+        return df.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u"), F.col("v")),
+                    F.struct(
+                        F.col("v").alias("u"), F.col("u").alias("v")
+                    ),
+                )
+            ).alias("__e")
+        ).select("__e.u", "__e.v")
+
     # canonical directed edge set (both directions), no self-loops
     e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .union(
-            edges.select(F.col(dst).alias("u"), F.col(src).alias("v")).filter(
+        _both_dirs(
+            edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
                 F.col("u") != F.col("v")
             )
         )
         .distinct()
         .localCheckpoint()
     )
-    nodes = e.select(F.col("u").alias("node")).distinct().persist()
-    nodes.count()
+    # nodes derives lazily from the CHECKPOINTED initial edge set — it is
+    # read exactly once (the final component join), so an eager
+    # persist+count here would only add a driver-paced job (r13)
+    nodes = e.select(F.col("u").alias("node")).distinct()
 
     def _sym(df: DataFrame) -> DataFrame:
         return (
-            df.union(df.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            _both_dirs(df)
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
@@ -157,7 +173,13 @@ def connected_components_star(
             e.filter(F.col("v") > F.col("u"))
             .join(lmins, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        ).localCheckpoint()
+        )
+        # large is referenced twice below (smins + small_nbrs) but is NOT
+        # checkpointed: its subtree reads the checkpointed `e`, so the
+        # lineage stays bounded, and ReuseExchange dedupes the shared
+        # distinct-exchange between the two consumers — one checkpoint
+        # job per round instead of two (r13: the fixpoint on a tiny
+        # near-dup pair graph was pure driver-paced job floor)
         # small-star over the large-star output: (v, m(u)) for v <= u, plus
         # (u, m(u)) — links the small side and the centre to the minimum
         smins = _closed_min(large)
@@ -175,7 +197,6 @@ def connected_components_star(
             break
         sig = new_sig
     if not converged:
-        nodes.unpersist()
         raise RuntimeError(
             f"connected_components_star: no fixpoint after {max_iter} rounds"
         )
@@ -187,8 +208,7 @@ def connected_components_star(
         .groupBy("node")
         .agg(F.least(F.min("v"), F.first("node")).alias("component"))
     )
-    # nodes is plain-persisted (lineage intact) so deferred release is safe;
-    # e is a localCheckpoint — its blocks free on GC, never unpersist it
-    # (a checkpointed frame has no lineage to recompute from)
-    track(nodes)
+    # nodes reads the initial checkpoint lazily (nothing persisted to
+    # release); e is a localCheckpoint — its blocks free on GC, never
+    # unpersist it (a checkpointed frame has no lineage to recompute from)
     return comp

@@ -92,12 +92,21 @@ def keep_best_members(
     comp = connected_components_star(pairs).select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
-    q = (
-        quality
-        if quality is not None
-        else docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
-    )
-    return comp.join(q, "doc_id").withColumn(
+    if quality is not None:
+        q = comp.join(quality, "doc_id")
+    else:
+        # score AFTER restricting to cluster members: quality_score runs
+        # two regexp_extract_all passes per document, and only clustered
+        # docs (a tiny fraction of the corpus) ever surface — joining
+        # first skips the regex work for every unclustered doc (r13,
+        # guide §2.3 "don't compute what you throw away"); comp is
+        # cluster-member-sized, so the join broadcasts
+        q = comp.join(docs.select("doc_id", "text"), "doc_id").select(
+            "doc_id",
+            "cluster_id",
+            quality_score(F.col("text")).alias("quality"),
+        )
+    return q.withColumn(
         "rk",
         F.row_number().over(
             Window.partitionBy("cluster_id").orderBy(
