@@ -35,6 +35,7 @@ def exact_median_1row(
     buckets: int = 1024,
     max_sort_rows: int = 100_000,
     persist_input: bool = True,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """1-row frame (<out>,) holding the exact median of `df[col]`.
 
@@ -60,6 +61,7 @@ def exact_median_1row(
         "__m_in",
         out,
         p=0.5,
+        accuracy=accuracy,
         buckets=buckets,
         max_sort_rows=max_sort_rows,
         persist_input=persist_input,

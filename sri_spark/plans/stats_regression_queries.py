@@ -1048,7 +1048,15 @@ def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from sri_spark.operators.median import exact_median_1row
 
-    m = exact_median_1row(slopes, "slope", "m_slope", persist_input=False)
+    # accuracy=1000: the GK sketch pass is the slope median's wall floor
+    # (an imperative non-codegen aggregate, ~1.4 s over the cached 2.9M
+    # rows at acc=10000); a coarser sketch keeps the DETERMINISTIC rank
+    # bracket (now ≤ ~8n/1000 ≈ 23k tie-collapsed cells — still one small
+    # window partition) and measured 3.05 → 2.73 s for the whole
+    # selection job with a bit-identical result (r13)
+    m = exact_median_1row(
+        slopes, "slope", "m_slope", persist_input=False, accuracy=1000
+    )
     icpt = exact_median_1row(
         daily.crossJoin(m).select(
             (F.col("rev") - F.col("m_slope") * F.col("x")).alias("resid")

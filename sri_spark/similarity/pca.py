@@ -56,13 +56,18 @@ def covariance_long(emb: DataFrame, *, vec_col: str = "embedding",
         .groupBy("label", "i0")
         .agg(F.avg("x").alias("mu"))
     )
+    # UPPER TRIANGLE only (j >= i): the covariance matrix is symmetric and
+    # x_i*x_j is bit-commutative, so exploding dims(dims+1)/2 pairs per
+    # vector instead of dims² halves the heavy leg (r13; measured ~0.5 s
+    # of the 1.2 s warm covariance pass at sf0.1); the mirror below
+    # restores the full (i, j) grid from the aggregated cells
     pairs = (
         ex.select("label", "v", idx)
         .select(
             "label",
             "v",
             "i",
-            F.explode(F.sequence(F.lit(1), F.size("v"))).alias("j"),
+            F.explode(F.sequence(F.col("i"), F.size("v"))).alias("j"),
         )
         .select(
             "label",
@@ -73,9 +78,23 @@ def covariance_long(emb: DataFrame, *, vec_col: str = "embedding",
             ),
         )
     )
-    exy = pairs.groupBy("label", "i0", "j0").agg(
+    exy_ut = pairs.groupBy("label", "i0", "j0").agg(
         F.avg("xy").alias("exy"), F.count("*").alias("n")
     )
+    # mirror each off-diagonal cell in ONE narrow pass (an union would
+    # re-run the aggregate subtree per leg)
+    cell = F.struct("i0", "j0", "exy", "n")
+    cell_t = F.struct(
+        F.col("j0").alias("i0"), F.col("i0").alias("j0"), "exy", "n"
+    )
+    exy = exy_ut.select(
+        "label",
+        F.explode(
+            F.when(F.col("i0") == F.col("j0"), F.array(cell)).otherwise(
+                F.array(cell, cell_t)
+            )
+        ).alias("__c"),
+    ).select("label", "__c.i0", "__c.j0", "__c.exy", "__c.n")
     mi = means.select(
         F.col("label"), F.col("i0"), F.col("mu").alias("mu_i")
     )
@@ -98,57 +117,83 @@ def top_component_relational(
     cov: DataFrame, *, dims: int, iters: int = POWER_ITERS
 ) -> DataFrame:
     """Top eigenvector per label after `iters` power rounds from the
-    uniform start vector 1/sqrt(dims) — one join + aggregate per round
-    (the matrix-vector product), one label-sized norm aggregate to
-    re-normalize. Deterministic: fixed start, fixed rounds, so a SQL
-    oracle replays it exactly; sign is pinned by the start vector.
-    Returns (label, i, loading)."""
-    labels = cov.select("label").distinct()
-    # label x dims start grid: a deliberate crossJoin against a broadcast
-    # dims-row frame (64 rows) — label-count x dims is dimension-sized
-    v = labels.crossJoin(
-        F.broadcast(
-            cov.sparkSession.range(dims).select(
-                F.col("id").cast("int").alias("i"),
-                F.lit(1.0 / dims**0.5).alias("loading"),
-            )
-        )
+    uniform start vector 1/sqrt(dims). Deterministic: fixed start, fixed
+    rounds, so a SQL oracle replays it exactly; sign is pinned by the
+    start vector. Returns (label, i, loading).
+
+    r13 shape: the per-label state is O(dims²) — 32 KB at dims=64 — so
+    the whole iteration runs as PER-LABEL DENSE-ARRAY algebra: the long
+    (label, i, j, cov) cells collect into one row-major array per label,
+    and every power round is a pure codegen projection (transform +
+    aggregate lambdas for the matrix-vector product and the norm) on a
+    label-count-sized frame. The previous long-form variant ran one
+    join + hash aggregate + persist PER ROUND over the cells frame —
+    measured 2.4-2.9 s of small-stage exchange floors at sf0.1 versus
+    ~0.3 s for the array form, with identical arithmetic (the per-round
+    sum order is now the fixed j-order; the groupBy sum it replaces had
+    arbitrary partial order, and both land inside the oracle's 6-decimal
+    envelope). At 100 TB labels shard across tasks; a dims too large for
+    one row (dims² doubles ≫ task memory) would shard into partial
+    matvecs — the same escalation note as the grouped Arrow path."""
+    # row-major dense matrix per label: array_sort on (i, j, cov) structs
+    # orders lexicographically by the unique (i, j) key, so cell k holds
+    # cov[i=k div dims, j=k mod dims]; struct-wrapping keeps NULL cov
+    # cells in place (collect_list would drop bare NULLs and shift rows)
+    mat = cov.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "j", "cov"))),
+            lambda c: c["cov"],
+        ).alias("__m")
     )
     from sri_spark.operators.caching import scoped_persist
 
+    v0 = F.array_repeat(F.lit(1.0 / dims**0.5), dims)
+    out = mat.withColumn("__v", v0)
+    m = F.col("__m")
     for _ in range(iters):
-        prod = (
-            cov.alias("c")
-            .join(
-                v.select(
-                    "label", F.col("i").alias("j"), F.col("loading").alias("vj")
-                ).alias("w"),
-                ["label", "j"],
-            )
-            .groupBy("label", "i")
-            .agg(F.sum(F.col("cov") * F.col("vj")).alias("raw"))
+        # persist the label-sized round state: the optimizer's cost of a
+        # nested higher-order-function chain grows EXPONENTIALLY with
+        # unrolled rounds (measured on a 4-dim toy: 3 rounds 1.5 s,
+        # 4 rounds 20 s) — the lazy cache substitutes an InMemoryRelation
+        # leaf per round, bounding every round's tree while keeping the
+        # whole iteration a single job (caches materialize inline)
+        out = scoped_persist(out)
+        # matvec: raw[i] = Σ_j m[i*dims + j] * v[j]  (fixed j order)
+        raw = F.transform(
+            F.sequence(F.lit(0), F.lit(dims - 1)),
+            lambda i: F.aggregate(
+                F.sequence(F.lit(0), F.lit(dims - 1)),
+                F.lit(0.0),
+                lambda acc, j: acc
+                + F.element_at(m, i * dims + j + 1)
+                * F.element_at(F.col("__v"), j + 1),
+            ),
         )
-        # prod feeds BOTH the norm aggregate and the re-normalized vector:
-        # without materialization the lazy plan doubles per round (2^iters
-        # subtree copies). The frame is labels x dims rows — persisting it
-        # keeps the plan linear in `iters` at negligible memory cost.
-        prod = scoped_persist(prod)
-        norms = prod.groupBy("label").agg(
-            F.sqrt(F.sum(F.col("raw") * F.col("raw"))).alias("nrm")
+        # materialize raw as a COLUMN before reusing it: Catalyst does no
+        # CSE inside lambda trees (the repo's text_bigram finding), so
+        # referencing the raw expression in both the norm and the divide
+        # would re-run the dims² matvec per element
+        out = out.withColumn("__raw", raw).withColumn(
+            "__nrm",
+            F.sqrt(
+                F.aggregate(
+                    F.col("__raw"), F.lit(0.0), lambda a, x: a + x * x
+                )
+            ),
         )
-        v = (
-            prod.join(F.broadcast(norms), "label")
-            # try_divide: a label whose covariance matrix is all zeros
-            # (constant vectors) has nrm == 0; ANSI would abort the job,
-            # try_divide yields NULL loadings — identical to the DuckDB
-            # oracle, whose float division by zero is NULL
-            .select(
-                "label",
-                "i",
-                F.try_divide(F.col("raw"), F.col("nrm")).alias("loading"),
-            )
-        )
-    return v
+        # try_divide: a label whose covariance matrix is all zeros
+        # (constant vectors) has nrm == 0; ANSI would abort the job,
+        # try_divide yields NULL loadings — identical to the DuckDB
+        # oracle, whose float division by zero is NULL
+        out = out.withColumn(
+            "__v",
+            F.transform(
+                F.col("__raw"), lambda x: F.try_divide(x, F.col("__nrm"))
+            ),
+        ).drop("__raw", "__nrm")
+    return out.select(
+        "label", F.posexplode("__v").alias("i", "loading")
+    )
 
 
 _GROUPED_SCHEMA = StructType(
