@@ -577,11 +577,14 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sri_spark.operators.caching import scoped_persist
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_hashes_df(docs, "text", "doc_id", 3)
+    # shingle keyed by SOURCE directly — the per-doc grain never surfaces
+    # in this query, so the old shingles⋈docs join on doc_id (re-attaching
+    # source to every shingle row) was pure overhead; shingle_hashes_df's
+    # per-row dedup plus the cross-row distinct below yield the identical
+    # distinct (source, shingle_h) set (r13)
+    sh = shingle_hashes_df(docs.select("source", "text"), "text", "source", 3)
     src_sh = scoped_persist(
-        sh.join(docs.select("doc_id", "source"), "doc_id")
-        .select("source", "shingle_h")
-        .distinct()
+        sh.select("source", "shingle_h").distinct()
     )
     sizes = src_sh.groupBy("source").agg(F.count("*").alias("ns"))
     a = src_sh.select(F.col("source").alias("source_a"), "shingle_h")

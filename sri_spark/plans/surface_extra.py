@@ -428,19 +428,35 @@ def orders_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     blowup per order is C(cap, 2) however large the corpus; shuffles move
     (orderkey, partkey) pairs only."""
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    sized = (
-        items.groupBy("l_orderkey")
-        .agg(F.count("*").alias("__deg"))
-        .filter(F.col("__deg") <= BASKET_MAX_ITEMS)
-        .select("l_orderkey")
+    # r13 shape: ONE aggregate to per-order sorted distinct-item arrays
+    # replaces distinct + degree filter + equi-self-join (two reads of the
+    # distinct set and a join shuffle); the within-order pair blowup is
+    # generated narrowly from each array (still capped at C(cap, 2) by the
+    # same degree bound), and only (part_a, part_b) pairs reach the final
+    # exchange. Array combinations over a SORTED distinct array emit
+    # exactly the part_a < part_b value pairs of the old self-join.
+    basket = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
+        .filter(F.size("items") <= BASKET_MAX_ITEMS)
+        .filter(F.size("items") >= 2)
     )
-    it = items.join(sized, "l_orderkey")
-    a = it.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = it.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    n = F.size("items")
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, n),
+                lambda j: F.struct(
+                    F.element_at("items", i).alias("part_a"),
+                    F.element_at("items", j).alias("part_b"),
+                ),
+            ),
+        )
+    )
     return (
-        a.join(b, "l_orderkey")
-        .filter(F.col("part_a") < F.col("part_b"))
+        basket.select(F.explode(pairs).alias("__p"))
+        .select("__p.part_a", "__p.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= BASKET_MIN_SUPPORT)
