@@ -70,7 +70,8 @@ def pagerank(
     # aggregation finishes partition-locally and the per-round exchange of
     # the (data-sized) arc table disappears; the ranks side is node-sized
     # and AQE broadcast-joins it at runtime
-    out = scoped_persist(e.join(deg, "src").repartition(F.col("dst")))
+    deg_side = F.broadcast(deg) if broadcast_ranks else deg
+    out = scoped_persist(e.join(deg_side, "src").repartition(F.col("dst")))
     nodes = scoped_persist(
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
@@ -88,7 +89,14 @@ def pagerank(
             .agg(F.sum("c").alias("inflow"))
         )
         ranks = (
-            nodes.join(contrib, "id", "left")
+            # contrib is node-sized like ranks: under broadcast_ranks the
+            # rank-update left join builds on it instead of sort-merging
+            # two node-sized frames per round
+            nodes.join(
+                F.broadcast(contrib) if broadcast_ranks else contrib,
+                "id",
+                "left",
+            )
             .join(n1)
             .select(
                 "id",
