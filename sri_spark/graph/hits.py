@@ -57,9 +57,16 @@ def hits_bipartite(
         )
     from sri_spark.operators.caching import scoped_persist
 
-    e = scoped_persist(
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    )
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if broadcast_scores:
+        # pre-partition the persisted edges by dst (the pagerank
+        # repartition trick): every auth half-round groups the
+        # broadcast-joined edges by dst, so the cached partitioning makes
+        # those aggregates exchange-free; the hub half-rounds (grouped by
+        # src) still pay their exchange — half the per-round arc-sized
+        # exchanges for one upfront one (r13)
+        e = e.repartition(F.col("dst"))
+    e = scoped_persist(e)
     hubs = (
         e.select("src").distinct().withColumn("hub", F.lit(1.0))
     )

@@ -52,6 +52,13 @@ def kcore_peel(
     from sri_spark.operators.caching import scoped_persist
 
     arcs = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if broadcast_keep:
+        # pre-partition the arcs by src ONCE (the pagerank repartition(dst)
+        # trick): every round's degree aggregate — and the final one —
+        # groups by src, and the broadcast semi-joins preserve the cached
+        # partitioning across rounds, so one upfront exchange replaces an
+        # arc-sized exchange per round (r13)
+        arcs = arcs.repartition(F.col("src"))
     for _ in range(rounds):
         arcs = scoped_persist(arcs)
         keep = (
