@@ -104,8 +104,33 @@ def build_dim_vehiculo(src: DataFrame, cfg: EtlConfig) -> DataFrame:
             ]
         )
         std = std.withColumn(COL_COLOR2, F.coalesce(F.col(f"`{COL_COLOR2}`"), F.lit("N/A")))
-        dedup = std.dropDuplicates()
-        filled = keyer(dedup, "ID_Vehiculo", [F.col(f"`{c}`") for c in cols])
+        key_cols = [F.col(f"`{c}`") for c in cols]
+        if cfg.scalable_keys:
+            # r14 (docs/ETL_STAGE_ATTRIB_r14.json): dropDuplicates-then-
+            # range-repartition paid TWO data-sized exchanges of this
+            # data-sized dim. Range-partition FIRST: equal rows co-locate
+            # (RangePartitioning on the full column set satisfies the
+            # distinct aggregate's ClusteredDistribution), so the dedup
+            # runs with no second exchange, the within-partition sort
+            # establishes the key order once, and the keyer trusts the
+            # layout (input_ordered) instead of re-shuffling. Same total
+            # order — range boundaries differ (sampled pre-dedup) but
+            # order does not — so key VALUES are identical. The persist
+            # replaces the keyer's internal one: the offsets job and every
+            # dim consumer read one materialization.
+            from sri_spark.operators.caching import scoped_persist
+
+            ordered = scoped_persist(
+                std.repartitionByRange(*key_cols)
+                .dropDuplicates()
+                .sortWithinPartitions(*key_cols)
+            )
+            filled = add_surrogate_key_scalable(
+                ordered, "ID_Vehiculo", key_cols, input_ordered=True
+            )
+        else:
+            dedup = std.dropDuplicates()
+            filled = keyer(dedup, "ID_Vehiculo", key_cols)
     renamed = filled.withColumnsRenamed(VEHICULO_RENAME)
     return renamed.select("ID_Vehiculo", *VEHICULO_RENAME.values())
 

@@ -90,6 +90,29 @@ def build_fact(
             "__fecha", coerce_date(F.col(f"`{COL_FECHA_PROCESO}`"), "M/d/yyyy")
         ).filter(F.col("__fecha").isNotNull())
 
+    # ---- scalable ID_Registro, assigned BEFORE the lookups (r14) ----------
+    # In fixed mode every lookup dim is deduplicated on its join key, so the
+    # four left joins are 1:1 — the surviving row set equals the
+    # date-filtered source and __src_id stays UNIQUE per fact row. The key
+    # order (__src_id, ID_Vehiculo, ID_Transaccion) therefore collapses to
+    # __src_id alone, and __src_id order IS the source frame's
+    # (partition, row) order: monotonically_increasing_id ascends over it by
+    # construction, and read_sri_csv's fan-out preserves it (range
+    # repartition by __src_id + within-partition sort). Ranking HERE — on
+    # the filter straight off the persisted source, with
+    # input_ordered=True — costs zero exchanges and zero sorts, where the
+    # post-join assignment paid a range exchange + a full sort + a second
+    # data-sized persist of the joined fact (two of the 100x replay leg's
+    # four ~7 GiB wide shuffles and its 17.5 GiB spill,
+    # docs/ETL_STAGE_ATTRIB_r14.json). Parity mode keeps the post-join
+    # path: its m:m fan-out duplicates __src_id, so the tie-breaking dim
+    # keys only exist after the joins.
+    pre_keyed = cfg.scalable_keys and not cfg.parity
+    if pre_keyed:
+        fact = add_surrogate_key_scalable(
+            fact, "ID_Registro", [F.col(SRC_ID)], input_ordered=True
+        )
+
     # ---- tiempo lookup (1:1, broadcast; reference :469-474) ---------------
     fact = fact.join(
         hint(dim_tiempo.select("ID_Tiempo", "FechaCompleta")),
@@ -135,9 +158,11 @@ def build_fact(
 
     # ---- keys + measures (reference :534-549) -----------------------------
     key_order = [F.col(SRC_ID), F.col("ID_Vehiculo"), F.col("ID_Transaccion")]
-    if cfg.scalable_keys:
+    if pre_keyed:
+        pass  # assigned before the lookups — see the r14 block above
+    elif cfg.scalable_keys:
         # same deterministic total order, assigned via range-partitioned
-        # local row_numbers + offsets — no single-partition sort; identical
+        # local positions + offsets — no single-partition sort; identical
         # key VALUES to the row_number path (dense rank over the same total
         # order), so it is valid in parity mode too once the fan-out makes
         # the global sort the bottleneck

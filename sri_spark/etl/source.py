@@ -41,11 +41,27 @@ def read_sri_csv(spark: SparkSession, path: str) -> DataFrame:
             cols.append(F.lit(None).cast(field.dataType).alias(field.name))
     df = raw.select(*cols)
     # a production-sized SRI file (~75 MB) is one input split under the
-    # default 128 MB maxPartitionBytes: stamp the file-order id on the single
-    # ordered pass, then fan out so every downstream operator parallelizes
+    # default 128 MB maxPartitionBytes: stamp the file-order id on the
+    # ordered pass, then fan out so every downstream operator parallelizes.
+    # r14 (docs/ETL_STAGE_ATTRIB_r14.json): at the 100x replay the 7.3 GB
+    # CSV already scans as ~58 splits, and the unconditional fan-out was a
+    # pure 6.2 GiB shuffle round-trip — skip it when the scan is already
+    # at least as parallel as the session. When fanning out, RANGE-partition
+    # by __src_id and sort within partitions instead of round-robin: same
+    # balance (ids are dense), but it PRESERVES the invariant that the
+    # source frame is partition-ordered by __src_id — either way rows
+    # arrive ascending over (partition, row) — which lets the fixed-mode
+    # fact assign its scalable ID_Registro with zero exchanges
+    # (operators/keys.py input_ordered; the ids themselves are stamped
+    # before the exchange, so their VALUES are identical in all layouts).
     from sri_spark.session import default_parallelism
 
-    return with_src_id(df).repartition(default_parallelism())
+    stamped = with_src_id(df)
+    if df.rdd.getNumPartitions() >= default_parallelism():
+        return stamped
+    return stamped.repartitionByRange(
+        default_parallelism(), F.col(SRC_ID)
+    ).sortWithinPartitions(SRC_ID)
 
 
 def with_src_id(df: DataFrame) -> DataFrame:

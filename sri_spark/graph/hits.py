@@ -63,17 +63,33 @@ def hits_bipartite(
         # repartition trick): every auth half-round groups the
         # broadcast-joined edges by dst, so the cached partitioning makes
         # those aggregates exchange-free; the hub half-rounds (grouped by
-        # src) still pay their exchange — half the per-round arc-sized
-        # exchanges for one upfront one (r13)
-        e = e.repartition(F.col("dst"))
-    e = scoped_persist(e)
+        # src) still pay their exchange — but only of node-sized partial
+        # sums after map-side combine (r13)
+        e_src = e_dst = scoped_persist(e.repartition(F.col("dst")))
+    else:
+        # SMJ regime (billion-node graphs, the knob's documented cutoff):
+        # the arc-sized exchange+sort INSIDE each half-round's sort-merge
+        # join is the cost, so keep TWO cached copies laid out per JOIN
+        # key — auth half-rounds join scores on src, hub half-rounds on
+        # dst — and each SMJ reads its copy exchange- and sort-free on
+        # the data-sized side; only the node-sized score frames shuffle.
+        # Twice the cache for an arc table that no longer re-sorts every
+        # half-round (2 upfront passes replace 2·iterations in-round
+        # ones); the second copy derives from the first so the upstream
+        # edge construction runs once (r14, round-13 verdict item 4/8).
+        e_src = scoped_persist(
+            e.repartition(F.col("src")).sortWithinPartitions("src")
+        )
+        e_dst = scoped_persist(
+            e_src.repartition(F.col("dst")).sortWithinPartitions("dst")
+        )
     hubs = (
-        e.select("src").distinct().withColumn("hub", F.lit(1.0))
+        e_src.select("src").distinct().withColumn("hub", F.lit(1.0))
     )
     auth: DataFrame | None = None
     for i in range(iterations):
         auth = (
-            e.join(F.broadcast(hubs) if broadcast_scores else hubs, "src")
+            e_src.join(F.broadcast(hubs) if broadcast_scores else hubs, "src")
             .groupBy("dst")
             .agg(F.sum("hub").alias("auth"))
         )
@@ -83,7 +99,7 @@ def hits_bipartite(
             # so persist it (node-sized) to compute the subtree once
             auth = scoped_persist(auth)
         hubs = (
-            e.join(F.broadcast(auth) if broadcast_scores else auth, "dst")
+            e_dst.join(F.broadcast(auth) if broadcast_scores else auth, "dst")
             .groupBy("src")
             .agg(F.sum("auth").alias("hub"))
         )

@@ -52,13 +52,16 @@ def kcore_peel(
     from sri_spark.operators.caching import scoped_persist
 
     arcs = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    if broadcast_keep:
-        # pre-partition the arcs by src ONCE (the pagerank repartition(dst)
-        # trick): every round's degree aggregate — and the final one —
-        # groups by src, and the broadcast semi-joins preserve the cached
-        # partitioning across rounds, so one upfront exchange replaces an
-        # arc-sized exchange per round (r13)
-        arcs = arcs.repartition(F.col("src"))
+    # pre-partition the arcs by src ONCE (the pagerank repartition trick),
+    # independent of join strategy (r14, round-13 verdict item 4): every
+    # round's degree aggregate — and the final one — groups by src. Under
+    # broadcast semis the layout survives every round; under SMJ it is
+    # additionally SORTED so round 1's degree aggregate and src semi-join
+    # read the cache exchange- and sort-free on the arc side, and the
+    # semi-join ORDER below keeps that true for every later round.
+    arcs = arcs.repartition(F.col("src"))
+    if not broadcast_keep:
+        arcs = arcs.sortWithinPartitions("src")
     for _ in range(rounds):
         arcs = scoped_persist(arcs)
         keep = (
@@ -69,10 +72,19 @@ def kcore_peel(
         )
         keep_dst = keep.withColumnRenamed("src", "dst")
         if broadcast_keep:
-            keep, keep_dst = F.broadcast(keep), F.broadcast(keep_dst)
-        arcs = arcs.join(keep, "src", "left_semi").join(
-            keep_dst, "dst", "left_semi"
-        )
+            arcs = arcs.join(F.broadcast(keep), "src", "left_semi").join(
+                F.broadcast(keep_dst), "dst", "left_semi"
+            )
+        else:
+            # SMJ regime: dst semi FIRST, src semi LAST — the two
+            # set-intersection filters commute, and ending on the src
+            # sort-merge leaves the survivors partitioned AND sorted by
+            # src, so the next round's persist hands its degree aggregate
+            # and src semi-join the layout for free (only the dst
+            # semi-join pays the arc-sized exchange+sort each round)
+            arcs = arcs.join(keep_dst, "dst", "left_semi").join(
+                keep, "src", "left_semi"
+            )
     return (
         arcs.groupBy("src")
         .agg(F.count("*").alias("deg"))

@@ -65,13 +65,28 @@ def pagerank(
 
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    # (src, dst, deg), reused per round — persisted HASH-PARTITIONED BY dst:
-    # every round's contribution aggregate groups by dst, so the partial
-    # aggregation finishes partition-locally and the per-round exchange of
-    # the (data-sized) arc table disappears; the ranks side is node-sized
-    # and AQE broadcast-joins it at runtime
+    # (src, dst, deg), reused per round — persisted pre-laid-out for the
+    # join regime the knob selects (r14, round-13 verdict item 4):
+    # - broadcast_ranks: HASH-PARTITIONED BY dst. The broadcast join
+    #   preserves the cached partitioning, so every round's contribution
+    #   aggregate (grouped by dst) finishes partition-locally and the
+    #   per-round exchange of the (data-sized) arc table disappears.
+    # - SMJ path (broadcast off — the billion-node regime the 100x replay
+    #   models): partitioned AND SORTED BY src. The per-round arcs⋈ranks
+    #   sort-merge join reads the cache exchange- AND sort-free (the r13
+    #   spill attribution traced the replay's 10.1 GiB spill to exactly
+    #   this per-round sort of the 117M-arc table); only the node-sized
+    #   ranks side shuffles+sorts, and the contribution aggregate's
+    #   exchange carries narrow (id, partial-sum) pairs after map-side
+    #   combine. The dst layout is useless here — the SMJ's src exchange
+    #   destroyed it every round.
     deg_side = F.broadcast(deg) if broadcast_ranks else deg
-    out = scoped_persist(e.join(deg_side, "src").repartition(F.col("dst")))
+    joined = e.join(deg_side, "src")
+    out = scoped_persist(
+        joined.repartition(F.col("dst"))
+        if broadcast_ranks
+        else joined.repartition(F.col("src")).sortWithinPartitions("src")
+    )
     nodes = scoped_persist(
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))

@@ -13,17 +13,45 @@ Two implementations:
   Exact and simple, but a global-sort single partition; right for dimension
   tables (≤ a few million rows), wrong for a 100 TB fact.
 - `add_surrogate_key_scalable` — sort-free two-phase ranking for huge inputs:
-  partition-local `row_number` + per-partition offsets (a tiny driver-side
+  partition-local positions + per-partition offsets (a tiny driver-side
   cumulative sum over partition counts, not a data collect). Keys are dense
-  1..N and deterministic given a deterministic input partitioning+order; at
-  scale prefer ordering only within partitions (sortWithinPartitions) to avoid
-  any global sort.
+  1..N and deterministic given a deterministic input partitioning+order.
+
+r14 rewrite of the scalable form, motivated by the 100x ETL replay's
+per-stage attribution (docs/ETL_STAGE_ATTRIB_r14.json): the old
+`row_number() OVER (PARTITION BY spark_partition_id())` forced an Exchange
+hashpartitioning(pid) — a FULL data-sized shuffle of the wide input (one of
+the fact leg's four ~7 GiB exchanges) — purely to compute a row's position
+within the partition it was ALREADY in. `monotonically_increasing_id()`
+encodes exactly that position for free: its layout is
+`(partition_id << 33) | row_index`, so `mid & (2^33 - 1)` IS the 0-based
+partition-local position, evaluated as a projection with no exchange, no
+window, no sort. (Upper bound: 2^33 ≈ 8.6B rows per partition — far above
+any sane task size; the id layout is a documented stable contract of the
+function.)
+
+`input_ordered=True` additionally skips the internal
+repartitionByRange+sortWithinPartitions when the CALLER guarantees the
+frame is already partition-ordered by `order_by` — i.e. partitions form
+ascending ranges of the ordering key and rows within each partition are
+ascending. Two provable sources of that layout exist in this repo:
+a frame freshly stamped by `source.with_src_id` and ranked by that id
+(monotonically_increasing_id is ascending over (partition, row) BY
+CONSTRUCTION), and `repartitionByRange(k).sortWithinPartitions(k)` done
+upstream (e.g. fused with dim_vehiculo's dedup). In that mode the input is
+also NOT persisted here: the rank is deterministic given the (cached)
+upstream layout, so the offsets job and the final plan may each read the
+cache instead of writing a second data-sized cache of the wide rows.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+# monotonically_increasing_id packs the 0-based row position within a
+# partition into the low 33 bits (partition id in the high bits)
+_MID_ROW_MASK = (1 << 33) - 1
 
 
 def add_surrogate_key(
@@ -35,33 +63,46 @@ def add_surrogate_key(
 
 
 def add_surrogate_key_scalable(
-    df: DataFrame, key_name: str, order_by: list[Column | str] | None = None
+    df: DataFrame,
+    key_name: str,
+    order_by: list[Column | str] | None = None,
+    *,
+    input_ordered: bool = False,
 ) -> DataFrame:
     """Dense 1..N key without a global sort.
 
-    Phase 1: optionally range-partition + sort within partitions by `order_by`
-    (gives a deterministic global order without a single-partition shuffle).
-    Phase 2: partition-local row_number + per-partition row-count offsets.
+    Phase 1: range-partition + sort within partitions by `order_by` (a
+    deterministic global order without a single-partition shuffle) —
+    skipped with `input_ordered=True` when the caller already guarantees
+    that layout (see module docstring).
+    Phase 2: partition-local 0-based positions decoded from
+    `monotonically_increasing_id` (a pure projection — no window, no
+    exchange) + per-partition row-count offsets (one tiny collect of a
+    row per partition, not data).
 
-    The only driver-side data is one row count per partition. The
-    intermediate stays persisted for the lifetime of the returned plan (the
-    final DataFrame reads it); callers looping over many inputs in one
-    session should checkpoint/materialize the result and clear the cache.
+    Key VALUES are identical to `add_surrogate_key` over the same total
+    order: rank in partition-range order + within-partition sorted order
+    = global rank.
     """
-    if order_by:
+    if order_by and not input_ordered:
         df = df.repartitionByRange(*order_by).sortWithinPartitions(*order_by)
 
-    spid = F.spark_partition_id()
-    w_local = Window.partitionBy(spid).orderBy(F.monotonically_increasing_id())
-    # persist so the count-per-partition action and the final plan see the same
-    # partitioning (monotonically_increasing_id is only stable per-materialization)
-    from sri_spark.operators.caching import scoped_persist
-
-    with_local = scoped_persist(
-        df.withColumn("__pid", spid).withColumn(
-            "__local_rn", F.row_number().over(w_local).cast("long")
-        )
+    mid = F.monotonically_increasing_id()
+    with_local = df.withColumn("__pid", F.spark_partition_id()).withColumn(
+        # 1-based position of the row within its partition, decoded from
+        # the id layout — replaces a row_number window whose
+        # hashpartitioning(__pid) exchange moved every (wide) row (r14)
+        "__local_rn",
+        (mid.bitwiseAND(F.lit(_MID_ROW_MASK)) + F.lit(1)).cast("long"),
     )
+    if not input_ordered:
+        # persist so the count-per-partition action and the final plan see
+        # the same partitioning (the range shuffle above is re-sampled per
+        # materialization); input_ordered callers read a deterministic
+        # cached upstream instead, so no second data-sized cache is built
+        from sri_spark.operators.caching import scoped_persist
+
+        with_local = scoped_persist(with_local)
     # one row per partition — tiny collect, not data
     counts = {
         r["__pid"]: r["cnt"]

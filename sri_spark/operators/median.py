@@ -12,13 +12,19 @@ concentrate the full value set in one place.
 Round 13 replaced the original two-phase range-histogram selection after
 measuring its failure mode in production: range bucketing by [min, max]
 collapses under heavy tails (81% of Theil–Sen's 2.9M slopes landed in one
-of 1024 cells, silently restoring the single-task multimillion-row sort).
-The current algorithm brackets the target rank with a Greenwald–Khanna
-sketch (`percentile_approx`), whose rank error is DETERMINISTIC, then
-resolves the exact order statistics from tie-collapsed (value, count)
-cells inside the bracket — two distributed passes, provably bounded
-serial work, loud assert if the bracket ever misses. See
-`exact_quantile_by_group` for the full design.
+of 1024 cells, silently restoring the single-task multimillion-row sort);
+the replacement bracketed the target rank with a Greenwald–Khanna sketch
+(`percentile_approx`). Round 14 retired the sketch too: GK is an
+IMPERATIVE (non-codegen) aggregate whose per-row update cost was the
+operator's measured wall floor (~1.4 s over 2.9M cached slopes, nearly
+independent of `accuracy`), and it forced a second scan of the input for
+the band pass. The current selection is pure codegen relational algebra —
+tie-collapse to (group, value, count) cells, ONE narrow range shuffle of
+the cells, and a two-phase distributed rank (partition-local cumulative
+counts + per-group partition offsets, the add_surrogate_key_scalable
+pattern expressed without any driver action) — exact by construction,
+single scan of the input, no imperative aggregate anywhere in the plan.
+See `exact_quantile_by_group` for the full design.
 """
 
 from __future__ import annotations
@@ -95,42 +101,50 @@ def exact_quantile_by_group(
     persist_input: bool = False,
 ) -> DataFrame:
     """Per-group EXACT continuous quantile — DuckDB `quantile_cont(col, p)
-    GROUP BY keys` semantics — in TWO distributed passes, with no
-    per-group sort of raw rows and no value-map aggregate (round-12
-    verdict item 8 + the round-13 advisory on range-bucket collapse).
+    GROUP BY keys` semantics — as pure codegen relational algebra: one
+    scan of the input, no per-group sort of raw rows, no value-map
+    aggregate, and (since round 14) no imperative sketch aggregate.
 
-    Why not the two-phase range histogram: bucketing by [min, max] is
-    data-dependent in the worst way — measured on Theil–Sen slopes at
-    sf0.1, outlier pairs stretch the range to ±11M while 81% of the
-    2.9M rows land in ONE of 1024 cells, so the "sort ~n/buckets rows"
-    claim silently became a single-task 2.3M-row sort (exactly the
-    concentration anti-pattern the advisory flagged).
+    Why not the predecessors:
+    - range-histogram (r12): [min, max] bucketing collapses under heavy
+      tails — 81% of Theil–Sen's 2.9M slopes landed in ONE of 1024 cells,
+      silently restoring the single-task multimillion-row sort;
+    - GK sketch bracket (r13): correct and deterministic, but
+      `percentile_approx` is an imperative (non-codegen) aggregate whose
+      per-row update cost was the measured wall floor (~1.4 s over the
+      cached 2.9M-row slope set, nearly independent of `accuracy`), and
+      the bracket's band pass forced a SECOND scan of the input.
 
-    The selection here is sketch-bracketed:
+    The selection here is a distributed exact rank over tie-collapsed
+    cells (the classic two-phase ranking, expressed without any driver
+    action):
 
-    1. pass 1 — per-group (min, max, n) plus a Greenwald–Khanna
-       `percentile_approx(p ± 4/accuracy)` bracket [a, b]. GK's rank
-       error is DETERMINISTIC (≤ n/accuracy, not probabilistic), so the
-       bracket is guaranteed to contain both target order statistics
-       ⌊(n-1)p⌋+1 and ⌈(n-1)p⌉+1, and the bracket's rank width is
-       ≤ ~8n/accuracy regardless of how concentrated or heavy-tailed
-       the values are. The result is group-sized and referenced exactly
-       once, so it fuses into the single job below.
-    2. pass 2 (same job, one more scan leg) —
-       a. `below` = per-group count of values strictly under a;
-       b. band rows in [a, b] collapse to (value, count) CELLS — a tie
-          run of any size becomes ONE cell, so the per-group window that
-          follows orders ≤ 8n/accuracy + 2 cells, never raw rows;
-       c. a cumulative-count window over the cells locates the two
-          order statistics as below + running position, and the result
-          interpolates lo + frac·(hi − lo) with frac = (n−1)p − ⌊(n−1)p⌋
-          — DuckDB quantile_cont's exact formula.
+    1. tie-collapse — `groupBy(group, value).count()`: one codegen hash
+       aggregate with map-side partials; a tie run of any size becomes
+       ONE (value, count) cell, and this is the only pass over raw rows.
+    2. order the cells — `repartitionByRange(group, value)` +
+       `sortWithinPartitions`: a NARROW shuffle (16-byte cells, never
+       payload rows); range sampling spreads heavy-tailed distributions
+       evenly by construction, immune to the histogram failure mode. The
+       partition id is stamped as data (`spark_partition_id`) and the
+       frame is persisted so both rank legs read one materialization.
+    3. two-phase rank — per-(group, partition) subtotals roll into
+       per-group partition offsets via a tiny window over the
+       (partitions × groups)-sized frame (no driver collect — the
+       offsets stay distributed, broadcast-joined back); partition-local
+       cumulative counts + offset give every cell its global 1-based
+       rank interval (pos_lo, pos_hi].
+    4. the two target order statistics ⌊(n−1)p⌋+1 and ⌈(n−1)p⌉+1 come
+       from the covering cells, and the result interpolates
+       lo + frac·(hi − lo) with frac = (n−1)p − ⌊(n−1)p⌋ — DuckDB
+       quantile_cont's exact formula, bit-identical to the r13 path.
 
-    A malfunctioning bracket cannot produce a silently wrong answer: the
-    final projection runs through `assert_true(both stats found)`, so a
-    coverage miss fails the job loudly (raise `accuracy` if it ever
-    fires). `buckets`/`max_sort_rows` are accepted for call-site
-    compatibility with the retired histogram form and ignored.
+    The rank arithmetic is exact by construction; the `assert_true`
+    guard on both statistics is kept as a tripwire (a miss would mean a
+    broken invariant, not a tuning problem). `accuracy`, `buckets`,
+    `max_sort_rows` and `persist_input` are accepted for call-site
+    compatibility with the retired forms and ignored — the input is
+    scanned exactly once, so persisting it buys nothing.
 
     Group keys ride inside a packed struct so NULL key values keep SQL
     GROUP BY semantics through the internal joins (struct equality is
@@ -142,11 +156,13 @@ def exact_quantile_by_group(
     median's output into another's input) stay ~10 plan nodes instead
     of compounding.
 
-    At 100 TB: both passes are map-side-combined aggregates whose
-    shuffle is group-sized (pass 1 additionally carries O(accuracy)
-    sketch state per partition); the only per-group serial work is the
-    cell window, bounded by 8n/accuracy + 2 cells — raise `accuracy`
-    to tighten it (e.g. 1e6 keeps it ≤ ~800k cells at n = 10^11/group).
+    At 100 TB: the tie-collapse is a map-side-combined aggregate; every
+    later stage moves (group, value, count) cells only, range-partitioned
+    so no single task holds a group's full cell set; the windows run over
+    per-partition slices and the (partitions × groups) offsets frame.
+    Distinct-value explosion degrades gracefully: cells ≤ rows, and the
+    cell shuffle carries 16 bytes/cell where the input rows carry the
+    full payload.
     """
     if not 0.0 <= p <= 1.0:
         raise ValueError(f"quantile p must be in [0,1], got {p}")
@@ -156,36 +172,32 @@ def exact_quantile_by_group(
         F.struct(*[F.col(k) for k in keys]).alias("__g"),
         F.col(col).cast("double").alias("__v"),
     )
-    if persist_input:
-        vals = scoped_persist(vals)
 
-    acc = int(accuracy)
-    pl = max(0.0, p - 4.0 / acc)
-    ph = min(1.0, p + 4.0 / acc)
-    # Effective bracket per group: the ±4/acc PERCENTAGE margin only
-    # guarantees rank coverage once it spans several ranks (GK's rank
-    # error is ≤ n/acc, and percentile_approx's discrete-rank convention
-    # ~⌈p·n⌉ differs from quantile_cont's (n−1)p+1 by up to 2 ranks) —
-    # so groups with n < 2·acc take the full [min, max] band instead.
-    # That stays bounded: tie-collapsed cells for a small group number
-    # ≤ n < 2·acc, the same order as a big group's bracket width 8n/acc.
-    small = F.col("__n") < F.lit(2 * acc)
-    g = (
-        vals.groupBy("__g")
-        .agg(
-            F.count("*").alias("__n"),
-            F.min("__v").alias("__mn"),
-            F.max("__v").alias("__mx"),
-            F.percentile_approx(
-                "__v", F.array(F.lit(pl), F.lit(ph)), F.lit(acc)
-            ).alias("__ap"),
-        )
-        .select(
-            "__g",
-            "__n",
-            F.when(small, F.col("__mn")).otherwise(F.col("__ap")[0]).alias("__a"),
-            F.when(small, F.col("__mx")).otherwise(F.col("__ap")[1]).alias("__b"),
-        )
+    # 1-2. tie-collapse, then range-order the cells; stamp the partition
+    # id as DATA so ranks survive later exchanges of the cell rows
+    cells = (
+        vals.groupBy("__g", "__v")
+        .agg(F.count("*").alias("__c"))
+        .repartitionByRange("__g", "__v")
+        .sortWithinPartitions("__g", "__v")
+    )
+    cells = scoped_persist(cells.withColumn("__pid", F.spark_partition_id()))
+
+    # 3a. per-(group, partition) subtotals → per-group running offsets in
+    # partition order (= value order, by the range partitioning) and the
+    # group total n — a (partitions × groups)-sized frame, fully
+    # distributed, broadcast back onto the cells
+    per = cells.groupBy("__g", "__pid").agg(F.sum("__c").alias("__pc"))
+    w_off = (
+        Window.partitionBy("__g")
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = per.select(
+        "__g",
+        "__pid",
+        F.coalesce(F.sum("__pc").over(w_off), F.lit(0)).alias("__goff"),
+        F.sum("__pc").over(Window.partitionBy("__g")).alias("__n"),
     )
 
     # continuous-quantile anchor: h = (n-1)*p (0-based); target 1-based
@@ -194,49 +206,20 @@ def exact_quantile_by_group(
     lo_rank = (F.floor(h) + F.lit(1)).cast("long")
     hi_rank = (F.ceil(h) + F.lit(1)).cast("long")
 
-    # pass 2 in ONE scan: tag each row below(-1)/inside(0)/above(+1) the
-    # group's bracket and collapse to (tag, value) cells, keeping only
-    # in-band values — below-band rows merge into a single counter cell
-    # per group (their values don't matter, only how many rank positions
-    # they occupy), above-band rows are dropped at the aggregate.
-    tag = F.when(F.col("__v") < F.col("__a"), F.lit(-1)).when(
-        F.col("__v") > F.col("__b"), F.lit(1)
-    ).otherwise(F.lit(0))
-    cells_all = (
-        vals.join(g, "__g")
-        .select(
-            "__g",
-            "__n",
-            tag.alias("__t"),
-            F.when(tag == 0, F.col("__v")).alias("__cv"),
-        )
-        .filter(F.col("__t") <= 0)
-        .groupBy("__g", "__t", "__cv")
-        .agg(F.count("*").alias("__c"), F.first("__n").alias("__n"))
-    )
-    wg = Window.partitionBy("__g")
-    win = (
-        Window.partitionBy("__g")
-        .orderBy("__cv")
+    # 3b. partition-local cumulative counts + group offset = global rank
+    # interval per cell: a cell covers 1-based ranks (pos_lo, pos_hi]
+    w_loc = (
+        Window.partitionBy("__g", "__pid")
+        .orderBy("__v")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     positioned = (
-        cells_all.withColumn(
-            "__below",
-            F.coalesce(
-                F.sum(F.when(F.col("__t") == -1, F.col("__c"))).over(wg),
-                F.lit(0),
-            ),
+        cells.withColumn(
+            "__lcum", F.coalesce(F.sum("__c").over(w_loc), F.lit(0))
         )
-        .filter(F.col("__t") == 0)
-        .withColumn(
-            "__cum_before", F.coalesce(F.sum("__c").over(win), F.lit(0))
-        )
-        .withColumn("__pos_lo", F.col("__below") + F.col("__cum_before"))
-        .withColumn(
-            "__pos_hi", F.col("__below") + F.col("__cum_before") + F.col("__c")
-        )
-        .withColumn("__v", F.col("__cv"))
+        .join(F.broadcast(off), ["__g", "__pid"])
+        .withColumn("__pos_lo", F.col("__goff") + F.col("__lcum"))
+        .withColumn("__pos_hi", F.col("__pos_lo") + F.col("__c"))
     )
     # a cell covers global 1-based ranks (__pos_lo, __pos_hi]
     stats = positioned.groupBy("__g").agg(
@@ -260,8 +243,8 @@ def exact_quantile_by_group(
             F.assert_true(
                 F.col("__vlo").isNotNull() & F.col("__vhi").isNotNull(),
                 F.lit(
-                    "exact_quantile_by_group: GK bracket missed the target "
-                    "rank — raise `accuracy`"
+                    "exact_quantile_by_group: rank interval invariant "
+                    "broken — a target order statistic fell in no cell"
                 ),
             ).isNull(),
             F.col("__vlo")

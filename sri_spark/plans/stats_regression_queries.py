@@ -988,11 +988,10 @@ def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     median slope when the intercept residuals are formed.
 
     Cross-engine determinism AND memory safety: medians come from
-    operators/median.py::exact_median_1row — the two-phase histogram
-    selection (range-bucket counts locate the two central order
-    statistics; only the target bucket(s), ~n/1024 of the rows, are ever
-    sorted) whose result is bit-identical to DuckDB's quantile_cont(0.5)
-    interpolation. Spark's exact `percentile` aggregate is deliberately
+    operators/median.py::exact_median_1row — a single-scan tie-collapse
+    plus a range-partitioned distributed exact rank over the collapsed
+    (value, count) cells (r14) — whose result is bit-identical to
+    DuckDB's quantile_cont(0.5) interpolation. Spark's exact `percentile` aggregate is deliberately
     NOT used (its per-task value→count hash map OOM'd the plain 1 GiB
     driver-contract session on 2.4M mostly-distinct slopes), and neither
     is a global row_number window (one sort task holding every row — the
@@ -1048,12 +1047,11 @@ def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from sri_spark.operators.median import exact_median_1row
 
-    # accuracy=1000: the GK sketch pass is the slope median's wall floor
-    # (an imperative non-codegen aggregate, ~1.4 s over the cached 2.9M
-    # rows at acc=10000); a coarser sketch keeps the DETERMINISTIC rank
-    # bracket (now ≤ ~8n/1000 ≈ 23k tie-collapsed cells — still one small
-    # window partition) and measured 3.05 → 2.73 s for the whole
-    # selection job with a bit-identical result (r13)
+    # r14: the median operator is now a single-scan codegen selection
+    # (tie-collapse + distributed two-phase rank — operators/median.py),
+    # so the slope set is generated ONCE per median instead of twice and
+    # the r13 GK-sketch wall floor (~1.4 s of imperative aggregate over
+    # the 2.9M rows) is gone; `accuracy` is accepted-and-ignored
     m = exact_median_1row(
         slopes, "slope", "m_slope", persist_input=False, accuracy=1000
     )

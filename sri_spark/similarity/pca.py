@@ -145,6 +145,23 @@ def top_component_relational(
             lambda c: c["cov"],
         ).alias("__m")
     )
+    # dense row-major indexing silently assumes EXACTLY dims² cells per
+    # label — a sparse/filtered cov frame would shift every element_at
+    # index into garbage loadings where the retired join form degraded
+    # gracefully. Fail loudly instead (r14, ADVICE r13).
+    mat = mat.select(
+        "label",
+        F.when(
+            F.assert_true(
+                F.size("__m") == F.lit(dims * dims),
+                F.lit(
+                    "top_component_relational: cov must hold exactly "
+                    f"dims²={dims * dims} cells per label"
+                ),
+            ).isNull(),
+            F.col("__m"),
+        ).alias("__m"),
+    )
     from sri_spark.operators.caching import scoped_persist
 
     v0 = F.array_repeat(F.lit(1.0 / dims**0.5), dims)
@@ -158,14 +175,18 @@ def top_component_relational(
         # leaf per round, bounding every round's tree while keeping the
         # whole iteration a single job (caches materialize inline)
         out = scoped_persist(out)
-        # matvec: raw[i] = Σ_j m[i*dims + j] * v[j]  (fixed j order)
+        # matvec: raw[i] = Σ_j m[i*dims + j] * v[j]  (fixed j order).
+        # NULL cov cells coalesce to 0.0 — the retired groupBy F.sum (and
+        # the DuckDB oracle's SUM) SKIP NULLs, whereas F.aggregate would
+        # propagate one NULL cell into every loading of the label (r14,
+        # ADVICE r13); a skipped NULL and an added 0.0 are the same sum.
         raw = F.transform(
             F.sequence(F.lit(0), F.lit(dims - 1)),
             lambda i: F.aggregate(
                 F.sequence(F.lit(0), F.lit(dims - 1)),
                 F.lit(0.0),
                 lambda acc, j: acc
-                + F.element_at(m, i * dims + j + 1)
+                + F.coalesce(F.element_at(m, i * dims + j + 1), F.lit(0.0))
                 * F.element_at(F.col("__v"), j + 1),
             ),
         )
