@@ -780,6 +780,64 @@ def dedup_replay_10x(spark) -> dict:
     }
 
 
+def jaccard_replay_10x(spark) -> dict:
+    """Round-13 verdict item 7: decade evidence for dedup_ngram_jaccard —
+    the most expensive untouched non-contract catalog query was the only
+    headline dedup family without a 1x/10x/100x growth artifact.
+
+    Exact n-gram Jaccard's self-join cost is bounded by shingle COLLISION
+    counts, not |docs|²: the salted corpus keeps each copy's internal
+    near-dup structure while copies share no shingles, so healthy growth
+    is ~linear in corpus size (collisions only happen within a copy — the
+    same standard the LSH family is held to, and what the operator's
+    singleton-shingle pruning is supposed to preserve). Superlinear
+    growth here would mean the shared-shingle join or the size joins
+    stopped scaling with collisions. Same operator and knobs as the
+    catalog query (md5 shingles, threshold 0.5, exact/no df cap),
+    evaluated through the noop sink (_noop_counted) like every family."""
+    from sri_spark.dedup.jaccard import ngram_jaccard_pairs
+    from sri_spark.operators.caching import unpersist_all
+    from sri_spark.plans.dedup_queries import JACCARD_THRESHOLD
+
+    one_x, corpus10, n1 = _salted_docs_corpus(spark, 10)
+    _, corpus100, _ = _salted_docs_corpus(spark, 100)
+    corpora = {"one_x": one_x, "ten_x": corpus10, "hundred_x": corpus100}
+    med = _interleaved_medians(
+        {
+            k: (
+                lambda d=d: _noop_counted(
+                    ngram_jaccard_pairs(d, threshold=JACCARD_THRESHOLD)
+                )
+            )
+            for k, d in corpora.items()
+        },
+        cleanup=unpersist_all,
+        warmup_keys=("one_x",),
+    )
+    one, ten, hundred = (
+        {"sec": med[k][0], "pairs": med[k][1]}
+        for k in ("one_x", "ten_x", "hundred_x")
+    )
+    return {
+        "rows_1x": n1,
+        "rows_10x": n1 * 10,
+        "rows_100x": n1 * 100,
+        "one_x": one,
+        "ten_x": ten,
+        "hundred_x": hundred,
+        "pair_growth": (
+            round(ten["pairs"] / one["pairs"], 4) if one["pairs"] else None
+        ),
+        "time_growth": round(ten["sec"] / one["sec"], 4) if one["sec"] else None,
+        "pair_growth_10x_to_100x": (
+            round(hundred["pairs"] / ten["pairs"], 4) if ten["pairs"] else None
+        ),
+        "time_growth_10x_to_100x": (
+            round(hundred["sec"] / ten["sec"], 4) if ten["sec"] else None
+        ),
+    }
+
+
 def spans_replay_10x(spark) -> dict:
     """Round-12 verdict item 4: the span-grain dedup decade curve — the
     most shuffle-intensive dedup grain (every document explodes into
@@ -1469,6 +1527,7 @@ def replay_plan_probes(spark) -> dict:
     """
     from pyspark.sql import functions as F
 
+    from sri_spark.dedup.jaccard import ngram_jaccard_pairs
     from sri_spark.dedup.minhash import minhash_lsh_pairs
     from sri_spark.dedup.spans import explode_spans, mark_duplicate_spans
     from sri_spark.graph.pagerank import pagerank
@@ -1513,6 +1572,11 @@ def replay_plan_probes(spark) -> dict:
             "action": "noop",
             "measure_marker": ("_noop_counted(", "minhash_lsh_pairs("),
             "frames": [("lsh_pairs", minhash_lsh_pairs(docs))],
+        },
+        "jaccard_replay_10x": {
+            "action": "noop",
+            "measure_marker": ("_noop_counted(", "ngram_jaccard_pairs("),
+            "frames": [("jaccard_pairs", ngram_jaccard_pairs(docs))],
         },
         "spans_replay_10x": {
             "action": "noop",
@@ -1894,6 +1958,7 @@ def main() -> None:
     # round-5 verdict item 3: measured 10x growth curves for the remaining
     # headline families (ETL and LSH-dedup already had them above)
     dedup_replay = _guarded(dedup_replay_10x)
+    jaccard_replay = _guarded(jaccard_replay_10x)  # r14 (r13 verdict item 7)
     spans_replay = _guarded(spans_replay_10x)
     events_replay = _guarded(events_replay_10x)
     graph_replay = _guarded(graph_replay_10x)
@@ -1956,6 +2021,7 @@ def main() -> None:
         "sri_etl_replay_10x": replay_10x,
         "sri_etl_replay_100x": replay_100x,
         "dedup_replay_10x": dedup_replay,
+        "jaccard_replay_10x": jaccard_replay,
         "spans_replay_10x": spans_replay,
         "events_replay_10x": events_replay,
         "graph_replay_10x": graph_replay,

@@ -24,6 +24,10 @@ REPLAY_BLOCKS = (
     "sri_etl_replay_10x",
     "sri_etl_replay_100x",
     "dedup_replay_10x",
+    # r14 (round-13 verdict item 7): exact n-gram Jaccard — the quadratic-
+    # in-collisions baseline — gets the same decade evidence as its LSH
+    # approximation
+    "jaccard_replay_10x",
     # r13 (round-12 verdict item 4): span-grain dedup, the most
     # shuffle-intensive dedup grain, gets the same decade evidence
     "spans_replay_10x",

@@ -1,4 +1,4 @@
-"""Per-query optimization harness for the r13 optimization round.
+"""Per-query optimization harness for the optimization rounds.
 
 Times named catalog queries with EXACTLY the bench methodology (untimed
 warm-up pass, then median-of-3 noop-sink executions, unpersist_all between
@@ -31,7 +31,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("queries", nargs="+")
     ap.add_argument("--explain", default=None, metavar="TAG",
-                    help="dump explain('formatted') to plans/r13/<q>_<TAG>.txt")
+                    help="dump explain('formatted') to plans/r{N}/<q>_<TAG>.txt "
+                         "(N = the current round, from bench._current_round)")
     ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()
 
@@ -44,7 +45,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    plans_dir = os.path.join(here, "plans", "r13")
+    import bench
+
+    plans_dir = os.path.join(here, "plans", f"r{bench._current_round()}")
 
     out: dict[str, float] = {}
     for name in args.queries:

@@ -52,13 +52,12 @@ def exact_median_1row(
 
     Since round 13 this is the constant-group case of
     `exact_quantile_by_group` (see that docstring for the
-    sketch-bracketed algorithm and why the range-histogram form was
-    retired). The result interpolation (lo + frac*(hi - lo), frac =
+    exponent-histogram bracketed selection and its lineage). The result interpolation (lo + frac*(hi - lo), frac =
     0.5) matches DuckDB's quantile_cont(0.5) within 1 ulp of the old
     (lo + hi)/2 form; both land inside every oracle's round()/isclose
-    envelope. Note: the selection is EAGER (two bounded passes run when
-    this frame is BUILT, not when first collected), and the returned
-    frame is a materialized lineage leaf plus a 1-row left join.
+    envelope. Since r14 the selection is LAZY (a scoped-persist leaf —
+    it runs inside the first consuming action and is shared by every
+    later one); the returned frame is that leaf plus a 1-row left join.
     """
     base = df.select(F.lit(1).alias("__one"), F.col(col).alias("__m_in"))
     med = exact_quantile_by_group(
@@ -101,68 +100,80 @@ def exact_quantile_by_group(
     persist_input: bool = False,
 ) -> DataFrame:
     """Per-group EXACT continuous quantile — DuckDB `quantile_cont(col, p)
-    GROUP BY keys` semantics — as pure codegen relational algebra: one
-    scan of the input, no per-group sort of raw rows, no value-map
-    aggregate, and (since round 14) no imperative sketch aggregate.
+    GROUP BY keys` semantics — in three codegen passes, with no per-group
+    sort of raw rows, no value-map aggregate, and (since round 14) no
+    imperative sketch aggregate anywhere in the plan.
 
     Why not the predecessors:
-    - range-histogram (r12): [min, max] bucketing collapses under heavy
-      tails — 81% of Theil–Sen's 2.9M slopes landed in ONE of 1024 cells,
-      silently restoring the single-task multimillion-row sort;
+    - one-shot range histogram (r12): [min, max] equi-width bucketing
+      collapses under heavy tails — 81% of Theil–Sen's 2.9M slopes landed
+      in ONE of 1024 cells, silently restoring the single-task
+      multimillion-row sort;
     - GK sketch bracket (r13): correct and deterministic, but
       `percentile_approx` is an imperative (non-codegen) aggregate whose
       per-row update cost was the measured wall floor (~1.4 s over the
-      cached 2.9M-row slope set, nearly independent of `accuracy`), and
-      the bracket's band pass forced a SECOND scan of the input.
+      2.9M-row slope set, nearly independent of `accuracy`);
+    - full tie-collapsed distributed rank (tried first in r14): exact and
+      driver-free, but on a mostly-distinct column "cells" ≈ rows, so the
+      proxy set itself had to be cached, range-shuffled, sorted and
+      windowed at data size — measured SLOWER than the GK floor it
+      replaced (Theil–Sen 3.4 → 5.3 s). Rejected.
 
-    The selection here is a distributed exact rank over tie-collapsed
-    cells (the classic two-phase ranking, expressed without any driver
-    action):
+    The selection here brackets the target rank with a FIXED-ROUND
+    counted histogram — every pass an ordinary codegen hash aggregate —
+    then resolves the exact order statistics from tie-collapsed cells
+    inside the bracket (the r13 band machinery, unchanged):
 
-    1. tie-collapse — `groupBy(group, value).count()`: one codegen hash
-       aggregate with map-side partials; a tie run of any size becomes
-       ONE (value, count) cell, and this is the only pass over raw rows.
-    2. order the cells — `repartitionByRange(group, value)` +
-       `sortWithinPartitions`: a NARROW shuffle (16-byte cells, never
-       payload rows); range sampling spreads heavy-tailed distributions
-       evenly by construction, immune to the histogram failure mode. The
-       partition id is stamped as data (`spark_partition_id`) and the
-       frame is persisted so both rank legs read one materialization.
-    3. two-phase rank — per-(group, partition) subtotals roll into
-       per-group partition offsets via a tiny window over the
-       (partitions × groups)-sized frame (no driver collect — the
-       offsets stay distributed, broadcast-joined back); partition-local
-       cumulative counts + offset give every cell its global 1-based
-       rank interval (pos_lo, pos_hi].
-    4. the two target order statistics ⌊(n−1)p⌋+1 and ⌈(n−1)p⌉+1 come
-       from the covering cells, and the result interpolates
-       lo + frac·(hi − lo) with frac = (n−1)p − ⌊(n−1)p⌋ — DuckDB
-       quantile_cont's exact formula, bit-identical to the r13 path.
+    1. round 1 — EXPONENT buckets: b = sign·(2048 + floor(log2|v|)), a
+       data-independent, deterministic, monotone partition of the double
+       line (≈6k buckets spanning subnormals to infinities; NaN pinned
+       above +inf to match Spark's NaN-largest ordering). Logarithmic
+       buckets need no prior [min, max] pass and cannot be stretched by
+       outliers — a heavy tail lands in its own magnitude buckets, which
+       is exactly where the r12 equi-width form collapsed. One
+       groupBy(group, bucket).agg(count, min, max) plus a ≤6k-cell
+       per-group window locate the bucket span covering both target
+       ranks ⌊(n−1)p⌋+1 and ⌈(n−1)p⌉+1, the exact count below it, and n
+       itself — all in the same pass.
+    2. round 2 — ONE equi-width split (4096 cells) of the round-1
+       bracket's OBSERVED [lo, hi] (actual data values, so the next
+       filter is exact — the r13 advisory's narrowing rule). The round-1
+       bracket spans at most two adjacent binades, so after this split
+       the bracket width is ≤ ~|lo|·2⁻¹¹: a fixed RELATIVE window no
+       distribution can stretch. Mass concentration inside it costs
+       band CELLS (ties collapse), never correctness.
+    3. band selection (r13, verbatim): rows in [lo, hi] tie-collapse to
+       (value, count) cells, below-band rows to one counter cell per
+       group; a cumulative window over the cells locates the two order
+       statistics, and the result interpolates lo + frac·(hi − lo) with
+       frac = (n−1)p − ⌊(n−1)p⌋ — DuckDB quantile_cont's exact formula,
+       bit-identical to the r12/r13 paths.
 
-    The rank arithmetic is exact by construction; the `assert_true`
-    guard on both statistics is kept as a tripwire (a miss would mean a
-    broken invariant, not a tuning problem). `accuracy`, `buckets`,
-    `max_sort_rows` and `persist_input` are accepted for call-site
-    compatibility with the retired forms and ignored — the input is
-    scanned exactly once, so persisting it buys nothing.
+    A malfunctioning bracket cannot produce a silently wrong answer: the
+    final projection runs through `assert_true(both stats found)`, so a
+    coverage miss fails the job loudly. `accuracy`, `buckets` and
+    `max_sort_rows` are accepted for call-site compatibility with the
+    retired forms and ignored. `persist_input` persists the (group,
+    value)-projected input once for the three passes — leave it False
+    when regenerating the input is cheaper than caching it (the r13
+    measurement on Theil–Sen's slope set still holds: three cheap
+    regenerations beat one 2.9M-row cache write).
 
     Group keys ride inside a packed struct so NULL key values keep SQL
     GROUP BY semantics through the internal joins (struct equality is
     null-safe per field). Result: `keys + [out]`, one row per group with
     >= 1 non-NULL value; no qualifying groups → empty frame. The frame
-    is returned ALREADY MATERIALIZED (localCheckpoint) — group-sized by
-    construction — so callers can weave it into bigger plans without
-    re-running the selection, and nested calls (Theil–Sen feeds one
-    median's output into another's input) stay ~10 plan nodes instead
-    of compounding.
+    is returned as a LAZY scoped-persist leaf — group-sized by
+    construction — so callers weave it into bigger plans without
+    re-running the selection (the cache materializes inline in their
+    first action and is shared by later ones), and nested calls
+    (Theil–Sen feeds one median's output into another's input) stay
+    ~10 plan nodes instead of compounding.
 
-    At 100 TB: the tie-collapse is a map-side-combined aggregate; every
-    later stage moves (group, value, count) cells only, range-partitioned
-    so no single task holds a group's full cell set; the windows run over
-    per-partition slices and the (partitions × groups) offsets frame.
-    Distinct-value explosion degrades gracefully: cells ≤ rows, and the
-    cell shuffle carries 16 bytes/cell where the input rows carry the
-    full payload.
+    At 100 TB: all three passes are map-side-combined codegen aggregates
+    whose shuffles carry ≤ (groups × ~6k) histogram cells or the band's
+    tie-collapsed cells; the only per-group serial work is the ≤6k-cell
+    histogram windows and the final band-cell window.
     """
     if not 0.0 <= p <= 1.0:
         raise ValueError(f"quantile p must be in [0,1], got {p}")
@@ -172,54 +183,126 @@ def exact_quantile_by_group(
         F.struct(*[F.col(k) for k in keys]).alias("__g"),
         F.col(col).cast("double").alias("__v"),
     )
+    if persist_input:
+        vals = scoped_persist(vals)
 
-    # 1-2. tie-collapse, then range-order the cells; stamp the partition
-    # id as DATA so ranks survive later exchanges of the cell rows
-    cells = (
-        vals.groupBy("__g", "__v")
-        .agg(F.count("*").alias("__c"))
-        .repartitionByRange("__g", "__v")
-        .sortWithinPartitions("__g", "__v")
-    )
-    cells = scoped_persist(cells.withColumn("__pid", F.spark_partition_id()))
-
-    # 3a. per-(group, partition) subtotals → per-group running offsets in
-    # partition order (= value order, by the range partitioning) and the
-    # group total n — a (partitions × groups)-sized frame, fully
-    # distributed, broadcast back onto the cells
-    per = cells.groupBy("__g", "__pid").agg(F.sum("__c").alias("__pc"))
-    w_off = (
-        Window.partitionBy("__g")
-        .orderBy("__pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    off = per.select(
-        "__g",
-        "__pid",
-        F.coalesce(F.sum("__pc").over(w_off), F.lit(0)).alias("__goff"),
-        F.sum("__pc").over(Window.partitionBy("__g")).alias("__n"),
-    )
-
+    v = F.col("__v")
     # continuous-quantile anchor: h = (n-1)*p (0-based); target 1-based
     # ranks floor(h)+1 and ceil(h)+1, blended by frac = h - floor(h)
     h = (F.col("__n") - F.lit(1)).cast("double") * F.lit(float(p))
     lo_rank = (F.floor(h) + F.lit(1)).cast("long")
     hi_rank = (F.ceil(h) + F.lit(1)).cast("long")
 
-    # 3b. partition-local cumulative counts + group offset = global rank
-    # interval per cell: a cell covers 1-based ranks (pos_lo, pos_hi]
-    w_loc = (
-        Window.partitionBy("__g", "__pid")
-        .orderBy("__v")
+    # ONE bracket pass — sign/exponent/mantissa buckets:
+    #   b = sign · ((2048 + floor(log2|v|)) · 256 + floor((m − 1) · 256)),
+    # m = |v| / 2^floor(log2|v|) ∈ [1, 2) — a data-independent,
+    # deterministic, MONOTONE partition of the double line into ≤ ~1.57M
+    # possible buckets (6k binades × 256 mantissa slices per sign), of
+    # which only populated ones materialize. Logarithmic-relative buckets
+    # need no prior [min, max] pass and cannot be stretched by outliers
+    # (the r12 equi-width collapse was an ABSOLUTE-width artifact: its
+    # 21k-wide bucket at range ±11M is 2^-8-RELATIVE here, i.e. the
+    # bracket narrows to values agreeing with the target through 8
+    # significand bits). FP rounding at binade edges can push a bucket
+    # index ±1 — harmless: the mapping stays non-decreasing, which is the
+    # only property the rank arithmetic uses, and the bracket's [a, b]
+    # are OBSERVED data values. ±inf and NaN take sentinel buckets beyond
+    # every finite one (NaN above +inf: Spark orders NaN largest).
+    sentinel = 10_000_000
+    exp = F.floor(F.log2(F.abs(v)))
+    mant = F.abs(v) / F.pow(F.lit(2.0), exp)  # division: subnormal-safe
+    mag = (F.lit(2048.0) + exp) * F.lit(256.0) + F.floor(
+        (mant - F.lit(1.0)) * F.lit(256.0)
+    )
+    bucket = (
+        F.when(F.isnan(v), F.lit(sentinel + 1))
+        .when(v == F.lit(float("inf")), F.lit(sentinel))
+        .when(v == F.lit(float("-inf")), F.lit(-sentinel))
+        .when(v == F.lit(0.0), F.lit(0))
+        .otherwise((F.signum(v) * mag).cast("long"))
+    )
+
+    w_cum = (
+        Window.partitionBy("__g")
+        .orderBy("__bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    h1 = (
+        vals.select("__g", "__v", bucket.alias("__bk"))
+        .groupBy("__g", "__bk")
+        .agg(
+            F.count("*").alias("__cnt"),
+            F.min("__v").alias("__mn"),
+            F.max("__v").alias("__mx"),
+        )
+        .withColumn("__n", F.sum("__cnt").over(Window.partitionBy("__g")))
+        .withColumn(
+            "__start", F.coalesce(F.sum("__cnt").over(w_cum), F.lit(0))
+        )
+    )
+    # a bucket covers global 1-based ranks (__start, __start + __cnt];
+    # the bracket is the (≤2-bucket) span covering [lo_rank, hi_rank],
+    # with [a, b] its observed value bounds — n falls out of the same
+    # pass, so the histogram scan and the band scan below are the ONLY
+    # passes over the input (same count as the retired GK form, with
+    # every operator codegen)
+    g = (
+        h1.filter(
+            (F.col("__start") < hi_rank)
+            & ((F.col("__start") + F.col("__cnt")) >= lo_rank)
+        )
+        .groupBy("__g")
+        .agg(
+            F.first("__n").alias("__n"),
+            F.min("__mn").alias("__a"),
+            F.max("__mx").alias("__b"),
+        )
+    )
+
+    # band selection in ONE scan (r13, verbatim): tag each row
+    # below(-1)/inside(0)/above(+1) the group's bracket and collapse to
+    # (tag, value) cells, keeping only in-band values — below-band rows
+    # merge into a single counter cell per group (their values don't
+    # matter, only how many rank positions they occupy), above-band rows
+    # are dropped at the aggregate.
+    tag = F.when(F.col("__v") < F.col("__a"), F.lit(-1)).when(
+        F.col("__v") > F.col("__b"), F.lit(1)
+    ).otherwise(F.lit(0))
+    cells_all = (
+        vals.join(g, "__g")
+        .select(
+            "__g",
+            "__n",
+            tag.alias("__t"),
+            F.when(tag == 0, F.col("__v")).alias("__cv"),
+        )
+        .filter(F.col("__t") <= 0)
+        .groupBy("__g", "__t", "__cv")
+        .agg(F.count("*").alias("__c"), F.first("__n").alias("__n"))
+    )
+    wg = Window.partitionBy("__g")
+    win = (
+        Window.partitionBy("__g")
+        .orderBy("__cv")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     positioned = (
-        cells.withColumn(
-            "__lcum", F.coalesce(F.sum("__c").over(w_loc), F.lit(0))
+        cells_all.withColumn(
+            "__below",
+            F.coalesce(
+                F.sum(F.when(F.col("__t") == -1, F.col("__c"))).over(wg),
+                F.lit(0),
+            ),
         )
-        .join(F.broadcast(off), ["__g", "__pid"])
-        .withColumn("__pos_lo", F.col("__goff") + F.col("__lcum"))
-        .withColumn("__pos_hi", F.col("__pos_lo") + F.col("__c"))
+        .filter(F.col("__t") == 0)
+        .withColumn(
+            "__cum_before", F.coalesce(F.sum("__c").over(win), F.lit(0))
+        )
+        .withColumn("__pos_lo", F.col("__below") + F.col("__cum_before"))
+        .withColumn(
+            "__pos_hi", F.col("__below") + F.col("__cum_before") + F.col("__c")
+        )
+        .withColumn("__v", F.col("__cv"))
     )
     # a cell covers global 1-based ranks (__pos_lo, __pos_hi]
     stats = positioned.groupBy("__g").agg(
@@ -243,17 +326,25 @@ def exact_quantile_by_group(
             F.assert_true(
                 F.col("__vlo").isNotNull() & F.col("__vhi").isNotNull(),
                 F.lit(
-                    "exact_quantile_by_group: rank interval invariant "
-                    "broken — a target order statistic fell in no cell"
+                    "exact_quantile_by_group: histogram bracket missed "
+                    "the target rank — bracket invariant broken"
                 ),
             ).isNull(),
             F.col("__vlo")
             + (h - F.floor(h)) * (F.col("__vhi") - F.col("__vlo")),
         ).alias(out),
     )
-    return guarded.select(
-        *[F.col(f"__g.{k}").alias(k) for k in keys], out
-    ).localCheckpoint()
+    # LAZY materialization (r14): scoped_persist bounds nested callers'
+    # plans with an InMemoryRelation leaf exactly like the old eager
+    # localCheckpoint did, but the selection now FUSES into the caller's
+    # action instead of paying its own build-time job — the caches
+    # materialize inline on first read (the r13 PCA lesson), twin calls
+    # over the same input share their histogram exchanges via
+    # ReuseExchange, and builders become action-free here.
+    return scoped_persist(
+        guarded.select(*[F.col(f"__g.{k}").alias(k) for k in keys], out)
+    )
+
 
 
 def weighted_quantile_by_group(

@@ -1017,7 +1017,10 @@ def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
         .coalesce(32)
         .localCheckpoint()
-    )
+    )  # r14: a lazy scoped_persist was A/B'd here (fusing the grid build
+    # into the main action) and measured no better (4.34 vs 3.91 median,
+    # overlapping noise) — the eager checkpoint keeps the many-consumer
+    # grid a materialized leaf, so it stays
     max_x = daily.agg(F.max("x").alias("__mx"))
     right = daily.select(F.col("x").alias("xj"), F.col("rev").alias("revj"))
     slopes = (
