@@ -5,6 +5,10 @@ from __future__ import annotations
 
 import pytest
 
+# r14: slow tier — duplicates the driver's own per-round CORRECTNESS
+# sweep and scripts/driver_sim.py; re-proven at round close (pytest.ini)
+pytestmark = pytest.mark.slow
+
 from sri_spark.plans import all_oracles, all_queries
 from tests.oracle_harness import compare_query
 

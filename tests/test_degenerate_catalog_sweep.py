@@ -24,6 +24,10 @@ Expected-degenerate OUTPUT is fine (empty frames, NULL max_z, survival
 from __future__ import annotations
 
 import pytest
+
+# r14: slow tier — the 284-query sweep is a round-close invariant, not
+# an iteration gate (pytest.ini); a NEW query must still run it once
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from sri_spark.plans import all_queries
